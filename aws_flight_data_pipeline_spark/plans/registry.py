@@ -1,0 +1,66 @@
+"""Declared-query registry: every engine capability as a named query.
+
+Each entry pairs a Spark DataFrame plan builder with an equivalent ANSI-SQL
+oracle string (runnable by DuckDB over the same parquet tables). The driver —
+and our own parity tests — run both sides and compare row count, schema, and
+order-insensitive value hashes. Queries whose semantics are not expressible in
+portable SQL (stateful streaming, iterative algorithms) register with
+``oracle=None`` and get a rows-only check.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark plan and in the oracle SQL — the comparison sorts columns by name.
+Float discipline: aggregates over doubles are rounded (default 4 dp) on BOTH
+sides so summation-order noise between engines cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, *, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame query builder."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def _ensure_loaded() -> None:
+    """Import every plan module so its @query decorators run."""
+    import aws_flight_data_pipeline_spark.plans.quality_queries  # noqa: F401
+    import aws_flight_data_pipeline_spark.plans.relational  # noqa: F401
+    import aws_flight_data_pipeline_spark.plans.sequences  # noqa: F401
+    import aws_flight_data_pipeline_spark.plans.text_queries  # noqa: F401
+    import aws_flight_data_pipeline_spark.plans.vector_queries  # noqa: F401

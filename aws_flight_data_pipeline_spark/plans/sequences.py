@@ -1,0 +1,349 @@
+"""Per-entity sequence operators (SURVEY.md §2.8) over the events stream table.
+
+The reference implements these as pandas groupby-sequence loops over per-
+aircraft trajectories (`data_transformer.py:306-678`); here each one is a
+window function partitioned by ``user_id`` (the aircraft analog) ordered by
+``(ts, event_id)`` — partition-parallel, shuffle-once-per-window-spec, no
+driver-side iteration. All windows in one query share the same partitioning so
+Spark reuses a single shuffle.
+
+Determinism: event ordering always includes ``event_id`` as tiebreak
+(SURVEY §7.3 hard-part 5 — the reference's unstable pandas sort is the bug we
+avoid). Nulls for the imputation operators are injected deterministically
+(``event_id % 7 == 0``) so the oracle sees the same gaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_flight_data_pipeline_spark.functions.geo import haversine
+from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+def _w():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@query(
+    "seq_delta_cumulative",
+    tags=("sequence", "window", "lag"),
+    doc="Per-entity LAG delta + running cumulative sum — the consecutive-point "
+    "distance + cumsum operator (data_transformer.py:409-472).",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(value, 4) AS value,
+               ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+                   AS value_delta,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def seq_delta_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = _w()
+    return e.select(
+        "event_id",
+        "user_id",
+        _r4(F.col("value")).alias("value"),
+        _r4(F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        _r4(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "running_total"
+        ),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "seq_rate_of_change",
+    tags=("sequence", "window", "lag"),
+    doc="Δvalue/Δt per minute — the climb-rate / acceleration operators "
+    "(data_transformer.py:474-518), with zero-Δt guard.",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     / NULLIF((epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 60.0, 0),
+                     4) AS rate_per_min
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def seq_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
+    w = _w()
+    dv = F.col("value") - F.lag("value").over(w)
+    dt_min = (F.col("ts_sec") - F.lag("ts_sec").over(w)) / 60.0
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            _r4(dv / F.nullif(dt_min, F.lit(0.0))).alias("rate_per_min"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+@query(
+    "seq_forward_fill",
+    tags=("sequence", "imputation"),
+    doc="Forward-fill imputation via last(ignorenulls) over an unbounded-"
+    "preceding frame — the ffill strategy (data_transformer.py:306-350); gaps "
+    "injected deterministically at event_id %% 7 == 0.",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def seq_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.withColumn("value_gapped", gapped)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            _r4(F.last("value_gapped", ignorenulls=True).over(w)).alias("value_ffill"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+@query(
+    "seq_linear_interpolation",
+    tags=("sequence", "imputation"),
+    doc="Linear interpolation of gaps via window-lerp — the reference's "
+    "`interpolate` strategy (data_transformer.py:117-126,306-350), which has "
+    "no Spark builtin (SURVEY §7.3 hard-part 1): previous/next non-null value "
+    "and timestamp from two one-sided frames, then lerp in event time.",
+    oracle="""
+        WITH gapped AS (
+            SELECT event_id, user_id, ts, epoch(ts) AS ts_sec,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_g
+            FROM events
+        ), bounds AS (
+            SELECT event_id, user_id, ts, ts_sec, value_g,
+                   last_value(value_g IGNORE NULLS) OVER w_prev  AS prev_val,
+                   last_value(CASE WHEN value_g IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER w_prev AS prev_ts,
+                   first_value(value_g IGNORE NULLS) OVER w_next AS next_val,
+                   first_value(CASE WHEN value_g IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER w_next AS next_ts
+            FROM gapped
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id,
+               ROUND(CASE
+                   WHEN value_g IS NOT NULL THEN value_g
+                   WHEN prev_val IS NULL THEN next_val
+                   WHEN next_val IS NULL THEN prev_val
+                   ELSE prev_val + (next_val - prev_val)
+                        * (ts_sec - prev_ts) / NULLIF(next_ts - prev_ts, 0)
+               END, 4) AS value_interp
+        FROM bounds
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def seq_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
+    gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    e = e.withColumn("value_g", gapped)
+    w_prev = _w().rowsBetween(Window.unboundedPreceding, 0)
+    w_next = _w().rowsBetween(0, Window.unboundedFollowing)
+    ts_if_val = F.when(F.col("value_g").isNotNull(), F.col("ts_sec"))
+    e = (
+        e.withColumn("prev_val", F.last("value_g", ignorenulls=True).over(w_prev))
+        .withColumn("prev_ts", F.last(ts_if_val, ignorenulls=True).over(w_prev))
+        .withColumn("next_val", F.first("value_g", ignorenulls=True).over(w_next))
+        .withColumn("next_ts", F.first(ts_if_val, ignorenulls=True).over(w_next))
+    )
+    lerp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        F.col("ts_sec") - F.col("prev_ts")
+    ) / F.nullif(F.col("next_ts") - F.col("prev_ts"), F.lit(0.0))
+    interp = (
+        F.when(F.col("value_g").isNotNull(), F.col("value_g"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(lerp)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", _r4(interp).alias("value_interp"))
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+@query(
+    "seq_sessionization",
+    tags=("sequence", "session", "window"),
+    doc="Gap-based sessionization (30-min inactivity) via lag-flag + running "
+    "sum — the stateful micro-batch grouping the reference approximates with "
+    "batch boundaries (SURVEY §2.10); batch form of session windows.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch(ts) AS ts_sec, value,
+                   CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                        OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, event_id, ts_sec, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS event_count,
+               ROUND(MAX(ts_sec) - MIN(ts_sec), 4) AS session_duration_sec,
+               ROUND(SUM(value), 4) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+)
+def seq_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
+    w = _w()
+    prev_ts = F.lag("ts_sec").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts_sec") - prev_ts) > 1800), 1
+    ).otherwise(0)
+    e = e.withColumn("new_session", new_session)
+    w_run = Window.partitionBy("user_id").orderBy("ts_sec", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    e = e.withColumn("session_seq", F.sum("new_session").over(w_run))
+    return (
+        e.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("event_count"),
+            _r4(F.max("ts_sec") - F.min("ts_sec")).alias("session_duration_sec"),
+            _r4(F.sum("value")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "seq_dedup_keep_best",
+    tags=("sequence", "dedup"),
+    doc="Duplicate removal with best-record strategy — key (user_id, hour), "
+    "keep the max-value row with deterministic event_id tiebreak "
+    "(data_transformer.py:612-659 best_quality strategy).",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_id, value,
+                   date_trunc('hour', ts) AS hour_bucket,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id AS kept_event_id, ROUND(value, 4) AS best_value
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id, kept_event_id
+    """,
+)
+def seq_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.desc("value"), "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("kept_event_id"),
+            _r4(F.col("value")).alias("best_value"),
+        )
+        .orderBy("user_id", "kept_event_id")
+    )
+
+
+@query(
+    "seq_trajectory_distance",
+    tags=("sequence", "geo", "window"),
+    doc="Haversine distance between consecutive fixes + per-entity cumulative "
+    "distance (data_transformer.py:409-472). Coordinates derived "
+    "deterministically from event fields (the testdata has no geo columns); "
+    "the haversine composition is the reference formula verbatim (asin form, "
+    "R=6371 km). Legs are quantized to integer meters before the running sum "
+    "so cross-engine libm noise in trig results cannot accumulate past a "
+    "rounding boundary — the cumulative is exact integer arithmetic.",
+    oracle="""
+        WITH fixes AS (
+            SELECT event_id, user_id, ts,
+                   (value % 120) - 60                         AS lat,
+                   (CAST(event_id % 360 AS DOUBLE)) - 180.0   AS lon
+            FROM events
+        ), legs AS (
+            SELECT event_id, user_id, ts, lat, lon,
+                   LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lat,
+                   LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lon
+            FROM fixes
+        ), dists AS (
+            SELECT event_id, user_id, ts,
+                   CAST(ROUND(1000.0 * 2.0 * 6371.0 * ASIN(SQRT(
+                       POW(SIN(RADIANS(lat - prev_lat) / 2), 2)
+                       + COS(RADIANS(prev_lat)) * COS(RADIANS(lat))
+                         * POW(SIN(RADIANS(lon - prev_lon) / 2), 2)
+                   )), 0) AS BIGINT) AS leg_m
+            FROM legs
+        )
+        SELECT event_id, user_id, leg_m AS leg_distance_m,
+               CAST(SUM(COALESCE(leg_m, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cumulative_m
+        FROM dists
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def seq_trajectory_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("lat", (F.col("value") % 120) - 60).withColumn(
+        "lon", (F.col("event_id") % 360).cast("double") - 180.0
+    )
+    w = _w()
+    e = e.withColumn("prev_lat", F.lag("lat").over(w)).withColumn(
+        "prev_lon", F.lag("lon").over(w)
+    )
+    leg_m = F.round(
+        1000.0 * haversine(F.col("prev_lat"), F.col("prev_lon"), F.col("lat"), F.col("lon")), 0
+    ).cast("bigint")
+    e = e.withColumn("leg_m", leg_m)
+    w_run = _w().rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("leg_m").alias("leg_distance_m"),
+            F.sum(F.coalesce(F.col("leg_m"), F.lit(0)))
+            .over(w_run)
+            .cast("bigint")
+            .alias("cumulative_m"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )

@@ -1,0 +1,374 @@
+"""Text-analysis + deduplication operators over the documents table.
+
+The LLM-training-data extension surface (BASELINE.json north star): token
+statistics, language-marker heuristics, quality scoring, exact and fuzzy
+deduplication (fingerprint, MinHash-LSH, n-gram Jaccard). Everything is
+higher-order array functions and hash-aggregates — per-row compute then one
+shuffle for the grouping — so the same plans stream over 100 TB of documents.
+
+Hash portability: md5 (bit-identical in Spark and DuckDB) is the hash
+primitive for fingerprints and MinHash, so the oracle can verify actual
+signature values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_flight_data_pipeline_spark.functions.text import (
+    bpe_ish_token_estimate,
+    fingerprint,
+    minhash_band,
+    minhash_signature,
+    occurrence_count,
+    prefix_fingerprint,
+    token_type_ratio,
+    tokens,
+    word_count,
+)
+from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+_WORD_COUNT_SQL = (
+    "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END)"
+)
+
+
+@query(
+    "text_stats_by_lang",
+    tags=("text", "agg"),
+    doc="Corpus token statistics per language: char/word counts, avg word "
+    "length, BPE-ish token estimate (~4 chars/token) — the token-counting "
+    "operator of the training-data pipeline.",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS doc_count,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM({_WORD_COUNT_SQL}) AS BIGINT) AS total_words,
+               ROUND(AVG({_WORD_COUNT_SQL}), 4) AS avg_words_per_doc,
+               ROUND(AVG(CAST(LENGTH(text) AS DOUBLE) / {_WORD_COUNT_SQL}), 4)
+                   AS avg_chars_per_word,
+               CAST(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS BIGINT)
+                   AS est_bpe_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = word_count(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(wc).alias("total_words"),
+            _r4(F.avg(wc)).alias("avg_words_per_doc"),
+            _r4(F.avg(F.length("text").cast("double") / wc)).alias("avg_chars_per_word"),
+            F.sum(bpe_ish_token_estimate(F.col("text"))).alias("est_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_scores",
+    tags=("text", "quality"),
+    doc="Document quality scoring — length score, lexical diversity "
+    "(distinct/total tokens), composite weighted score, quality banding; the "
+    "text analog of the record quality scorer (quality_validator.py:196-282).",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang, source,
+                   LEAST(CAST({_WORD_COUNT_SQL} AS DOUBLE) / 50.0, 1.0) AS length_score,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / {_WORD_COUNT_SQL} AS diversity
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS doc_count,
+               ROUND(AVG(length_score), 4) AS avg_length_score,
+               ROUND(AVG(diversity), 4)    AS avg_diversity,
+               ROUND(AVG(0.5 * length_score + 0.5 * diversity), 4) AS avg_quality,
+               SUM(CASE WHEN 0.5 * length_score + 0.5 * diversity >= 0.6
+                        THEN 1 ELSE 0 END) AS high_quality_count
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = word_count(F.col("text"))
+    length_score = F.least(wc.cast("double") / 50.0, F.lit(1.0))
+    diversity = token_type_ratio(F.col("text"))
+    quality = 0.5 * length_score + 0.5 * diversity
+    return (
+        d.select("lang", length_score.alias("ls"), diversity.alias("dv"), quality.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            _r4(F.avg("ls")).alias("avg_length_score"),
+            _r4(F.avg("dv")).alias("avg_diversity"),
+            _r4(F.avg("q")).alias("avg_quality"),
+            F.sum(F.when(F.col("q") >= 0.6, 1).otherwise(0)).alias("high_quality_count"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_language_markers",
+    tags=("text", "langid"),
+    doc="Language-ID n-gram/marker heuristic: frequency of marker tokens per "
+    "labeled language + argmax classification — the language-ID operator as "
+    "pure length-arithmetic occurrence counting (portable, regex-free).",
+    oracle="""
+        WITH padded AS (
+            SELECT lang, ' ' || text || ' ' AS t, LENGTH(text) AS n FROM documents
+        ), counted AS (
+            SELECT lang,
+                   (LENGTH(t) - LENGTH(REPLACE(t, ' the ', ''))) / 5 AS c_the,
+                   (LENGTH(t) - LENGTH(REPLACE(t, ' data ', ''))) / 6 AS c_data,
+                   (LENGTH(t) - LENGTH(REPLACE(t, ' spark ', ''))) / 7 AS c_spark,
+                   (LENGTH(t) - LENGTH(REPLACE(t, ' join ', ''))) / 6 AS c_join
+            FROM padded
+        )
+        SELECT lang,
+               COUNT(*) AS doc_count,
+               CAST(SUM(c_the) AS BIGINT)   AS the_count,
+               CAST(SUM(c_data) AS BIGINT)  AS data_count,
+               CAST(SUM(c_spark) AS BIGINT) AS spark_count,
+               CAST(SUM(c_join) AS BIGINT)  AS join_count,
+               ROUND(CAST(SUM(c_the) AS DOUBLE) / COUNT(*), 4) AS the_per_doc
+        FROM counted
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_language_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    d = d.withColumn("t", padded)
+    counts = {m: occurrence_count(F.col("t"), f" {m} ") for m in ("the", "data", "spark", "join")}
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(counts["the"]).alias("the_count"),
+            F.sum(counts["data"]).alias("data_count"),
+            F.sum(counts["spark"]).alias("spark_count"),
+            F.sum(counts["join"]).alias("join_count"),
+            _r4(F.sum(counts["the"]).cast("double") / F.count("*")).alias("the_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dedup_exact_fingerprint",
+    tags=("dedup", "text"),
+    doc="Exact deduplication via md5 fingerprint of normalized text + "
+    "prefix-fingerprint candidate groups — hash-groupBy dedup, the exact-dedup "
+    "operator of the training-data pipeline (and data_transformer.py:612-659's "
+    "key-based dedup generalized to content hashing).",
+    oracle="""
+        WITH fps AS (
+            SELECT source,
+                   md5(LOWER(TRIM(text))) AS fp,
+                   md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS prefix_fp
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*)                  AS doc_count,
+               COUNT(DISTINCT fp)        AS unique_docs,
+               COUNT(*) - COUNT(DISTINCT fp) AS exact_dup_count,
+               COUNT(DISTINCT prefix_fp) AS unique_prefixes,
+               COUNT(*) - COUNT(DISTINCT prefix_fp) AS prefix_collision_count
+        FROM fps
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("fp", fingerprint(F.col("text"))).withColumn(
+        "prefix_fp", prefix_fingerprint(F.col("text"), 3)
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct("fp").alias("unique_docs"),
+            (F.count("*") - F.countDistinct("fp")).alias("exact_dup_count"),
+            F.countDistinct("prefix_fp").alias("unique_prefixes"),
+            (F.count("*") - F.countDistinct("prefix_fp")).alias("prefix_collision_count"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    tags=("dedup", "minhash", "lsh"),
+    doc="MinHash signatures (8 md5 hash families) + 2-band LSH bucketing. "
+    "Per-row higher-order-function signature computation (zero shuffle), then "
+    "band-bucket grouping: bucket-size histogram + candidate-pair count per "
+    "band. The shape that replaces O(n²) similarity with per-bucket joins at "
+    "100 TB (shingle→minhash→band→bucket-join).",
+    oracle="""
+        WITH sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), i -> list_min(
+                       list_transform(list_distinct(string_split(text, ' ')),
+                                      t -> md5(t || CAST(i AS VARCHAR))))) AS sig
+            FROM documents
+        ), bands AS (
+            SELECT doc_id, md5(array_to_string(sig[1:4], '|')) AS band_key, 0 AS band_id
+            FROM sigs
+            UNION ALL
+            SELECT doc_id, md5(array_to_string(sig[5:8], '|')) AS band_key, 1 AS band_id
+            FROM sigs
+        ), buckets AS (
+            SELECT band_id, band_key, COUNT(*) AS bucket_size
+            FROM bands GROUP BY band_id, band_key
+        )
+        SELECT band_id, bucket_size,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
+        FROM buckets
+        GROUP BY band_id, bucket_size
+        ORDER BY band_id, bucket_size
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    d = d.withColumn("sig", minhash_signature(toks, 8))
+    bands = d.select(
+        "doc_id", minhash_band(F.col("sig"), 0, 4).alias("band_key"), F.lit(0).alias("band_id")
+    ).unionAll(
+        d.select(
+            "doc_id",
+            minhash_band(F.col("sig"), 4, 4).alias("band_key"),
+            F.lit(1).alias("band_id"),
+        )
+    )
+    buckets = bands.groupBy("band_id", "band_key").agg(F.count("*").alias("bucket_size"))
+    return (
+        buckets.groupBy("band_id", "bucket_size")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band_id", "bucket_size")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    tags=("dedup", "jaccard"),
+    doc="Token-set Jaccard similarity between candidate document pairs "
+    "(consecutive doc_ids as the candidate generator) — the n-gram-Jaccard "
+    "near-dup verifier that runs after LSH candidate generation. "
+    "intersection/union via exploded-token equi-join: pure hash joins, "
+    "no O(n²) scan.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND a.tok = b.tok
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               COALESCE(i.n_inter, 0) AS intersection_size,
+               sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS union_size,
+               ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / (sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0)), 4) AS jaccard
+        FROM sizes sa
+        JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+        LEFT JOIN inter i ON i.doc_a = sa.doc_id
+        ORDER BY doc_a
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1) & (F.col("a.tok") == F.col("b.tok")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    joined = (
+        sa.join(sb, F.col("sb.doc_id") == F.col("sa.doc_id") + 1)
+        .join(inter, F.col("doc_a") == F.col("sa.doc_id"), "left")
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    union_size = F.col("sa.n_tok") + F.col("sb.n_tok") - n_inter
+    return joined.select(
+        F.col("sa.doc_id").alias("doc_a"),
+        F.col("sb.doc_id").alias("doc_b"),
+        n_inter.alias("intersection_size"),
+        union_size.alias("union_size"),
+        _r4(n_inter.cast("double") / union_size).alias("jaccard"),
+    ).orderBy("doc_a")
+
+
+@query(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    # xxhash64 bit manipulation is Spark-specific — no portable oracle; the
+    # driver records the rows-only check (SURVEY §2 non-SQL-expressible class).
+    oracle=None,
+    doc="SimHash document fingerprint: per-token xxhash64, sign-sum the 32 "
+    "low bits, pack to a bit-signature; groups by simhash for near-dup "
+    "detection. Native bit ops via higher-order functions, no UDF.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    # For each of 32 bit positions, sum +1/-1 votes over token hashes, then
+    # pack the positive-vote bits into a long. shiftright needs a literal bit
+    # count, so the bit loop is Python-side (fixed 32 expressions, still one
+    # whole-stage-codegen projection).
+    def _vote(bit: int):
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(toks, F.lit(0), merge)
+
+    simhash = F.lit(0).cast("long")
+    for i in range(32):
+        simhash = simhash + F.when(_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    d = d.withColumn("simhash", simhash)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct("simhash").alias("unique_simhashes"),
+            (F.count("*") - F.countDistinct("simhash")).alias("simhash_collisions"),
+        )
+        .orderBy("lang")
+    )

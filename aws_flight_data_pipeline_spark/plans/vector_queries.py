@@ -1,0 +1,269 @@
+"""Embedding similarity-search operators over the embeddings table.
+
+ANN building blocks for the training-data pipeline: brute-force cosine top-k
+(the correctness baseline), label-blocked near-dup pairs, sign-pattern LSH
+bucketing (the scale path), and centroid assignment (the IVF building block).
+
+Spark side: per-row higher-order-function arithmetic (zip_with/aggregate) —
+the distance math never leaves the JVM and never shuffles; only candidate
+joins shuffle, and those are blocked (label / LSH bucket) so candidate sets
+stay bounded as n grows. Oracle side: element joins via generate_series
+(DuckDB 1.0 lacks WITH ORDINALITY).
+
+Precision: elements cast to double before multiplication on both sides;
+results rounded to 4 dp to absorb summation-order noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_flight_data_pipeline_spark.functions.vectors import cosine, norm, sign_bucket
+from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+# DuckDB helper: expand vectors to (vec_id, label, pos, val) rows.
+# generate_subscripts+unnest expand in lockstep (DuckDB 1.0 has no lateral
+# generate_series over a column and no WITH ORDINALITY).
+_ELEMS_SQL = """
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+"""
+
+_NORM_SQL = f"""
+    SELECT vec_id, label, SQRT(SUM(val * val)) AS vnorm
+    FROM ({_ELEMS_SQL})
+    GROUP BY vec_id, label
+"""
+
+
+@query(
+    "embedding_norms_by_label",
+    tags=("vector", "agg"),
+    doc="Per-label L2-norm statistics — the embedding sanity/profile scan. "
+    "Spark: aggregate() over the array per row (no explode, no shuffle before "
+    "the final 10-group agg).",
+    oracle=f"""
+        WITH norms AS ({_NORM_SQL})
+        SELECT label,
+               COUNT(*) AS vec_count,
+               ROUND(AVG(vnorm), 4) AS avg_norm,
+               ROUND(MIN(vnorm), 4) AS min_norm,
+               ROUND(MAX(vnorm), 4) AS max_norm
+        FROM norms
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", norm(F.col("embedding")).alias("vnorm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("vec_count"),
+            _r4(F.avg("vnorm")).alias("avg_norm"),
+            _r4(F.min("vnorm")).alias("min_norm"),
+            _r4(F.max("vnorm")).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "cosine_topk_bruteforce",
+    tags=("vector", "similarity", "topk"),
+    doc="Brute-force cosine top-k against a query vector (vec_id 0) — the ANN "
+    "correctness baseline. Broadcast the 1-row query, per-row zip_with dot "
+    "product, TakeOrderedAndProject top-k: a narrow map + bounded sort at any "
+    "scale. Ordering on the rounded score + vec_id tiebreak keeps the top-k "
+    "deterministic across engines.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        q AS (SELECT pos, val AS qval FROM elems WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   SUM(e.val * q.qval)        AS dot,
+                   SQRT(SUM(e.val * e.val))   AS en,
+                   SQRT(SUM(q.qval * q.qval)) AS qn
+            FROM elems e JOIN q ON e.pos = q.pos
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label, ROUND(dot / (en * qn), 4) AS cosine_sim
+        FROM dots
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT 20
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _r4(cosine(F.col("embedding"), F.col("qe"))).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    tags=("vector", "dedup", "join"),
+    doc="Embedding-cosine near-duplicate detection, blocked by label (the "
+    "cluster-blocking that bounds the pair count at scale): per-label pair "
+    "stats + near-dup count above 0.9 cosine.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+                   SUM(a.val * b.val) AS dot
+            FROM elems a
+            JOIN elems b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id, a.label
+        ),
+        norms AS (
+            SELECT vec_id, SQRT(SUM(val * val)) AS n FROM elems GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT d.label, d.dot / (na.n * nb.n) AS cos
+            FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                        JOIN norms nb ON d.id_b = nb.vec_id
+        )
+        SELECT label,
+               COUNT(*) AS pair_count,
+               ROUND(AVG(cos), 4) AS avg_cosine,
+               ROUND(MAX(cos), 4) AS max_cosine,
+               SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS near_dup_pairs
+        FROM pairs
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("label").alias("b_label"),
+    )
+    cos = cosine(F.col("a.embedding"), F.col("b_embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b_label")) & (F.col("a.vec_id") < F.col("b_vec_id")))
+        .select(F.col("a.label").alias("label"), cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("pair_count"),
+            _r4(F.avg("cos")).alias("avg_cosine"),
+            _r4(F.max("cos")).alias("max_cosine"),
+            F.sum(F.when(F.col("cos") > 0.9, 1).otherwise(0)).alias("near_dup_pairs"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "vector_lsh_sign_buckets",
+    tags=("vector", "lsh"),
+    doc="Sign-pattern LSH bucketing (axis-aligned hyperplanes over the first "
+    "6 dims): bucket sizes + per-bucket candidate-pair counts — the scale path "
+    "that replaces the O(n²) scan; deterministic so the oracle computes the "
+    "identical bucketing.",
+    oracle="""
+        WITH bucketed AS (
+            SELECT vec_id,
+                   CONCAT(
+                       CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN '+' ELSE '-' END,
+                       CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN '+' ELSE '-' END,
+                       CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN '+' ELSE '-' END,
+                       CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN '+' ELSE '-' END,
+                       CASE WHEN CAST(embedding[5] AS DOUBLE) >= 0 THEN '+' ELSE '-' END,
+                       CASE WHEN CAST(embedding[6] AS DOUBLE) >= 0 THEN '+' ELSE '-' END
+                   ) AS bucket
+            FROM embeddings
+        )
+        SELECT bucket,
+               COUNT(*) AS bucket_size,
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS candidate_pairs
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def vector_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(sign_bucket(F.col("embedding"), 6).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .withColumn(
+            "candidate_pairs",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "centroid_assignment_outliers",
+    tags=("vector", "centroid", "window"),
+    doc="Per-label centroid (the IVF coarse-quantizer building block) + "
+    "farthest-member outliers: element-wise centroid via posexplode+avg, L2 "
+    "distance of each member to its centroid, top-3 farthest per label via "
+    "window rank.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        centroids AS (
+            SELECT label, pos, AVG(val) AS cval FROM elems GROUP BY label, pos
+        ), dists AS (
+            SELECT e.vec_id, e.label,
+                   SQRT(SUM((e.val - c.cval) * (e.val - c.cval))) AS centroid_dist
+            FROM elems e JOIN centroids c ON e.label = c.label AND e.pos = c.pos
+            GROUP BY e.vec_id, e.label
+        ), ranked AS (
+            SELECT vec_id, label, centroid_dist,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY ROUND(centroid_dist, 4) DESC, vec_id) AS rn
+            FROM dists
+        )
+        SELECT label, vec_id, ROUND(centroid_dist, 4) AS centroid_dist
+        FROM ranked WHERE rn <= 3
+        ORDER BY label, centroid_dist DESC, vec_id
+    """,
+)
+def centroid_assignment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "raw_val"),
+    ).withColumn("val", F.col("raw_val").cast("double"))
+    centroids = elems.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    diff = F.col("val") - F.col("cval")
+    dists = (
+        elems.join(centroids, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(diff * diff)).alias("centroid_dist"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc(F.round("centroid_dist", 4)), "vec_id")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", _r4(F.col("centroid_dist")).alias("centroid_dist"))
+        .orderBy("label", F.desc("centroid_dist"), "vec_id")
+    )

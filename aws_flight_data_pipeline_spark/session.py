@@ -1,0 +1,47 @@
+"""SparkSession builder tuned for this engine.
+
+Scale posture: these configs are chosen for correctness on local[N] test runs
+while remaining the right defaults on a large cluster — AQE handles runtime
+re-planning (skew joins, partition coalescing), shuffle partitions are set from
+the environment so a 1000-executor deployment overrides them, and the session
+timezone is pinned to UTC so event-time semantics are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "aws-flight-data-pipeline-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_engine(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally provided session.
+
+    The driver hands us its own SparkSession for the declared queries; only
+    runtime-mutable confs are touched here (timezone determinism + AQE).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
