@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries on $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+One shared SparkSession for the whole run (per-query session startup would
+dwarf sf0.1 query time — the fixed-overhead risk flagged in SURVEY §6). Each
+query does a warm-up execution (JVM JIT + parquet footer cache) then a timed
+one; the timed number is plan execution + result materialization via
+collect() (results are small aggregates by design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from aws_flight_data_pipeline_spark.session import get_spark
+
+HEADLINE = (
+    "pricing_summary",
+    "case_bucketing",
+    "dim_join_rollup",
+    "band_proximity_join",
+    "zscore_anomalies",
+    "latest_order_per_customer",
+    "nation_order_rank",
+    "moving_average_daily",
+    "multilevel_rollup",
+    "topk_line_items",
+    "seq_delta_cumulative",
+    "seq_linear_interpolation",
+    "seq_sessionization",
+    "seq_trajectory_distance",
+    "quality_grade_distribution",
+    "quality_quarantine_split",
+    "anomaly_iqr_outliers",
+    "text_stats_by_lang",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_signatures",
+    "cosine_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "vector_lsh_sign_buckets",
+)
+
+
+def main() -> None:
+    _ensure_loaded()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("afdp-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, FS cache
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
