@@ -1,0 +1,66 @@
+"""Partitioned sinks: processed fact table, quarantine split, summary tables.
+
+The reference's writer stack (pandas→Arrow→S3 with SNAPPY/dictionary/row-group
+tuning, `optimized_converter.py:550-580`) collapses to Spark's Parquet writer:
+encoding, dictionary, statistics and row groups are writer defaults; partition
+layout is `partitionBy`. Chunking/threading/merging disappear into tasks.
+
+Scale posture: writers repartition by the partition columns first so each
+task writes few files (no small-file explosion at 1000 executors), and the
+quarantine split is two filtered writes off one scored DataFrame — the plan
+is computed once if the caller caches or the source is cheap to rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PARTITION_COLS = ("year", "month", "day", "hour")
+
+
+def with_time_partitions(df: DataFrame, ts_col: str = "collection_time") -> DataFrame:
+    """Derive string y/m/d/h partition columns from a unix-seconds column —
+    the `year=YYYY/month=MM/...` layout of `flight_data_ingestion.py:354-368`
+    (zero-padded strings to match the reference's key format)."""
+    ts = F.timestamp_seconds(F.col(ts_col))
+    return (
+        df.withColumn("year", F.date_format(ts, "yyyy"))
+        .withColumn("month", F.date_format(ts, "MM"))
+        .withColumn("day", F.date_format(ts, "dd"))
+        .withColumn("hour", F.date_format(ts, "HH"))
+    )
+
+
+def write_processed(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Write the processed fact table partitioned y/m/d/h (03_create_processed
+    _tables.sql:69-74), SNAPPY parquet."""
+    (
+        df.repartition(*[F.col(c) for c in PARTITION_COLS])
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(path)
+    )
+
+
+def write_quarantine_split(
+    df: DataFrame, clean_path: str, quarantine_path: str, quarantine_col: Column | str = "should_quarantine"
+) -> None:
+    """Split one scored DataFrame into clean + quarantine parquet stores —
+    the quarantine lifecycle sink (`quarantine_system.py:238-336`) as two
+    filtered writes."""
+    q = F.col(quarantine_col) if isinstance(quarantine_col, str) else quarantine_col
+    df.filter(~q).write.mode("append").option("compression", "snappy").parquet(clean_path)
+    df.filter(q).write.mode("append").option("compression", "snappy").parquet(quarantine_path)
+
+
+def write_summary(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("year", "month", "day")) -> None:
+    """Materialize an aggregate summary table (the views-as-cache pattern the
+    reference recommends, 07_optimization_guide.sql:486-571 — OSS Spark has no
+    auto-materialized views, so summaries are written explicitly)."""
+    existing = [c for c in partition_cols if c in df.columns]
+    writer = df.write.mode("overwrite").option("compression", "snappy")
+    if existing:
+        writer = writer.partitionBy(*existing)
+    writer.parquet(path)
