@@ -1,0 +1,229 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference has no streaming engine — a 30-s EventBridge schedule triggers
+ingestion and S3 events fan out processing (`README.md:136-153`). Here the
+same semantics are first-class Structured Streaming:
+
+- landing-prefix file source with the declared schema (no inference scans),
+- `foreachBatch` reusing the exact batch operators (enrich → score →
+  quarantine split) so batch and streaming share one code path,
+- `dropDuplicatesWithinWatermark` for the cross-batch (icao24, time_position)
+  dedup the reference approximates with a 5-s tolerance
+  (`data_transformer.py:109-114`),
+- event-time tumbling windows + watermark for the hourly rollups,
+- `applyInPandasWithState` for the cross-batch per-aircraft state the
+  reference keeps in a batch-local dict (`main_validator.py:108-153`,
+  `anomaly_detector.py:656-681`) — a real state store, correct across
+  micro-batch boundaries and restarts (checkpointed).
+
+Late data policy follows the reference: late records are *scored down*
+(timeliness), never dropped — watermarks exist for state cleanup only
+(SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from aws_flight_data_pipeline_spark.config import AnomalyConfig
+from aws_flight_data_pipeline_spark.operators.anomaly import detect_anomalies
+from aws_flight_data_pipeline_spark.operators.enrich import enrich
+from aws_flight_data_pipeline_spark.operators.quality import score_quality
+from aws_flight_data_pipeline_spark.schemas import RAW_BATCH_SCHEMA
+from aws_flight_data_pipeline_spark.sources.opensky import decode_states
+from aws_flight_data_pipeline_spark.sources.sinks import (
+    with_time_partitions,
+    write_quarantine_split,
+)
+
+
+def stream_raw_states(spark: SparkSession, landing_path: str) -> DataFrame:
+    """Streaming scan of the raw landing prefix → decoded flight records.
+    maxFilesPerTrigger bounds micro-batch size (the 30-s poll writes one file
+    per batch, so 1 file ≈ 1 reference batch)."""
+    raw = (
+        spark.readStream.schema(RAW_BATCH_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", 8)
+        .json(landing_path)
+    )
+    return decode_states(raw)
+
+
+def with_event_time(records: DataFrame) -> DataFrame:
+    return records.withColumn("event_time", F.timestamp_seconds(F.col("last_contact")))
+
+
+def streaming_dedup(records: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Cross-batch duplicate drop on (icao24, time_position) with bounded
+    state — dropDuplicatesWithinWatermark (data_transformer.py:109-114's
+    key+tolerance semantics with a real state store)."""
+    return with_event_time(records).withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["icao24", "time_position"]
+    )
+
+
+def windowed_traffic_summary(
+    records: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling rollup — the hourly_flight_summary view as a
+    streaming aggregate (06:12-175 → window() + watermark)."""
+    return (
+        with_event_time(records)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("origin_country"))
+        .agg(
+            F.count("*").alias("total_flights"),
+            F.approx_count_distinct("icao24").alias("unique_aircraft"),
+            F.avg("velocity").alias("avg_velocity_ms"),
+            F.avg("baro_altitude").alias("avg_altitude_m"),
+        )
+    )
+
+
+def micro_batch_pipeline(
+    records: DataFrame,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    now_provider=None,
+    trigger: dict | None = None,
+):
+    """The full ETL as a foreachBatch stream: each micro-batch runs the SAME
+    batch operators (enrich → score_quality → detect_anomalies → partitioned
+    quarantine split). One code path for batch and streaming.
+
+    ``now_provider``: () -> unix seconds; defaults to the max last_contact in
+    the batch (deterministic in tests, sensible in production where the batch
+    is ~now).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if now_provider is not None:
+            now = now_provider()
+        else:
+            now = batch_df.agg(F.max("last_contact")).collect()[0][0]
+        scored = detect_anomalies(score_quality(enrich(batch_df), now), now)
+        out = with_time_partitions(scored.drop("anomaly_flags"))
+        write_quarantine_split(out, clean_path, quarantine_path)
+
+    writer = records.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+# ---------------------------------------------------------------------------
+# Stateful stuck-aircraft tracker (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STUCK_STATE_SCHEMA = StructType(
+    [
+        StructField("lats", StringType()),  # csv-encoded recent fixes
+        StructField("lons", StringType()),
+        StructField("times", StringType()),
+    ]
+)
+
+_STUCK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("icao24", StringType()),
+        StructField("last_contact", LongType()),
+        StructField("span_seconds", DoubleType()),
+        StructField("drift_miles", DoubleType()),
+        StructField("is_stuck", BooleanType()),
+    ]
+)
+
+
+def _haversine_miles(lat1, lon1, lat2, lon2) -> float:
+    import math
+
+    r = 3959.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dlat, dlon = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlon / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def _stuck_fn(cfg: AnomalyConfig):
+    keep = 16  # recent fixes kept per aircraft (bounded state)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (icao24,) = key
+        if state.exists:
+            lats_s, lons_s, times_s = state.get
+            lats = [float(x) for x in lats_s.split(",") if x]
+            lons = [float(x) for x in lons_s.split(",") if x]
+            times = [float(x) for x in times_s.split(",") if x]
+        else:
+            lats, lons, times = [], [], []
+
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["latitude", "longitude", "last_contact"]).sort_values(
+                "last_contact"
+            )
+            for _, r in pdf.iterrows():
+                lats.append(float(r.latitude))
+                lons.append(float(r.longitude))
+                times.append(float(r.last_contact))
+                lats, lons, times = lats[-keep:], lons[-keep:], times[-keep:]
+                is_stuck = False
+                span = drift = 0.0
+                if len(times) >= 3:
+                    span = times[-1] - times[0]
+                    drift = max(
+                        _haversine_miles(lats[0], lons[0], la, lo)
+                        for la, lo in zip(lats, lons)
+                    )
+                    v = float(r.get("velocity_knots") or 0.0)
+                    is_stuck = (
+                        span > cfg.stuck_time_threshold
+                        and drift < cfg.stuck_position_radius
+                        and v < cfg.stuck_velocity_threshold
+                    )
+                rows.append((icao24, int(r.last_contact), span, drift, is_stuck))
+
+        state.update((",".join(map(str, lats)), ",".join(map(str, lons)), ",".join(map(str, times))))
+        state.setTimeoutDuration(3600 * 1000)
+        yield pd.DataFrame(
+            rows, columns=["icao24", "last_contact", "span_seconds", "drift_miles", "is_stuck"]
+        )
+
+    return fn
+
+
+def stateful_stuck_detector(
+    records: DataFrame, cfg: AnomalyConfig | None = None
+) -> DataFrame:
+    """Cross-batch stuck-aircraft detection with a real state store — the
+    reference's in-memory `aircraft_positions` history dict
+    (anomaly_detector.py:656-681) made restart-safe and unbounded across
+    micro-batches. State per aircraft is a bounded ring of recent fixes."""
+    cfg = cfg or AnomalyConfig()
+    return records.groupBy("icao24").applyInPandasWithState(
+        _stuck_fn(cfg),
+        outputStructType=_STUCK_OUTPUT_SCHEMA,
+        stateStructType=_STUCK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
