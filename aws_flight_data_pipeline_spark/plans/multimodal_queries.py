@@ -1,0 +1,208 @@
+"""Multimodal asset queries over the documents table.
+
+The multimodal plumbing (operators/multimodal.py) driven end-to-end as
+declared queries: payload/metadata profiling, the stubbed decode, frame
+sampling, and feature extraction. Payloads are the UTF-8 bytes of document
+text (deterministic in any engine) and the corpus is pure ASCII, so the DuckDB
+oracle can verify the *byte arithmetic the Python stub codec actually does*
+(ord(char) == byte value) — the mapInPandas path is checked value-for-value,
+not just by row count.
+
+Scale: every Spark plan here is scan → narrow map (Arrow-batched where it
+enters Python) → one hash-agg. No shuffle before the final small grouping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_flight_data_pipeline_spark.operators.multimodal import (
+    attach_payloads,
+    decode_assets,
+    extract_features,
+    sample_frames,
+)
+from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+# DuckDB mirror of attach_payloads' modality assignment (1-based list index).
+_MODALITY_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
+
+# DuckDB mirror of the stub decode: the payload is encode(text) and the corpus
+# is ASCII, so byte values are ord() of the characters.
+_BYTES_SQL = "list_transform(string_split(text, ''), c -> ord(c))"
+
+
+@query(
+    "multimodal_payload_stats",
+    tags=("multimodal", "agg"),
+    doc="Multimodal asset profile: per-modality asset counts, payload byte "
+    "totals, distinct-payload (exact-dup) counts, and visual dimensions from "
+    "the typed meta struct. Metadata-only — at scale this plan prunes the "
+    "payload column out of the parquet scan entirely.",
+    oracle=f"""
+        SELECT {_MODALITY_SQL} AS modality,
+               COUNT(*) AS asset_count,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
+               COUNT(DISTINCT md5(text)) AS distinct_payloads,
+               MAX(CASE WHEN doc_id % 3 <> 1
+                        THEN octet_length(encode(text)) % 57 + 8 END) AS max_width,
+               MAX(CASE WHEN doc_id % 3 = 2
+                        THEN CAST(FLOOR(octet_length(encode(text)) / 16.0) AS INTEGER)
+                   END) AS max_frames
+        FROM documents
+        GROUP BY modality
+        ORDER BY modality
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return (
+        assets.groupBy("modality")
+        .agg(
+            F.count("*").alias("asset_count"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            _r4(F.avg("meta.n_bytes")).alias("avg_bytes"),
+            F.countDistinct(F.md5(F.col("payload").cast("string"))).alias("distinct_payloads"),
+            F.max("meta.width").alias("max_width"),
+            F.max("meta.n_frames").alias("max_frames"),
+        )
+        .orderBy("modality")
+    )
+
+
+@query(
+    "multimodal_decode_stats",
+    tags=("multimodal", "mapinpandas"),
+    doc="The stubbed decode driven end-to-end: mapInPandas decodes each "
+    "payload to byte statistics (numpy over Arrow batches); the oracle "
+    "recomputes the identical stats from ord() arithmetic — exact value "
+    "verification of the Python decode path.",
+    oracle=f"""
+        WITH decoded AS (
+            SELECT {_MODALITY_SQL} AS modality,
+                   octet_length(encode(text)) AS n_bytes,
+                   list_avg({_BYTES_SQL}) AS byte_mean,
+                   list_min({_BYTES_SQL}) AS byte_min,
+                   list_max({_BYTES_SQL}) AS byte_max
+            FROM documents
+        )
+        SELECT modality,
+               COUNT(*) AS decoded_count,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               ROUND(AVG(byte_mean), 4) AS avg_byte_mean,
+               MIN(byte_min) AS min_byte,
+               MAX(byte_max) AS max_byte
+        FROM decoded
+        GROUP BY modality
+        ORDER BY modality
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_assets(attach_payloads(load_table(spark, sf_dir, "documents")))
+    return (
+        decoded.groupBy("modality")
+        .agg(
+            F.count("*").alias("decoded_count"),
+            F.sum("n_bytes").alias("total_bytes"),
+            _r4(F.avg("byte_mean")).alias("avg_byte_mean"),
+            F.min("byte_min").alias("min_byte"),
+            F.max("byte_max").alias("max_byte"),
+        )
+        .orderBy("modality")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    tags=("multimodal", "mapinpandas", "fanout"),
+    doc="Video frame sampling (every 4th frame) as a one-to-many mapInPandas "
+    "fan-out, aggregated per asset bucket; the oracle regenerates the sampled "
+    "frame set and each frame's byte-mean with range()/substring arithmetic — "
+    "verifying both which frames were sampled and their decoded values.",
+    oracle=f"""
+        WITH videos AS (
+            SELECT doc_id, text, CAST(FLOOR(octet_length(encode(text)) / 16.0) AS BIGINT) AS nf
+            FROM documents WHERE doc_id % 3 = 2
+        ), frames AS (
+            SELECT v.doc_id % 5 AS asset_bucket, v.doc_id,
+                   list_avg(list_transform(
+                       string_split(substring(v.text, CAST(t.f * 16 + 1 AS BIGINT), 16), ''),
+                       c -> ord(c))) AS frame_mean
+            FROM videos v, UNNEST(range(0, v.nf, 4)) AS t(f)
+        )
+        SELECT asset_bucket,
+               COUNT(DISTINCT doc_id) AS video_count,
+               COUNT(*) AS sampled_frames,
+               ROUND(AVG(frame_mean), 4) AS avg_frame_mean
+        FROM frames
+        GROUP BY asset_bucket
+        ORDER BY asset_bucket
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = attach_payloads(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(assets, every_k=4)
+    return (
+        frames.groupBy((F.col("asset_id") % 5).alias("asset_bucket"))
+        .agg(
+            F.countDistinct("asset_id").alias("video_count"),
+            F.count("*").alias("sampled_frames"),
+            _r4(F.avg("frame_mean")).alias("avg_frame_mean"),
+        )
+        .orderBy("asset_bucket")
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    tags=("multimodal", "mapinpandas", "features"),
+    doc="Feature extraction (stub featurizer: L1-normalized 16-bin byte "
+    "histogram, the CLIP-embedding stand-in) through mapInPandas, profiled "
+    "per modality; the oracle recomputes selected histogram bins from "
+    "character-class arithmetic — exact verification of the feature math.",
+    oracle=f"""
+        WITH feats AS (
+            SELECT {_MODALITY_SQL} AS modality,
+                   CAST(len(list_filter({_BYTES_SQL}, b -> b // 16 = 2)) AS DOUBLE)
+                       / octet_length(encode(text)) AS f2,
+                   CAST(len(list_filter({_BYTES_SQL}, b -> b // 16 = 6)) AS DOUBLE)
+                       / octet_length(encode(text)) AS f6,
+                   CAST(len(list_filter({_BYTES_SQL}, b -> b // 16 = 7)) AS DOUBLE)
+                       / octet_length(encode(text)) AS f7
+            FROM documents
+        )
+        SELECT modality,
+               COUNT(*) AS asset_count,
+               ROUND(AVG(f2), 4) AS avg_punct_space_bin,
+               ROUND(AVG(f6), 4) AS avg_lower_bin_1,
+               ROUND(AVG(f7), 4) AS avg_lower_bin_2,
+               ROUND(AVG(f2 + f6 + f7), 4) AS avg_mass_selected
+        FROM feats
+        GROUP BY modality
+        ORDER BY modality
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(attach_payloads(load_table(spark, sf_dir, "documents")))
+    f2 = F.element_at("features", 3)
+    f6 = F.element_at("features", 7)
+    f7 = F.element_at("features", 8)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count("*").alias("asset_count"),
+            _r4(F.avg(f2)).alias("avg_punct_space_bin"),
+            _r4(F.avg(f6)).alias("avg_lower_bin_1"),
+            _r4(F.avg(f7)).alias("avg_lower_bin_2"),
+            _r4(F.avg(f2 + f6 + f7)).alias("avg_mass_selected"),
+        )
+        .orderBy("modality")
+    )

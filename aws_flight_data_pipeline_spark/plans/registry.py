@@ -59,6 +59,7 @@ def all_oracles() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     """Import every plan module so its @query decorators run."""
+    import aws_flight_data_pipeline_spark.plans.multimodal_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.quality_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.relational  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.sequences  # noqa: F401
