@@ -304,6 +304,175 @@ def quality_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUITE_KNOWN_SQL = "('" + "','".join(KNOWN_EVENT_TYPES) + "')"
+
+
+@query(
+    "quality_check_suite",
+    tags=("quality", "suite"),
+    doc="The batch check-suite shape (data_quality_validator.py:34-929, see "
+    "operators/batch_checks.py for the flight-schema version): one tiny stats "
+    "pass broadcast back to the rows, then ONE wide aggregate computing every "
+    "check's score simultaneously, emitted as (check_name, score, passed) "
+    "rows. 7 checks = still 2 jobs; the reference runs 16 sequential pandas "
+    "passes.",
+    oracle=f"""
+        WITH stats AS (
+            SELECT quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75,
+                   AVG(value) AS m, STDDEV(value) AS s,
+                   MAX(epoch(ts)) AS tmax, MIN(epoch(ts)) AS tmin
+            FROM events
+        ), g AS ({_GAPPED_SQL}), ind AS (SELECT * FROM g, stats),
+        scores AS (
+            SELECT 'completeness' AS check_name,
+                   ROUND(AVG((CASE WHEN value_g IS NOT NULL THEN 1 ELSE 0 END
+                            + CASE WHEN props_g IS NOT NULL THEN 1 ELSE 0 END
+                            + CASE WHEN type_g IS NOT NULL THEN 1 ELSE 0 END) / 3.0), 4)
+                       AS score
+            FROM ind
+            UNION ALL
+            SELECT 'validity',
+                   ROUND(AVG(CASE WHEN value >= 0 AND value <= 250 AND user_id >= 0
+                                  AND event_type IN {_SUITE_KNOWN_SQL}
+                             THEN 1.0 ELSE 0.0 END), 4)
+            FROM ind
+            UNION ALL
+            SELECT 'uniqueness',
+                   ROUND(CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*), 4)
+            FROM ind
+            UNION ALL
+            SELECT 'timeliness',
+                   ROUND(AVG(CASE WHEN tmax - epoch(ts) <= 604800 THEN 1.0 ELSE 0.0 END), 4)
+            FROM ind
+            UNION ALL
+            SELECT 'timestamp_consistency',
+                   ROUND(AVG(CASE WHEN tmax - tmin <= 86400.0 THEN 1.0
+                                  ELSE 86400.0 / (tmax - tmin) END), 4)
+            FROM ind
+            UNION ALL
+            SELECT 'value_range',
+                   ROUND(AVG(CASE WHEN value BETWEEN p25 - 3 * (p75 - p25)
+                                              AND p75 + 3 * (p75 - p25)
+                             THEN 1.0 ELSE 0.0 END), 4)
+            FROM ind
+            UNION ALL
+            SELECT 'anomaly_detection',
+                   ROUND(AVG(CASE WHEN ABS(value - m) / s <= 3 THEN 1.0 ELSE 0.0 END), 4)
+            FROM ind
+        )
+        SELECT check_name, score,
+               score >= CASE check_name WHEN 'uniqueness' THEN 0.95
+                                        WHEN 'timestamp_consistency' THEN 0.9
+                                        ELSE 0.8 END AS passed
+        FROM scores
+        ORDER BY check_name
+    """,
+)
+def quality_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _gapped(load_table(spark, sf_dir, "events"))
+    stats = e.agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+        F.avg("value").alias("m"),
+        F.stddev("value").alias("s"),
+        F.max(F.col("ts").cast("double")).alias("tmax"),
+        F.min(F.col("ts").cast("double")).alias("tmin"),
+    )
+    ind = e.crossJoin(F.broadcast(stats))
+
+    presence = (
+        F.when(F.col("value_g").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("props_g").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("type_g").isNotNull(), 1).otherwise(0)
+    )
+    valid = (
+        (F.col("value") >= 0)
+        & (F.col("value") <= 250)
+        & (F.col("user_id") >= 0)
+        & F.col("event_type").isin(*KNOWN_EVENT_TYPES)
+    )
+    age = F.col("tmax") - F.col("ts").cast("double")
+    span = F.col("tmax") - F.col("tmin")
+    iqr = F.col("p75") - F.col("p25")
+    in_fence = F.col("value").between(F.col("p25") - 3 * iqr, F.col("p75") + 3 * iqr)
+    z_ok = F.abs(F.col("value") - F.col("m")) / F.col("s") <= 3
+
+    def frac(cond):
+        return F.avg(F.when(cond, 1.0).otherwise(0.0))
+
+    checks = {
+        "completeness": F.avg(presence / 3.0),
+        "validity": frac(valid),
+        "uniqueness": F.count_distinct("event_id").cast("double") / F.count("*"),
+        "timeliness": frac(age <= 604800),
+        "timestamp_consistency": F.avg(
+            F.when(span <= 86400.0, 1.0).otherwise(F.lit(86400.0) / span)
+        ),
+        "value_range": frac(in_fence),
+        "anomaly_detection": frac(z_ok),
+    }
+    thresholds = {"uniqueness": 0.95, "timestamp_consistency": 0.9}
+    one_row = ind.agg(*[F.round(expr, 4).alias(name) for name, expr in checks.items()])
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(name).alias("score"),
+                (F.col(name) >= thresholds.get(name, 0.8)).alias("passed"),
+            )
+            for name in checks
+        ]
+    )
+    return (
+        one_row.select(F.explode(entries).alias("c"))
+        .select("c.check_name", "c.score", "c.passed")
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "serving_snapshot_stats",
+    tags=("serving", "agg"),
+    doc="The serving-API stats payload shape (get_flight_data.py:240-368, see "
+    "operators/serving.py for the flight version): one wide aggregate + a "
+    "top-1 frame combined by single-row crossJoin — the whole dashboard "
+    "payload in one job, no driver-side loops.",
+    oracle=f"""
+        SELECT (SELECT COUNT(*) FROM events) AS total_events,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS distinct_users,
+               (SELECT COUNT(DISTINCT event_type) FROM events) AS distinct_types,
+               (SELECT ROUND(AVG(value), 4) FROM events) AS avg_value,
+               (SELECT ROUND(MAX(value), 4) FROM events) AS max_value,
+               (SELECT ROUND(quantile_cont(value, 0.95), 4) FROM events) AS p95_value,
+               t.event_type AS top_event_type,
+               t.cnt AS top_event_count
+        FROM (
+            SELECT event_type, COUNT(*) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt DESC, event_type LIMIT 1
+        ) t
+    """,
+)
+def serving_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        _r4(F.avg("value")).alias("avg_value"),
+        _r4(F.max("value")).alias("max_value"),
+        _r4(F.percentile("value", F.lit(0.95))).alias("p95_value"),
+    )
+    top = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(1)
+        .select(F.col("event_type").alias("top_event_type"), F.col("cnt").alias("top_event_count"))
+    )
+    return base.crossJoin(top)
+
+
 @query(
     "anomaly_iqr_outliers",
     tags=("anomaly", "percentile", "join"),

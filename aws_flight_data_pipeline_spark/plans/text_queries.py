@@ -335,6 +335,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rolling_fingerprint",
+    tags=("text", "fingerprint", "shingle"),
+    doc="Winnowing-style document fingerprint: hash every 8-char shingle of "
+    "the document (the rolling-hash position sweep; md5 stands in for "
+    "Rabin-Karp so both engines produce identical hashes) and keep the "
+    "minimum — a content fingerprint robust to edits outside the minimal "
+    "shingle. Per-source distinct-fingerprint and collision profile. "
+    "Per-row higher-order functions, zero shuffle before the final agg.",
+    oracle="""
+        WITH fp AS (
+            SELECT source,
+                   list_min(list_transform(
+                       range(1, GREATEST(LENGTH(text) - 6, 2)),
+                       i -> md5(substring(text, CAST(i AS BIGINT), 8)))) AS rolling_fp,
+                   LENGTH(text) AS n
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS doc_count,
+               COUNT(DISTINCT rolling_fp) AS distinct_fingerprints,
+               COUNT(*) - COUNT(DISTINCT rolling_fp) AS fingerprint_collisions,
+               CAST(SUM(GREATEST(n - 7, 1)) AS BIGINT) AS total_shingles
+        FROM fp
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # substr with a column start position needs the SQL form; the whole sweep
+    # is one codegen'd projection (sequence → transform → array_min).
+    rolling_fp = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 6, 2) - 1),"
+        " i -> md5(substr(text, i, 8))))"
+    )
+    n_shingles = F.greatest(F.length("text") - 7, F.lit(1))
+    return (
+        d.select("source", rolling_fp.alias("rolling_fp"), n_shingles.alias("ns"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct("rolling_fp").alias("distinct_fingerprints"),
+            (F.count("*") - F.countDistinct("rolling_fp")).alias("fingerprint_collisions"),
+            F.sum("ns").cast("bigint").alias("total_shingles"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "dedup_simhash",
     tags=("dedup", "simhash"),
     # xxhash64 bit manipulation is Spark-specific — no portable oracle; the

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aws_flight_data_pipeline_spark.functions.vectors import cosine, norm, sign_bucket
+from aws_flight_data_pipeline_spark.functions.vectors import (
+    cosine,
+    l2_distance,
+    norm,
+    sign_bucket,
+)
 from aws_flight_data_pipeline_spark.plans.registry import query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
@@ -216,6 +221,87 @@ def vector_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    tags=("vector", "ann", "ivf", "topk"),
+    doc="IVF approximate-nearest-neighbor search: label cells act as the "
+    "coarse quantizer (centroid per cell), the query probes its nProbe=3 "
+    "nearest cells, and exact cosine top-k runs only inside probed cells. "
+    "The scale path: centroids are a tiny broadcast table, the probe filter "
+    "is a partition-pruning predicate when the lake is partitioned by cell, "
+    "and the O(n) scan shrinks to nProbe/nCells of the data.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        q AS (SELECT pos, val AS qval FROM elems WHERE vec_id = 0),
+        centroids AS (
+            SELECT label, pos, AVG(val) AS cval FROM elems GROUP BY label, pos
+        ),
+        cdist AS (
+            SELECT c.label, SQRT(SUM((c.cval - q.qval) * (c.cval - q.qval))) AS cd
+            FROM centroids c JOIN q ON c.pos = q.pos
+            GROUP BY c.label
+        ),
+        probed AS (SELECT label FROM cdist ORDER BY ROUND(cd, 4), label LIMIT 3),
+        cand AS (
+            SELECT e.vec_id, e.label,
+                   SUM(e.val * q.qval)        AS dot,
+                   SQRT(SUM(e.val * e.val))   AS en,
+                   SQRT(SUM(q.qval * q.qval)) AS qn
+            FROM elems e JOIN q ON e.pos = q.pos
+            WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM probed)
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label, ROUND(dot / (en * qn), 4) AS cosine_sim
+        FROM cand
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    # Coarse quantizer: element-wise centroid per cell (posexplode → avg →
+    # re-assemble ordered array). 10 cells × 64 dims — driver-trivial, and at
+    # scale this is the pre-trained quantizer loaded as a small table.
+    elems = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "raw_val")
+    ).withColumn("val", F.col("raw_val").cast("double"))
+    centroids = (
+        elems.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+            ).alias("centroid")
+        )
+    )
+    # Probe selection: nProbe=3 cells nearest the query (rounded distance +
+    # label tiebreak keeps the probe set deterministic across engines).
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("label", l2_distance(F.col("centroid"), F.col("qe")).alias("cd"))
+        .orderBy(F.round("cd", 4), "label")
+        .limit(3)
+        .select("label")
+    )
+    # Exact search inside probed cells only — broadcast semi-join = the
+    # partition-pruning predicate of a cell-partitioned lake.
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probed), "label")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _r4(cosine(F.col("embedding"), F.col("qe"))).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
     )
 
 
