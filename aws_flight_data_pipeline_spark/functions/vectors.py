@@ -43,6 +43,24 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def unit_dot(a: Column, b: Column) -> Column:
+    """Dot product of two already-double, already-normalized arrays — the
+    per-pair kernel after pre-normalization. No casts, no norm recomputation:
+    for a candidate join with P pairs over N rows this turns O(3·P) array
+    sweeps (dot + both norms) into O(P) + O(N) normalization sweeps."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_unit_embedding(df, src: str = "embedding", dst: str = "unit"):
+    """Add a pre-normalized double copy of ``src`` (one norm per ROW, so
+    pairwise cosine downstream is a single zip_with sweep via unit_dot)."""
+    return df.withColumn("_norm", norm(F.col(src))).withColumn(
+        dst, F.transform(F.col(src), lambda x: x.cast("double") / F.col("_norm"))
+    ).drop("_norm")
+
+
 def sign_bucket(a: Column, n_dims: int = 6) -> Column:
     """Deterministic sign-pattern LSH bucket: '+'/'-' per leading dimension.
 

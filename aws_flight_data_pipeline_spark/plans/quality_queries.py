@@ -501,9 +501,16 @@ def serving_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anomaly_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    fences = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    # both exact percentiles from ONE buffered sort (array form) — two scalar
+    # percentile aggs would buffer+sort the column twice (~2× slower measured)
+    fences = (
+        li.groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75))).alias("ps"))
+        .select(
+            "rf",
+            F.element_at("ps", 1).alias("p25"),
+            F.element_at("ps", 2).alias("p75"),
+        )
     )
     iqr = F.col("p75") - F.col("p25")
     lower, upper = F.col("p25") - 1.5 * iqr, F.col("p75") + 1.5 * iqr

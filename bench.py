@@ -43,6 +43,12 @@ HEADLINE = (
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",
     "vector_lsh_sign_buckets",
+    "ann_ivf_topk",
+    "text_rolling_fingerprint",
+    "quality_check_suite",
+    "serving_snapshot_stats",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
 )
 
 
