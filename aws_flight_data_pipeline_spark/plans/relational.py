@@ -826,3 +826,37 @@ def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_price")
     )
+
+
+@query(
+    "salted_skew_aggregate",
+    tags=("agg", "skew", "scale"),
+    doc="Skew-proof two-phase aggregation (functions/skew.py): salt the key, "
+    "partial-aggregate per (key, salt), merge per key. The oracle is the "
+    "PLAIN group-by — proving the salted rewrite is result-identical while "
+    "spreading a hot key over n_salts reducers at 100 TB. AQE splits skewed "
+    "JOINS automatically; this is the aggregation-side counterpart.",
+    oracle="""
+        SELECT event_type,
+               ROUND(SUM(value), 4) AS sum_value,
+               COUNT(value) AS cnt,
+               ROUND(SUM(value) / COUNT(value), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.skew import salted_sum_count
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        salted_sum_count(e, ["event_type"], "value", n_salts=16)
+        .select(
+            "event_type",
+            _r4(F.col("sum_value")).alias("sum_value"),
+            "cnt",
+            _r4(F.col("avg_value")).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )

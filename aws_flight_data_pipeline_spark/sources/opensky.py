@@ -57,3 +57,39 @@ def decode_states(raw: DataFrame) -> DataFrame:
 def read_flight_records(spark: SparkSession, path: str) -> DataFrame:
     """Landing prefix → flat typed flight records (the enrichment input)."""
     return decode_states(read_raw_batches(spark, path))
+
+
+def read_latest_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Scan only the most recent batch document under the landing prefix.
+
+    The reference lists the bucket and picks max(LastModified)
+    (`api/get_flight_data.py:116-238`, `dashboard-api.py:243-273`); here the
+    batch filename carries the timestamp (`flight_data_<ts>_<id>.json`,
+    `flight_data_ingestion.py:354-368`), so "latest" is the max
+    input_file_name() — resolved with one tiny filename agg, then a filter
+    that prunes every other file from the real scan.
+    """
+    raw = read_raw_batches(spark, path).withColumn("_file", F.input_file_name())
+    latest = raw.agg(F.max("_file")).collect()[0][0]
+    return decode_states(raw.filter(F.col("_file") == latest).drop("_file"))
+
+
+def ingestion_log_entry(records: DataFrame) -> DataFrame:
+    """Per-run execution metadata row — the ingestion log table
+    (`02_create_raw_tables.sql:104-123`) as a single-row aggregate appended
+    to an append-only parquet log."""
+    return records.agg(
+        F.count("*").alias("records_fetched"),
+        F.sum(F.when(F.col("icao24").isNotNull(), 1).otherwise(0)).alias("records_valid"),
+        F.countDistinct("icao24").alias("unique_aircraft"),
+        F.min("collection_time").alias("batch_time_min"),
+        F.max("collection_time").alias("batch_time_max"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("latitude").isNotNull() & F.col("longitude").isNotNull(), 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("position_coverage"),
+    )
