@@ -860,3 +860,41 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rollup_subtotals",
+    tags=("agg", "rollup"),
+    doc="ROLLUP subtotal hierarchy (grand total → per-flag → per-flag-status) "
+    "— parity-plus: the reference has no grouping sets (SURVEY §2.4 note), "
+    "Spark and the oracle both support them natively. One pass produces every "
+    "subtotal level (vs the reference's chained CTE re-aggregations).",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS row_count,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
+)
+def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("row_count"),
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "row_count",
+            "sum_qty",
+            "sum_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )

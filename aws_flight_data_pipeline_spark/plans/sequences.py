@@ -347,3 +347,127 @@ def seq_trajectory_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@query(
+    "seq_impute_bfill_mode_mean",
+    tags=("sequence", "imputation"),
+    doc="The remaining imputation strategies of data_transformer.py:306-350 "
+    "in one pass: backward-fill (first ignorenulls over the FOLLOWING frame), "
+    "per-entity mean fill, and per-entity MODE fill for the categorical "
+    "column (computed via count+row_number with a lexicographic tiebreak — "
+    "deterministic where engine mode() functions are not). Gaps injected at "
+    "fixed residues; profiled per user bucket.",
+    oracle="""
+        WITH g AS (
+            SELECT *,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS vg,
+                   CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS tg
+            FROM events
+        ), modes AS (
+            SELECT user_id, event_type AS mode_type FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY COUNT(*) DESC, event_type) AS rn
+                FROM g WHERE tg IS NOT NULL GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        ), filled AS (
+            SELECT g.user_id % 10 AS user_bucket,
+                   vg IS NULL AS value_gap,
+                   first_value(vg IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill,
+                   AVG(vg) OVER (PARTITION BY g.user_id) AS umean,
+                   tg IS NULL AS type_gap,
+                   COALESCE(tg, m.mode_type) AS type_filled
+            FROM g LEFT JOIN modes m ON g.user_id = m.user_id
+        )
+        SELECT user_bucket,
+               SUM(CASE WHEN value_gap THEN 1 ELSE 0 END) AS n_value_gaps,
+               ROUND(AVG(CASE WHEN value_gap THEN bfill END), 4) AS avg_bfill,
+               ROUND(AVG(CASE WHEN value_gap THEN umean END), 4) AS avg_mean_fill,
+               SUM(CASE WHEN type_gap THEN 1 ELSE 0 END) AS n_type_gaps,
+               COUNT(DISTINCT CASE WHEN type_gap THEN type_filled END) AS distinct_mode_fills
+        FROM filled
+        GROUP BY user_bucket
+        ORDER BY user_bucket
+    """,
+)
+def seq_impute_bfill_mode_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.withColumn(
+        "vg", F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(F.col("value"))
+    ).withColumn(
+        "tg", F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type"))
+    )
+    mode_w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    modes = (
+        g.filter(F.col("tg").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(mode_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"))
+    )
+    bfill_w = _w().rowsBetween(0, Window.unboundedFollowing)
+    user_w = Window.partitionBy("user_id")
+    filled = g.join(modes, "user_id", "left").select(
+        (F.col("user_id") % 10).alias("user_bucket"),
+        F.col("vg").isNull().alias("value_gap"),
+        F.first("vg", ignorenulls=True).over(bfill_w).alias("bfill"),
+        F.avg("vg").over(user_w).alias("umean"),
+        F.col("tg").isNull().alias("type_gap"),
+        F.coalesce(F.col("tg"), F.col("mode_type")).alias("type_filled"),
+    )
+    vgap = F.col("value_gap")
+    return (
+        filled.groupBy("user_bucket")
+        .agg(
+            F.sum(F.when(vgap, 1).otherwise(0)).alias("n_value_gaps"),
+            _r4(F.avg(F.when(vgap, F.col("bfill")))).alias("avg_bfill"),
+            _r4(F.avg(F.when(vgap, F.col("umean")))).alias("avg_mean_fill"),
+            F.sum(F.when(F.col("type_gap"), 1).otherwise(0)).alias("n_type_gaps"),
+            F.countDistinct(F.when(F.col("type_gap"), F.col("type_filled"))).alias(
+                "distinct_mode_fills"
+            ),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@query(
+    "event_time_tumbling_window",
+    tags=("sequence", "window", "streaming"),
+    doc="Event-time tumbling 1-hour window aggregate — the batch-verifiable "
+    "twin of streaming.windowed_traffic_summary (same window() operator "
+    "Structured Streaming runs incrementally with a watermark; SURVEY §2.10). "
+    "Window start is formatted UTC so the oracle's date_trunc matches exactly.",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+               event_type,
+               COUNT(*) AS event_count,
+               COUNT(DISTINCT user_id) AS unique_users,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            _r4(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("window_start"),
+            "event_type",
+            "event_count",
+            "unique_users",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

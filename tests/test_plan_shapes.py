@@ -1,0 +1,111 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Correctness tests prove the numbers; these prove the PLANS stay the ones that
+survive a 100× scale-up: filters pushed into the parquet scan, columns pruned,
+small sides broadcast (never sort-merge-joined or cartesian'd), top-k planned
+as TakeOrderedAndProject, JVM-side expressions with Python only at the
+declared Arrow boundaries, and window specs sharing one shuffle. A regression
+that silently flips any of these still passes value checks at sf0.001 — this
+file is what catches it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the 16-column lineitem scan reads only the 6 needed
+    assert "l_comment" not in plan and "l_partkey" not in plan
+    # partial + final hash aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2 and "partial_sum" in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dim_join_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stats_frames_broadcast(spark, sf_dir):
+    for name in ("anomaly_iqr_outliers", "zscore_anomalies"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Broadcast" in plan, f"{name}: stats frame not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_band_join_is_broadcast_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "band_proximity_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_line_items")
+    assert "TakeOrderedAndProject" in plan
+    # no global sort materialization for a LIMIT query
+    assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_text_vector_paths_stay_jvm_side(spark, sf_dir):
+    for name in (
+        "dedup_minhash_signatures",
+        "text_rolling_fingerprint",
+        "cosine_topk_bruteforce",
+        "dedup_simhash",
+        "embedding_near_dup_pairs",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+            assert marker not in plan, f"{name}: Python appeared in the hot path ({marker})"
+
+
+def test_multimodal_uses_declared_arrow_boundary(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_decode_stats")
+    assert "MapInPandas" in plan  # the one sanctioned Python boundary
+    assert "BatchEvalPython" not in plan  # and never row-at-a-time
+
+
+def test_window_specs_share_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "seq_delta_cumulative")
+    # both window columns (lag + running sum) ride ONE user_id shuffle
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+
+
+def test_salted_aggregate_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "salted_skew_aggregate")
+    # phase 1 shuffles on (key, salt), phase 2 on key alone
+    assert re.search(r"hashpartitioning\(event_type#\d+, _salt", plan)
+    assert len(re.findall(r"hashpartitioning\(event_type#\d+, 3", plan)) >= 1
+
+
+def test_ivf_probe_prunes_before_scoring(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    assert "BroadcastHashJoin [label" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "seq_delta_cumulative", "quality_grade_distribution"],
+)
+def test_hot_paths_whole_stage_codegen(spark, sf_dir, name):
+    # codegen spans (the *(n) markers) only appear in the AQE FINAL plan, so
+    # execute first and read the plan back off the same DataFrame
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "*(" in plan, f"{name}: no WholeStageCodegen span in final plan"
