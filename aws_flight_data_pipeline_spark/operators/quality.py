@@ -158,6 +158,9 @@ def score_quality(
     DataQualityOrchestrator.process_records, main_validator.py:84-219)."""
     cfg = cfg or QualityConfig()
     now_col = F.lit(now_unix) if isinstance(now_unix, int) else now_unix
+    if "time_position" not in df.columns:
+        # processed tables may drop time_position; null → base timeliness only
+        df = df.withColumn("time_position", F.lit(None).cast("long"))
     df = (
         df.withColumn("completeness_score", completeness_score(df, cfg))
         .withColumn("validity_score", validity_score(df, cfg))
@@ -180,6 +183,105 @@ def score_quality(
     return df.withColumn(
         "should_quarantine",
         (F.col("data_quality_score") < cfg.quarantine_threshold) | critical_issue,
+    )
+
+
+def quarantine_reason(cfg: QualityConfig | None = None) -> Column:
+    """Primary quarantine reason, priority-ordered (quarantine_system.py's
+    per-record reason field): invalid identifier > missing critical fields >
+    low overall score."""
+    cfg = cfg or QualityConfig()
+    return (
+        F.when(
+            F.col("icao24").isNull() | ~F.col("icao24").rlike(ICAO24_PATTERN),
+            "invalid_identifier",
+        )
+        .when(
+            F.col("completeness_score") < 1.0 - cfg.missing_critical_penalty + 1e-9,
+            "missing_critical_fields",
+        )
+        .when(F.col("data_quality_score") < cfg.quarantine_threshold, "low_quality_score")
+    )
+
+
+def quarantine_statistics(scored: DataFrame, cfg: QualityConfig | None = None) -> DataFrame:
+    """Per-reason quarantine review statistics — the review/statistics half of
+    the quarantine lifecycle (quarantine_system.py:387-659) as one hash-agg
+    over the quarantined subset."""
+    q = scored.filter(F.col("should_quarantine")).withColumn(
+        "reason", quarantine_reason(cfg)
+    )
+    return (
+        q.groupBy("reason")
+        .agg(
+            F.count("*").alias("record_count"),
+            F.countDistinct("icao24").alias("unique_aircraft"),
+            F.round(F.avg("data_quality_score"), 4).alias("avg_quality_score"),
+            F.round(F.min("data_quality_score"), 4).alias("min_quality_score"),
+            F.min("last_contact").alias("oldest_record_ts"),
+            F.max("last_contact").alias("newest_record_ts"),
+        )
+        .orderBy("reason")
+    )
+
+
+def quarantine_cleanup_candidates(
+    quarantined: DataFrame, now_unix: int, retention_days: int = 30, ts_col: str = "last_contact"
+) -> DataFrame:
+    """Records past the retention window — the cleanup sweep of the
+    quarantine lifecycle (quarantine_system.py:563-659). A pure filter, so on
+    a time-partitioned quarantine store the scan prunes to expired
+    partitions only."""
+    cutoff = now_unix - retention_days * 86400
+    return quarantined.filter(F.col(ts_col) < cutoff)
+
+
+#: alerting.py:398-520 / config.py:168-200 thresholds
+ALERT_THRESHOLDS = {
+    "quality_drop": 0.10,       # vs previous batch
+    "anomaly_rate": 0.05,
+    "quarantine_rate": 0.15,
+    "min_quality": 0.70,
+}
+
+
+def evaluate_alerts(summary: DataFrame, prev_summary: DataFrame | None = None) -> DataFrame:
+    """Alert rows from a batch summary (alerting.py:398-520): quarantine-rate
+    breach, absolute quality floor, and quality drop vs the previous batch
+    (single-row crossJoin, the reference's prev-hour comparison shape).
+    Returns (alert_name, severity, triggered, observed) rows."""
+    s = summary
+    if prev_summary is not None:
+        prev = prev_summary.select(
+            F.col("avg_overall_quality").alias("prev_quality")
+        )
+        s = s.crossJoin(F.broadcast(prev))
+    else:
+        s = s.withColumn("prev_quality", F.lit(None).cast("double"))
+
+    drop = F.col("prev_quality") - F.col("avg_overall_quality")
+    alerts = F.array(
+        F.struct(
+            F.lit("quarantine_rate_high").alias("alert_name"),
+            F.lit("HIGH").alias("severity"),
+            (F.col("quarantine_rate") > ALERT_THRESHOLDS["quarantine_rate"]).alias("triggered"),
+            F.round(F.col("quarantine_rate"), 4).alias("observed"),
+        ),
+        F.struct(
+            F.lit("quality_below_floor").alias("alert_name"),
+            F.lit("CRITICAL").alias("severity"),
+            (F.col("avg_overall_quality") < ALERT_THRESHOLDS["min_quality"]).alias("triggered"),
+            F.round(F.col("avg_overall_quality"), 4).alias("observed"),
+        ),
+        F.struct(
+            F.lit("quality_drop_vs_previous").alias("alert_name"),
+            F.lit("MEDIUM").alias("severity"),
+            F.coalesce(drop > ALERT_THRESHOLDS["quality_drop"], F.lit(False)).alias("triggered"),
+            F.round(F.coalesce(drop, F.lit(0.0)), 4).alias("observed"),
+        ),
+    )
+    return s.select(F.explode(alerts).alias("a")).select(
+        "a.alert_name", "a.severity", "a.triggered", "a.observed"
     )
 
 

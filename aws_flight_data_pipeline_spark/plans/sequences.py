@@ -384,7 +384,9 @@ def seq_trajectory_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_bucket,
                SUM(CASE WHEN value_gap THEN 1 ELSE 0 END) AS n_value_gaps,
-               ROUND(AVG(CASE WHEN value_gap THEN bfill END), 4) AS avg_bfill,
+               CAST(SUM(CASE WHEN value_gap THEN CAST(ROUND(bfill * 100) AS BIGINT) END)
+                    AS BIGINT) AS bfill_cents_total,
+               COUNT(CASE WHEN value_gap THEN bfill END) AS bfill_count,
                ROUND(AVG(CASE WHEN value_gap THEN umean END), 4) AS avg_mean_fill,
                SUM(CASE WHEN type_gap THEN 1 ELSE 0 END) AS n_type_gaps,
                COUNT(DISTINCT CASE WHEN type_gap THEN type_filled END) AS distinct_mode_fills
@@ -424,7 +426,15 @@ def seq_impute_bfill_mode_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.groupBy("user_bucket")
         .agg(
             F.sum(F.when(vgap, 1).otherwise(0)).alias("n_value_gaps"),
-            _r4(F.avg(F.when(vgap, F.col("bfill")))).alias("avg_bfill"),
+            # integer cents, no division: a rounded AVG of 2-decimal values
+            # lands on exact 4-dp half-boundaries (e.g. 628254/14400 =
+            # 43.62875) where Spark rounds the shortest-decimal string UP and
+            # the oracle rounds the binary double DOWN — only an integer
+            # encoding is boundary-proof here
+            F.sum(F.when(vgap, F.round(F.col("bfill") * 100).cast("long")))
+            .cast("bigint")
+            .alias("bfill_cents_total"),
+            F.count(F.when(vgap, F.col("bfill"))).alias("bfill_count"),
             _r4(F.avg(F.when(vgap, F.col("umean")))).alias("avg_mean_fill"),
             F.sum(F.when(F.col("type_gap"), 1).otherwise(0)).alias("n_type_gaps"),
             F.countDistinct(F.when(F.col("type_gap"), F.col("type_filled"))).alias(
@@ -447,7 +457,8 @@ def seq_impute_bfill_mode_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                COUNT(*) AS event_count,
                COUNT(DISTINCT user_id) AS unique_users,
-               ROUND(AVG(value), 4) AS avg_value
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / (100.0 * COUNT(*)), 4)
+                   AS avg_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
@@ -460,7 +471,13 @@ def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("event_count"),
             F.countDistinct("user_id").alias("unique_users"),
-            _r4(F.avg("value")).alias("avg_value"),
+            # cents-exact mean: value is 2-decimal, so summing exact integer
+            # cents makes the average the same IEEE double in every engine —
+            # a plain AVG(double) lands on 4-dp half-boundaries where Spark
+            # and the oracle round differently (seen with 3k+ small groups)
+            _r4(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / (100.0 * F.count("*"))
+            ).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("window_start"),
