@@ -588,3 +588,88 @@ def anomaly_data_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "alert_evaluation",
+    tags=("quality", "alerting"),
+    doc="Threshold alert evaluation over batch summaries (alerting.py:398-520, "
+    "operators/quality.evaluate_alerts): the events split into previous/"
+    "current batches (even/odd event_id — non-empty at every scale), each "
+    "summarized by one agg, combined by single-row crossJoin, and evaluated "
+    "against the quarantine-rate / "
+    "quality-floor / quality-drop thresholds — (alert, severity, triggered, "
+    "observed) rows.",
+    oracle=f"""
+        WITH gapped AS ({_GAPPED_SQL}),
+        scored AS (
+            SELECT event_id % 2 AS half,
+                   0.30 * {_COMPLETENESS_SQL} + 0.30 * {_VALIDITY_SQL}
+                   + 0.25 * {_TIMELINESS_SQL} + 0.15 * 1.0 AS overall,
+                   CASE WHEN value_g IS NULL OR value > 250 THEN 1 ELSE 0 END AS critical
+            FROM gapped
+        ),
+        cur AS (
+            SELECT ROUND(AVG(overall), 4) AS q,
+                   ROUND(AVG(CASE WHEN overall < 0.30 OR critical = 1
+                             THEN 1.0 ELSE 0.0 END), 4) AS qr
+            FROM scored WHERE half = 1
+        ),
+        prev AS (SELECT ROUND(AVG(overall), 4) AS pq FROM scored WHERE half = 0)
+        SELECT a.alert_name, a.severity, a.triggered, a.observed
+        FROM cur, prev, LATERAL (
+            SELECT 'quarantine_rate_high' AS alert_name, 'HIGH' AS severity,
+                   qr > 0.15 AS triggered, qr AS observed
+            UNION ALL
+            SELECT 'quality_below_floor', 'CRITICAL', q < 0.70, q
+            UNION ALL
+            SELECT 'quality_drop_vs_previous', 'MEDIUM',
+                   pq - q > 0.10, ROUND(pq - q, 4)
+        ) a
+        ORDER BY alert_name
+    """,
+)
+def alert_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _gapped(load_table(spark, sf_dir, "events"))
+    overall = (
+        0.30 * completeness_score()
+        + 0.30 * validity_score()
+        + 0.25 * timeliness_score(F.lit(QUALITY_NOW).cast("timestamp"))
+        + 0.15 * F.lit(1.0)
+    )
+    critical = F.when(F.col("value_g").isNull() | (F.col("value") > 250), 1).otherwise(0)
+    scored = e.select(
+        (F.col("event_id") % 2).alias("half"), overall.alias("overall"), critical.alias("critical")
+    )
+    quarantine = (F.col("overall") < 0.30) | (F.col("critical") == 1)
+    cur = scored.filter(F.col("half") == 1).agg(
+        _r4(F.avg("overall")).alias("q"),
+        _r4(F.avg(F.when(quarantine, 1.0).otherwise(0.0))).alias("qr"),
+    )
+    prev = scored.filter(F.col("half") == 0).agg(_r4(F.avg("overall")).alias("pq"))
+    s = cur.crossJoin(F.broadcast(prev))
+    alerts = F.array(
+        F.struct(
+            F.lit("quarantine_rate_high").alias("alert_name"),
+            F.lit("HIGH").alias("severity"),
+            (F.col("qr") > 0.15).alias("triggered"),
+            F.col("qr").alias("observed"),
+        ),
+        F.struct(
+            F.lit("quality_below_floor").alias("alert_name"),
+            F.lit("CRITICAL").alias("severity"),
+            (F.col("q") < 0.70).alias("triggered"),
+            F.col("q").alias("observed"),
+        ),
+        F.struct(
+            F.lit("quality_drop_vs_previous").alias("alert_name"),
+            F.lit("MEDIUM").alias("severity"),
+            (F.col("pq") - F.col("q") > 0.10).alias("triggered"),
+            _r4(F.col("pq") - F.col("q")).alias("observed"),
+        ),
+    )
+    return (
+        s.select(F.explode(alerts).alias("a"))
+        .select("a.alert_name", "a.severity", "a.triggered", "a.observed")
+        .orderBy("alert_name")
+    )

@@ -422,3 +422,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    tags=("dedup", "simhash", "lsh"),
+    # xxhash64-derived signatures are Spark-specific — rows-only check, like
+    # dedup_simhash (SURVEY §2 non-SQL-expressible class).
+    oracle=None,
+    doc="SimHash near-duplicate candidate JOIN: split each 32-bit simhash "
+    "into two 16-bit bands (any pair within hamming distance 1 per band "
+    "shares at least one exact band — the pigeonhole banding of simhash "
+    "dedup), bucket-join on band value, verify with bit_count(a XOR b) <= 3. "
+    "The join is per-bucket (never O(n²)); xor/bit_count are native "
+    "expressions. Returns the hamming-distance histogram of candidates.",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+
+    def _vote(bit: int):
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(toks, F.lit(0), merge)
+
+    simhash = F.lit(0).cast("long")
+    for i in range(32):
+        simhash = simhash + F.when(_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    sigs = d.select("doc_id", simhash.alias("sh"))
+    # band decomposition: low/high 16 bits; same-band docs are candidates
+    bands = sigs.select(
+        "doc_id", "sh", F.lit(0).alias("band_id"), (F.col("sh").bitwiseAND(F.lit(0xFFFF))).alias("band_val")
+    ).unionByName(
+        sigs.select(
+            "doc_id", "sh", F.lit(1).alias("band_id"), F.shiftright("sh", 16).alias("band_val")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("sh").alias("b_sh"),
+        F.col("band_id").alias("b_band_id"),
+        F.col("band_val").alias("b_band_val"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b_band_id"))
+            & (F.col("a.band_val") == F.col("b_band_val"))
+            & (F.col("a.doc_id") < F.col("b_doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .distinct()  # a pair may match in both bands
+    )
+    return (
+        pairs.withColumn("is_near_dup", F.col("hamming") <= 3)
+        .groupBy("hamming", "is_near_dup")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy("hamming")
+    )
