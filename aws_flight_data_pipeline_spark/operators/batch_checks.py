@@ -114,7 +114,9 @@ def batch_check_suite(df: DataFrame) -> DataFrame:
         checks.append(
             (
                 "uniqueness",
-                F.count_distinct(F.struct("icao24", "last_contact")) / F.count("*"),
+                # try_divide: an empty batch is 0/0, which ANSI mode makes a
+                # hard error instead of null
+                F.try_divide(F.count_distinct(F.struct("icao24", "last_contact")), F.count("*")),
             )
         )
     if has("baro_altitude_ft") and has("velocity_knots"):
