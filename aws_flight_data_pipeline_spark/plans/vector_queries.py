@@ -361,3 +361,69 @@ def centroid_assignment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", _r4(F.col("centroid_dist")).alias("centroid_dist"))
         .orderBy("label", F.desc("centroid_dist"), "vec_id")
     )
+
+
+@query(
+    "ann_kmeans_train",
+    tags=("vector", "ann", "iterative"),
+    # Iterative algorithm — the non-SQL-expressible class (SURVEY §2 /
+    # driver contract): rows-only check.
+    oracle=None,
+    doc="IVF coarse-quantizer TRAINING: k-means via 3 deterministic Lloyd "
+    "iterations (k=8, init = first k vectors by vec_id). Each iteration is "
+    "pure DataFrame ops — broadcast the k centroids, assign via min_by over "
+    "the k distances, recompute centroids by posexplode+avg. Only the k×dim "
+    "centroid table ever reaches the driver; assignments stay distributed, "
+    "so the same loop trains on 100 TB of vectors. Returns per-cluster size "
+    "+ mean within-cluster distance per iteration (monotonically "
+    "non-increasing distortion = the convergence witness).",
+)
+def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, iters = 8, 3
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .cache()
+    )
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    reports = []
+    for it in range(iters):
+        assigned = (
+            e.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v", "cid", l2_distance(F.col("v"), F.col("c")).alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(F.struct("cid", "v", "dist"), F.struct("dist", "cid")).alias("best")
+            )
+            .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.v").alias("v"),
+                    F.col("best.dist").alias("dist"))
+        )
+        reports.append(
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("cluster_size"),
+                F.round(F.avg("dist"), 4).alias("mean_distance"),
+            )
+            .withColumn("iteration", F.lit(it))
+        )
+        # Lloyd update: element-wise mean per cluster (posexplode + avg),
+        # reassembled into ordered arrays — a tiny k×dim frame
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+                ).alias("c")
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select("iteration", "cid", "cluster_size", "mean_distance").orderBy(
+        "iteration", "cid"
+    )
