@@ -129,6 +129,31 @@ def micro_batch_pipeline(
     return writer.trigger(**trigger).start()
 
 
+def sliding_realtime_metrics(
+    records: DataFrame,
+    window: str = "4 hours",
+    slide: str = "1 hour",
+    watermark: str = "5 hours",
+) -> DataFrame:
+    """Sliding-window realtime metrics — the 'last 4 hours' rolling view the
+    reference fakes with a `collection_time >= now-14400` filter re-run per
+    query (06:512-515) becomes a true incremental sliding aggregate: each
+    event lands in window/slide overlapping panes, state bounded by the
+    watermark."""
+    return (
+        with_event_time(records)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide))
+        .agg(
+            F.count("*").alias("total_positions"),
+            F.approx_count_distinct("icao24").alias("active_aircraft"),
+            F.sum(F.when(F.col("on_ground"), 0).otherwise(1)).alias("airborne_count"),
+            F.avg("velocity").alias("avg_velocity_ms"),
+            F.max("last_contact").alias("latest_contact"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful stuck-aircraft tracker (applyInPandasWithState)
 # ---------------------------------------------------------------------------

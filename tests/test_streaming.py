@@ -125,3 +125,26 @@ def test_stateful_stuck_detector_across_batches(spark, landing):
     assert len(rows) == 5
     assert any(r.is_stuck for r in rows)  # span >1800 s within 0.05 mi at <5 kts
     assert not rows[0].is_stuck  # needs history before it can fire
+
+
+def test_sliding_realtime_metrics(spark, landing):
+    from aws_flight_data_pipeline_spark.streaming.streams import sliding_realtime_metrics
+
+    # fixes spread across two hours → each lands in 4 overlapping 4h/1h panes
+    states = [
+        _state(f"ac{i:04d}", f"UAL{i}", NOW + i * 1800, -73.0 + i * 0.1, 40.0, on_ground=(i == 0))
+        for i in range(4)
+    ]
+    _write_batch(landing, "b1.json", NOW, states)
+    metrics = sliding_realtime_metrics(stream_raw_states(spark, landing))
+    # complete mode: append would hold every pane until the watermark passes
+    # its end, which a single availableNow batch never does
+    _run_to_memory(metrics, "sliding_out", output_mode="complete")
+    rows = spark.sql("SELECT * FROM sliding_out").collect()
+    # 30-min spacing → 2 distinct event hours; 4 panes each, 3 shared → 5 panes
+    assert len(rows) == 5
+    # the pane covering all events has every aircraft; ground one excluded
+    peak = max(rows, key=lambda r: r["total_positions"])
+    assert peak["total_positions"] == 4
+    assert peak["airborne_count"] == 3
+    assert peak["latest_contact"] == NOW + 3 * 1800
