@@ -485,3 +485,126 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pair_count"))
         .orderBy("hamming")
     )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_PUNCT = (".", ",", "!", "?", ";", ":")
+
+
+@query(
+    "text_stopword_punct_ratios",
+    tags=("text", "quality"),
+    doc="The remaining quality-signal ratios of the training-data pipeline: "
+    "stopword ratio (7-word function-word set via padded occurrence "
+    "counting), punctuation density, and uppercase density per source — all "
+    "length-arithmetic column expressions, no regex in the hot path except "
+    "one class replace.",
+    oracle=f"""
+        WITH t AS (
+            SELECT source,
+                   ' ' || text || ' ' AS padded,
+                   LENGTH(text) AS n,
+                   {_WORD_COUNT_SQL} AS wc
+            FROM documents
+        ), ratios AS (
+            SELECT source, wc,
+                   ({" + ".join(f"(LENGTH(padded) - LENGTH(REPLACE(padded, ' {w} ', ''))) / {len(w) + 2}" for w in _STOPWORDS)})
+                       AS stop_hits,
+                   ({" + ".join(f"(LENGTH(padded) - LENGTH(REPLACE(padded, '{p}', '')))" for p in _PUNCT)})
+                       / CAST(n AS DOUBLE) AS punct_ratio,
+                   (n - LENGTH(regexp_replace(padded, '[A-Z]', '', 'g')) + 2)
+                       / CAST(n AS DOUBLE) AS upper_ratio
+            FROM t
+        )
+        SELECT source,
+               COUNT(*) AS doc_count,
+               ROUND(AVG(CAST(stop_hits AS DOUBLE) / wc), 4) AS avg_stopword_ratio,
+               ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
+               ROUND(AVG(upper_ratio), 4) AS avg_upper_ratio
+        FROM ratios
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_stopword_punct_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    d = d.withColumn("padded", padded).withColumn("n", F.length("text")).withColumn(
+        "wc", word_count(F.col("text"))
+    )
+    stop_hits = sum(
+        (occurrence_count(F.col("padded"), f" {w} ") for w in _STOPWORDS), start=F.lit(0)
+    )
+    punct_hits = sum(
+        (
+            F.length("padded") - F.length(F.replace(F.col("padded"), F.lit(p), F.lit("")))
+            for p in _PUNCT
+        ),
+        start=F.lit(0),
+    )
+    # padded adds two spaces; regexp strips [A-Z], so n - stripped + 2 = uppercase count
+    upper_hits = F.col("n") - F.length(F.regexp_replace("padded", "[A-Z]", "")) + 2
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            _r4(F.avg(stop_hits.cast("double") / F.col("wc"))).alias("avg_stopword_ratio"),
+            _r4(F.avg(punct_hits / F.col("n").cast("double"))).alias("avg_punct_ratio"),
+            _r4(F.avg(upper_hits / F.col("n").cast("double"))).alias("avg_upper_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_char_entropy",
+    tags=("text", "quality", "entropy"),
+    doc="Per-document character-distribution entropy (the perplexity-proxy "
+    "quality signal: gibberish and boilerplate both sit at distribution "
+    "extremes). Entropy per row via higher-order functions over the distinct "
+    "character set — occurrence counts by length arithmetic, -Σ p·ln p by "
+    "aggregate() — zero shuffle before the per-language rollup.",
+    oracle="""
+        WITH ent AS (
+            SELECT lang,
+                   list_aggregate(list_transform(
+                       list_distinct(string_split(text, '')),
+                       c -> -1.0 * ((LENGTH(text) - LENGTH(REPLACE(text, c, '')))
+                                    / CAST(LENGTH(text) AS DOUBLE))
+                            * ln((LENGTH(text) - LENGTH(REPLACE(text, c, '')))
+                                 / CAST(LENGTH(text) AS DOUBLE))
+                   ), 'sum') AS h
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS doc_count,
+               ROUND(AVG(h), 4) AS avg_entropy,
+               ROUND(MIN(h), 4) AS min_entropy,
+               ROUND(MAX(h), 4) AS max_entropy
+        FROM ent
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    chars = F.array_distinct(F.split(F.col("text"), ""))
+
+    def char_p(c):
+        return (F.length("text") - F.length(F.replace(F.col("text"), c, F.lit("")))) / n
+
+    h = F.aggregate(
+        chars, F.lit(0.0), lambda acc, c: acc - char_p(c) * F.log(char_p(c))
+    )
+    return (
+        d.select("lang", h.alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            _r4(F.avg("h")).alias("avg_entropy"),
+            _r4(F.min("h")).alias("min_entropy"),
+            _r4(F.max("h")).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
