@@ -673,3 +673,70 @@ def alert_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a.alert_name", "a.severity", "a.triggered", "a.observed")
         .orderBy("alert_name")
     )
+
+
+#: lat/lon boxes in the geographic-boundary check style
+#: (anomaly_detector.py:95-130: forbidden + oceanic zones)
+GEO_ZONES = (
+    ("restricted_a", 35.0, 40.0, -120.0, -110.0),
+    ("restricted_b", -90.0, -60.0, -180.0, 180.0),
+    ("oceanic_1", -10.0, 10.0, -40.0, -10.0),
+)
+
+
+@query(
+    "anomaly_geo_zones",
+    tags=("anomaly", "geo", "join"),
+    doc="Geographic-boundary anomaly check (anomaly_detector.py:378-418): "
+    "point-in-box classification against a zones table. The zones are a "
+    "3-row broadcast literal table — the join is a BroadcastNestedLoopJoin "
+    "with box predicates, never a shuffle, exactly how a forbidden-zone "
+    "lookup scales to any fact size. Coordinates derived deterministically "
+    "from event fields (testdata has no geo columns, seq_trajectory "
+    "convention).",
+    oracle=f"""
+        WITH fixes AS (
+            SELECT event_id,
+                   (value % 120) - 60                       AS lat,
+                   (CAST(event_id % 360 AS DOUBLE)) - 180.0 AS lon
+            FROM events
+        ), zones AS (
+            {" UNION ALL ".join(f"SELECT '{z}' AS zone, {a} AS lat_min, {b} AS lat_max, {c} AS lon_min, {d} AS lon_max" for z, a, b, c, d in GEO_ZONES)}
+        )
+        SELECT z.zone,
+               COUNT(f.event_id) AS hits,
+               ROUND(MIN(f.lat), 4) AS min_lat,
+               ROUND(MAX(f.lat), 4) AS max_lat
+        FROM zones z
+        LEFT JOIN fixes f
+          ON f.lat BETWEEN z.lat_min AND z.lat_max
+         AND f.lon BETWEEN z.lon_min AND z.lon_max
+        GROUP BY z.zone
+        ORDER BY z.zone
+    """,
+)
+def anomaly_geo_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fixes = e.select(
+        "event_id",
+        ((F.col("value") % 120) - 60).alias("lat"),
+        ((F.col("event_id") % 360).cast("double") - 180.0).alias("lon"),
+    )
+    zones = e.sparkSession.createDataFrame(
+        list(GEO_ZONES), "zone string, lat_min double, lat_max double, lon_min double, lon_max double"
+    )
+    cond = (
+        F.col("lat").between(F.col("lat_min"), F.col("lat_max"))
+        & F.col("lon").between(F.col("lon_min"), F.col("lon_max"))
+    )
+    return (
+        F.broadcast(zones)
+        .join(fixes, cond, "left")
+        .groupBy("zone")
+        .agg(
+            F.count("event_id").alias("hits"),
+            _r4(F.min("lat")).alias("min_lat"),
+            _r4(F.max("lat")).alias("max_lat"),
+        )
+        .orderBy("zone")
+    )
