@@ -898,3 +898,59 @@ def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@query(
+    "window_distribution_functions",
+    tags=("window", "distribution"),
+    doc="Distribution window functions — ntile quartiles, percent_rank, "
+    "cume_dist over order value per nation (parity-plus: the reference uses "
+    "only rank/row_number/lag; these complete Spark's §2.5 window surface). "
+    "Aggregated to per-(nation, quartile) bands so the result is compact at "
+    "any scale.",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_nationkey,
+                   o_totalprice,
+                   NTILE(4) OVER w AS quartile,
+                   PERCENT_RANK() OVER w AS pr,
+                   CUME_DIST() OVER w AS cd
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY o_totalprice, o_orderkey)
+        )
+        SELECT c_nationkey, quartile,
+               COUNT(*) AS order_count,
+               ROUND(MIN(o_totalprice), 4) AS min_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price,
+               ROUND(MAX(pr), 4) AS max_percent_rank,
+               ROUND(MAX(cd), 4) AS max_cume_dist
+        FROM ranked
+        GROUP BY c_nationkey, quartile
+        ORDER BY c_nationkey, quartile
+    """,
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_nationkey").orderBy("o_totalprice", "o_orderkey")
+    ranked = joined.select(
+        "c_nationkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("order_count"),
+            _r4(F.min("o_totalprice")).alias("min_price"),
+            _r4(F.max("o_totalprice")).alias("max_price"),
+            _r4(F.max("pr")).alias("max_percent_rank"),
+            _r4(F.max("cd")).alias("max_cume_dist"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )

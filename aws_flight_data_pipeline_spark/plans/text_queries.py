@@ -608,3 +608,57 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_pack_sequences",
+    tags=("text", "packing"),
+    doc="Training-sequence packing: assign documents to fixed-budget bins "
+    "(4096 estimated BPE tokens) by cumulative token count within each "
+    "(lang, source) stream — the greedy sequence-packing step that turns a "
+    "document corpus into fixed-length training batches. One running-sum "
+    "window per stream, then per-bin fill statistics; streams pack "
+    "independently so the plan scales with partition count.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, source, doc_id,
+                   CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_tokens
+            FROM documents
+        ), packed AS (
+            SELECT lang, source, est_tokens,
+                   CAST(FLOOR((SUM(est_tokens) OVER (PARTITION BY lang, source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - est_tokens) / 4096.0) AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT lang, source, bin_id,
+               COUNT(*) AS docs_in_bin,
+               CAST(SUM(est_tokens) AS BIGINT) AS bin_tokens,
+               ROUND(SUM(est_tokens) / 4096.0, 4) AS fill_ratio
+        FROM packed
+        GROUP BY lang, source, bin_id
+        ORDER BY lang, source, bin_id
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("est_tokens", bpe_ish_token_estimate(F.col("text")))
+    w = Window.partitionBy("lang", "source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # bin = floor(tokens-before-this-doc / budget): greedy first-fit in doc order
+    bin_id = F.floor((F.sum("est_tokens").over(w) - F.col("est_tokens")) / 4096.0).cast(
+        "bigint"
+    )
+    return (
+        d.withColumn("bin_id", bin_id)
+        .groupBy("lang", "source", "bin_id")
+        .agg(
+            F.count("*").alias("docs_in_bin"),
+            F.sum("est_tokens").cast("bigint").alias("bin_tokens"),
+            _r4(F.sum("est_tokens") / 4096.0).alias("fill_ratio"),
+        )
+        .orderBy("lang", "source", "bin_id")
+    )

@@ -427,3 +427,59 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("iteration", "cid", "cluster_size", "mean_distance").orderBy(
         "iteration", "cid"
     )
+
+
+@query(
+    "vector_quantize_int8",
+    tags=("vector", "quantization"),
+    doc="Scalar int8 quantization of embeddings (the storage-compression "
+    "step of a training-data vector store): symmetric per-vector scale = "
+    "max|x|/127, quantize with round(x/scale), report reconstruction error "
+    "per label. Pure higher-order array math; 4x storage cut with "
+    "oracle-verified error bounds.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        scales AS (
+            SELECT vec_id, MAX(ABS(val)) / 127.0 AS scale
+            FROM elems GROUP BY vec_id
+        ),
+        err AS (
+            SELECT e.vec_id, e.label,
+                   SQRT(SUM(POW(e.val - ROUND(e.val / s.scale) * s.scale, 2))) AS recon_err,
+                   SQRT(SUM(e.val * e.val)) AS vnorm
+            FROM elems e JOIN scales s ON e.vec_id = s.vec_id
+            WHERE s.scale > 0
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT label,
+               COUNT(*) AS vec_count,
+               ROUND(AVG(recon_err), 4) AS avg_recon_err,
+               ROUND(MAX(recon_err), 4) AS max_recon_err,
+               ROUND(AVG(recon_err / vnorm), 4) AS avg_relative_err
+        FROM err
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = e.withColumn("v", v).withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / 127.0
+    ).filter(F.col("scale") > 0)
+    sq_err = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(x - F.round(x / F.col("scale")) * F.col("scale"), 2),
+    )
+    e = e.withColumn("recon_err", F.sqrt(sq_err)).withColumn("vnorm", norm(F.col("embedding")))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("vec_count"),
+            _r4(F.avg("recon_err")).alias("avg_recon_err"),
+            _r4(F.max("recon_err")).alias("max_recon_err"),
+            _r4(F.avg(F.col("recon_err") / F.col("vnorm"))).alias("avg_relative_err"),
+        )
+        .orderBy("label")
+    )

@@ -50,6 +50,9 @@ HEADLINE = (
     "serving_snapshot_stats",
     "multimodal_decode_stats",
     "multimodal_frame_sample",
+    "doc_pack_sequences",
+    "vector_quantize_int8",
+    "window_distribution_functions",
 )
 
 
