@@ -153,3 +153,25 @@ def test_quality_dashboard_and_high_quality_view(processed, quality_metrics):
     hq = fa.high_quality_flights(processed)
     assert hq.count() > 0
     assert hq.filter(F.col("data_quality_score") <= 0.8).count() == 0
+
+
+def test_latest_flight_activity_view(spark, tmp_path):
+    import json
+
+    from aws_flight_data_pipeline_spark.plans.flight_analytics import latest_flight_activity
+    from aws_flight_data_pipeline_spark.sources.opensky import read_raw_batches
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    state = ["abc123", "UAL1    ", "US", 1693401600, 1693401600, -73.0, 40.0,
+             3048.0, False, 128.0, 90.0, 0.0, None, 3100.0, "7700", False, 0]
+    for i, n_states in enumerate([3, 1]):
+        with open(d / f"flight_data_{i}.json", "w") as f:
+            json.dump({"time": 1693401600 + i * 30, "states": [state] * n_states}, f)
+    rows = latest_flight_activity(read_raw_batches(spark, str(d))).collect()
+    # newest batch first, cardinality(states) per batch
+    assert [(r["batch_time"], r["aircraft_count"]) for r in rows] == [
+        (1693401630, 1),
+        (1693401600, 3),
+    ]
+    assert rows[0]["batch_timestamp"].year == 2023
