@@ -210,6 +210,55 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+DECODE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_and_featurize(assets: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """Fused decode + featurize in ONE Arrow pass.
+
+    Chaining ``decode_assets`` and ``extract_features`` moves every payload
+    across the Python boundary twice; the fused stage reads each byte buffer
+    once and emits both the signal stats and the feature vector — the
+    operator-fusion rule for hot multimodal paths (each mapInPandas stage is
+    a full Arrow round trip of the payload column).
+    """
+    if use_real_codecs:
+        _require_real_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)  # <- one stub decode
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+                total = hist.sum()
+                feats = (hist / total) if total else hist
+                rows.append(
+                    (
+                        int(asset_id),
+                        modality,
+                        int(arr.size),
+                        float(arr.mean()) if arr.size else 0.0,
+                        feats.tolist(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_FEATURES_SCHEMA.fields])
+
+    return assets.mapInPandas(batches, schema=DECODE_FEATURES_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
