@@ -4,6 +4,25 @@ Each query re-expresses one operator family from the reference's Athena corpus
 (`/root/reference/sql/athena/04–07*.sql`) as an idiomatic Spark DataFrame plan
 over the driver's TPC-H-ish tables, paired with a DuckDB oracle.
 
+Round-2 consolidation: the driver's correctness gate verifies at most the
+first 50 registered queries, so single-operator demos that share a table and
+grain are merged into profile/suite queries (every operator keeps its own
+column or section — nothing was dropped, see each query's doc). The standalone
+builders that back the round-1 bench names stay callable via
+``registry.resolve`` (@builder) so BENCH_rN stays per-query comparable.
+
+Cross-engine value discipline (the round-1 driver lessons, see
+tests/test_oracle_parity.py):
+- every integer SUM in an oracle is CAST(... AS BIGINT) — DuckDB's SUM(int)
+  is HUGEINT, which the driver's type-sensitive hash rejects;
+- no ``ROUND(AVG(x), 4)`` of low-decimal data — Spark rounds the shortest
+  decimal string up while DuckDB rounds the binary double down on exact 4-dp
+  half-boundaries. Averages are emitted as unrounded quotients of exactly
+  computed integers (cents/tenths encodings), which are bit-identical doubles
+  in both engines; integer-scale rounding (``CAST(ROUND(x*10^k) AS BIGINT)``)
+  is used where quantization is needed (the .5 boundary is representable, and
+  both engines round it away from zero).
+
 Scale notes (100 TB posture):
 - Dimension joins use explicit ``broadcast()`` hints — nation/region/customer
   style dims stay small at any fact-table scale, so no shuffle on the fact side.
@@ -23,12 +42,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
 
 def _r4(c):
     return F.round(c, 4)
+
+
+def _cents_sum(col):
+    """Exact integer-cents total of a 2-decimal column (order-independent)."""
+    return F.sum(F.round(F.col(col) * 100).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -75,126 +99,195 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "conditional_category_counts",
-    tags=("agg", "pivot"),
-    doc="Pivot-style SUM(CASE WHEN) conditional counts — the reference's "
-    "altitude/speed/phase distribution pattern (04_analytical_queries.sql:47-63).",
+    "order_status_profile",
+    tags=("agg", "pivot", "distinct", "approx", "window"),
+    doc="Per-status order profile merging four §2.4 operator demos on one "
+    "grain (orders × o_orderstatus): COUNT DISTINCT (exact), conditional "
+    "SUM(CASE)/COUNT(CASE) pivot counts (04_analytical_queries.sql:47-63), "
+    "ratio-of-total via windowed SUM (04:102), and the at-scale "
+    "approx_count_distinct (07:132-133) verified against the exact count as a "
+    "relative-error bound (the HLL value itself is engine-specific, the "
+    "±15 %% contract is not). pct_of_total is an unrounded quotient of exact "
+    "counts — bit-identical in both engines.",
     oracle="""
-        SELECT o_orderstatus,
-               COUNT(*) AS total_orders,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_count,
-               SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS high_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS normal_count,
-               COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS big_ticket_count
-        FROM orders
-        GROUP BY o_orderstatus
+        WITH agg AS (
+            SELECT o_orderstatus,
+                   COUNT(*) AS total_orders,
+                   COUNT(DISTINCT o_custkey)       AS unique_customers,
+                   COUNT(DISTINCT o_orderpriority) AS unique_priorities,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+                   CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS normal_count,
+                   COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS big_ticket_count
+            FROM orders
+            GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, total_orders, unique_customers, unique_priorities,
+               urgent_count, high_count, normal_count, big_ticket_count,
+               100.0 * total_orders / SUM(total_orders) OVER () AS pct_of_total,
+               TRUE AS approx_customers_ok
+        FROM agg
         ORDER BY o_orderstatus
     """,
 )
-def conditional_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority") == "1-URGENT"
     high = F.col("o_orderpriority") == "2-HIGH"
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("total_orders"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.countDistinct("o_orderpriority").alias("unique_priorities"),
+        F.sum(F.when(urgent, 1).otherwise(0)).alias("urgent_count"),
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+        F.sum(F.when(urgent | high, 0).otherwise(1)).alias("normal_count"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("big_ticket_count"),
+        F.approx_count_distinct("o_custkey").alias("_approx_cust"),
+    )
+    w = Window.partitionBy()
     return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("total_orders"),
-            F.sum(F.when(urgent, 1).otherwise(0)).alias("urgent_count"),
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
-            F.sum(F.when(urgent | high, 0).otherwise(1)).alias("normal_count"),
-            F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("big_ticket_count"),
+        agg.withColumn(
+            "pct_of_total",
+            100.0 * F.col("total_orders") / F.sum("total_orders").over(w),
         )
+        .withColumn(
+            "approx_customers_ok",
+            F.abs(F.col("_approx_cust") - F.col("unique_customers"))
+            <= 0.15 * F.col("unique_customers"),
+        )
+        .drop("_approx_cust")
         .orderBy("o_orderstatus")
     )
 
 
 @query(
-    "percentile_stats",
-    tags=("agg", "percentile"),
-    doc="Exact interpolated percentiles p25/p50/p75/p95 — the reference's "
-    "APPROX_PERCENTILE surface (04:119-120, 06:39-48) with deterministic exact "
-    "quantiles for oracle parity; approx_percentile is the at-scale variant "
-    "(see approx_distinct_counts).",
+    "distribution_stats",
+    tags=("agg", "percentile", "histogram", "having", "approx"),
+    doc="Distribution-profiling suite in long (section, grp, metric, value) "
+    "form, merging three §2.4 operator demos: exact interpolated percentiles "
+    "p25/p50/p75/p95 + stddev per returnflag (the APPROX_PERCENTILE surface, "
+    "04:119-120, 06:39-48) with the at-scale percentile_approx verified as a "
+    "5 %% relative-error bound; the Athena histogram(col, n) rewrite — fixed-"
+    "width buckets + counts (07:163-164); and GROUP BY ... HAVING count "
+    "floors (04:390, 05:62) with cents-exact averages. Three independent "
+    "aggregates union'd — each is one hash-agg pass; counts travel as exact "
+    "integer-valued doubles.",
     oracle="""
-        SELECT l_returnflag,
-               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
-               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50_price,
-               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
-               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-               ROUND(STDDEV_SAMP(l_extendedprice), 4)         AS price_stddev
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
+        WITH pct AS (
+            SELECT l_returnflag AS grp,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 4)         AS price_stddev
+            FROM lineitem GROUP BY 1
+        ), hist AS (
+            SELECT CAST(CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS VARCHAR) AS grp,
+                   CAST(COUNT(*) AS DOUBLE)  AS bucket_count,
+                   MIN(l_quantity)           AS bucket_min,
+                   MAX(l_quantity)           AS bucket_max
+            FROM lineitem GROUP BY 1
+        ), brands AS (
+            SELECT p_brand AS grp,
+                   CAST(COUNT(*) AS DOUBLE) AS part_count,
+                   CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                       / (100.0 * COUNT(*)) AS avg_price,
+                   MIN(p_retailprice) AS min_price,
+                   MAX(p_retailprice) AS max_price
+            FROM part GROUP BY 1 HAVING COUNT(*) >= 5
+        )
+        SELECT 'percentile' AS section, grp, 'p25_price' AS metric, p25_price AS value FROM pct
+        UNION ALL SELECT 'percentile', grp, 'p50_price', p50_price FROM pct
+        UNION ALL SELECT 'percentile', grp, 'p75_price', p75_price FROM pct
+        UNION ALL SELECT 'percentile', grp, 'p95_price', p95_price FROM pct
+        UNION ALL SELECT 'percentile', grp, 'price_stddev', price_stddev FROM pct
+        UNION ALL SELECT 'percentile', grp, 'p50_approx_ok', 1.0 FROM pct
+        UNION ALL SELECT 'histogram', grp, 'bucket_count', bucket_count FROM hist
+        UNION ALL SELECT 'histogram', grp, 'bucket_min', bucket_min FROM hist
+        UNION ALL SELECT 'histogram', grp, 'bucket_max', bucket_max FROM hist
+        UNION ALL SELECT 'brand_having', grp, 'part_count', part_count FROM brands
+        UNION ALL SELECT 'brand_having', grp, 'avg_price', avg_price FROM brands
+        UNION ALL SELECT 'brand_having', grp, 'min_price', min_price FROM brands
+        UNION ALL SELECT 'brand_having', grp, 'max_price', max_price FROM brands
+        ORDER BY section, grp, metric
     """,
 )
-def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            _r4(F.percentile("l_extendedprice", F.lit(0.25))).alias("p25_price"),
-            _r4(F.percentile("l_extendedprice", F.lit(0.50))).alias("p50_price"),
-            _r4(F.percentile("l_extendedprice", F.lit(0.75))).alias("p75_price"),
-            _r4(F.percentile("l_extendedprice", F.lit(0.95))).alias("p95_price"),
-            _r4(F.stddev_samp("l_extendedprice")).alias("price_stddev"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@query(
-    "ratio_of_total",
-    tags=("agg", "window"),
-    doc="Ratio-of-total via windowed SUM over an unbounded frame "
-    "(04_analytical_queries.sql:102).",
-    oracle="""
-        SELECT o_orderpriority,
-               COUNT(*) AS order_count,
-               ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct_of_total
-        FROM orders
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-    """,
-)
-def ratio_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy()
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-        .withColumn("pct_of_total", _r4(100.0 * F.col("order_count") / F.sum("order_count").over(w)))
-        .orderBy("o_orderpriority")
-    )
-
-
-@query(
-    "having_group_filter",
-    tags=("agg", "having"),
-    doc="GROUP BY ... HAVING count floor (04:390, 05:62).",
-    oracle="""
-        SELECT p_brand,
-               COUNT(*) AS part_count,
-               ROUND(AVG(p_retailprice), 4) AS avg_price,
-               ROUND(MIN(p_retailprice), 4) AS min_price,
-               ROUND(MAX(p_retailprice), 4) AS max_price
-        FROM part
-        GROUP BY p_brand
-        HAVING COUNT(*) >= 5
-        ORDER BY p_brand
-    """,
-)
-def having_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
-    return (
-        p.groupBy("p_brand")
-        .agg(
-            F.count("*").alias("part_count"),
-            _r4(F.avg("p_retailprice")).alias("avg_price"),
-            _r4(F.min("p_retailprice")).alias("min_price"),
-            _r4(F.max("p_retailprice")).alias("max_price"),
+
+    def _melt(df: DataFrame, section: str, metrics: list[str]) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(F.lit(m).alias("metric"), F.col(m).cast("double").alias("value"))
+                for m in metrics
+            ]
         )
-        .filter(F.col("part_count") >= 5)
-        .orderBy("p_brand")
+        return df.select(
+            F.lit(section).alias("section"),
+            F.col("grp"),
+            F.explode(entries).alias("e"),
+        ).select("section", "grp", "e.metric", "e.value")
+
+    pct = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.95))
+            ).alias("ps"),
+            _r4(F.stddev_samp("l_extendedprice")).alias("price_stddev"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("_approx_p50"),
+        )
+        .select(
+            "grp",
+            _r4(F.element_at("ps", 1)).alias("p25_price"),
+            _r4(F.element_at("ps", 2)).alias("p50_price"),
+            _r4(F.element_at("ps", 3)).alias("p75_price"),
+            _r4(F.element_at("ps", 4)).alias("p95_price"),
+            "price_stddev",
+            # the HLL-style contract check: approx median within 5% of exact
+            F.when(
+                F.abs(F.col("_approx_p50") - F.element_at("ps", 2))
+                <= 0.05 * F.element_at("ps", 2),
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("p50_approx_ok"),
+        )
+    )
+    hist = (
+        li.withColumn("bucket", F.floor(F.col("l_quantity") / 5.0))
+        .groupBy(F.col("bucket").cast("string").alias("grp"))
+        .agg(
+            F.count("*").cast("double").alias("bucket_count"),
+            F.min("l_quantity").alias("bucket_min"),
+            F.max("l_quantity").alias("bucket_max"),
+        )
+    )
+    brands = (
+        p.groupBy(F.col("p_brand").alias("grp"))
+        .agg(
+            F.count("*").alias("cnt"),
+            _cents_sum("p_retailprice").alias("cents"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .filter(F.col("cnt") >= 5)
+        .select(
+            "grp",
+            F.col("cnt").cast("double").alias("part_count"),
+            (F.col("cents").cast("double") / (100.0 * F.col("cnt"))).alias("avg_price"),
+            "min_price",
+            "max_price",
+        )
+    )
+    return (
+        _melt(pct, "percentile", ["p25_price", "p50_price", "p75_price", "p95_price",
+                                  "price_stddev", "p50_approx_ok"])
+        .unionByName(_melt(hist, "histogram", ["bucket_count", "bucket_min", "bucket_max"]))
+        .unionByName(_melt(brands, "brand_having", ["part_count", "avg_price", "min_price",
+                                                    "max_price"]))
+        .orderBy("section", "grp", "metric")
     )
 
 
@@ -243,78 +336,40 @@ def multilevel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "histogram_buckets",
-    tags=("agg", "histogram"),
-    doc="Athena histogram(col, n) rewrite — fixed-width bucketing + group count "
-    "(07_optimization_guide.sql:163-164); Spark-side this is a single hash-agg.",
+    "rollup_subtotals",
+    tags=("agg", "rollup"),
+    doc="ROLLUP subtotal hierarchy (grand total → per-flag → per-flag-status) "
+    "— parity-plus: the reference has no grouping sets (SURVEY §2.4 note), "
+    "Spark and the oracle both support them natively. One pass produces every "
+    "subtotal level (vs the reference's chained CTE re-aggregations).",
     oracle="""
-        SELECT CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket,
-               COUNT(*) AS bucket_count,
-               ROUND(MIN(l_quantity), 4) AS bucket_min,
-               ROUND(MAX(l_quantity), 4) AS bucket_max
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS row_count,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price
         FROM lineitem
-        GROUP BY 1
-        ORDER BY bucket
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
     """,
 )
-def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.withColumn("bucket", F.floor(F.col("l_quantity") / 5.0))
-        .groupBy("bucket")
+        li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("bucket_count"),
-            _r4(F.min("l_quantity")).alias("bucket_min"),
-            _r4(F.max("l_quantity")).alias("bucket_max"),
+            F.count("*").alias("row_count"),
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_price"),
         )
-        .orderBy("bucket")
-    )
-
-
-@query(
-    "distinct_counts",
-    tags=("agg", "distinct"),
-    doc="COUNT(DISTINCT) surface (04:43-44, 06:25-28) — exact for oracle parity.",
-    oracle="""
-        SELECT o_orderstatus,
-               COUNT(DISTINCT o_custkey)      AS unique_customers,
-               COUNT(DISTINCT o_orderpriority) AS unique_priorities,
-               COUNT(*)                        AS total_orders
-        FROM orders
-        GROUP BY o_orderstatus
-        ORDER BY o_orderstatus
-    """,
-)
-def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("unique_customers"),
-            F.countDistinct("o_orderpriority").alias("unique_priorities"),
-            F.count("*").alias("total_orders"),
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "row_count",
+            "sum_qty",
+            "sum_price",
         )
-        .orderBy("o_orderstatus")
-    )
-
-
-@query(
-    "approx_distinct_counts",
-    tags=("agg", "approx"),
-    # HLL sketches are engine-specific — values differ by design from any
-    # oracle; driver records the rows-only check. This is the at-scale variant
-    # of distinct_counts (07:132-133: APPROX_COUNT_DISTINCT for cost).
-    oracle=None,
-    doc="approx_count_distinct + approx percentile — the cheap-at-100TB "
-    "variants of distinct_counts/percentile_stats (07:117-185).",
-)
-def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.count("*").alias("row_count"),
+        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -367,7 +422,8 @@ def dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_mktsegment,
                COUNT(*)            AS customer_count,
                COUNT(o.o_orderkey) AS order_count,
-               SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS customers_without_orders
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS customers_without_orders
         FROM customer c
         LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_mktsegment
@@ -509,28 +565,10 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "nation_order_rank",
-    tags=("window", "rank", "join"),
-    doc="RANK over a global order on an aggregate — the traffic-rank pattern "
-    "(04:251, 05:68-72).",
-    oracle="""
-        WITH nation_orders AS (
-            SELECT n.n_name AS nation_name, COUNT(*) AS order_count,
-                   ROUND(SUM(o.o_totalprice), 4) AS total_revenue
-            FROM orders o
-            JOIN customer c ON o.o_custkey = c.c_custkey
-            JOIN nation n   ON c.c_nationkey = n.n_nationkey
-            GROUP BY n.n_name
-        )
-        SELECT nation_name, order_count, total_revenue,
-               CAST(RANK() OVER (ORDER BY order_count DESC) AS INT)  AS volume_rank,
-               CAST(DENSE_RANK() OVER (ORDER BY total_revenue DESC) AS INT) AS revenue_rank
-        FROM nation_orders
-        ORDER BY volume_rank, nation_name
-    """,
-)
+@builder("nation_order_rank")
 def nation_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK/DENSE_RANK over a global aggregate order (04:251, 05:68-72).
+    Driver-verified through window_rank_suite; kept for the stable bench name."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -547,28 +585,123 @@ def nation_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "moving_average_daily",
-    tags=("window", "frame"),
-    doc="Centered moving average with an explicit ROWS frame — the reference's "
-    "5-hour trend window (04:253-256, 07:302-307).",
-    oracle="""
-        WITH daily AS (
-            SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-                   COUNT(*) AS order_count,
-                   ROUND(SUM(o_totalprice), 4) AS daily_revenue
-            FROM orders
-            GROUP BY 1
+@builder("window_distribution_functions")
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist distribution windows (§2.5 completion).
+    Driver-verified through window_rank_suite; kept for the stable bench name."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_nationkey").orderBy("o_totalprice", "o_orderkey")
+    ranked = joined.select(
+        "c_nationkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("order_count"),
+            _r4(F.min("o_totalprice")).alias("min_price"),
+            _r4(F.max("o_totalprice")).alias("max_price"),
+            _r4(F.max("pr")).alias("max_percent_rank"),
+            _r4(F.max("cd")).alias("max_cume_dist"),
         )
-        SELECT order_day, order_count, daily_revenue,
-               ROUND(AVG(order_count) OVER (
-                   ORDER BY order_day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4)
-                   AS moving_avg_orders
-        FROM daily
-        ORDER BY order_day
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+@query(
+    "window_rank_suite",
+    tags=("window", "rank", "distribution"),
+    doc="Ranking + distribution window functions in long (section, grp, "
+    "metric, value) form, merging two §2.5 demos: RANK/DENSE_RANK over a "
+    "global aggregate order — the traffic-rank pattern (04:251, 05:68-72) — "
+    "and ntile quartiles / percent_rank / cume_dist per nation (parity-plus: "
+    "the reference uses only rank/row_number/lag; these complete Spark's "
+    "window surface). Both blocks aggregate to compact grains, so the result "
+    "stays small at any scale.",
+    oracle="""
+        WITH nation_orders AS (
+            SELECT n.n_name AS nation_name, COUNT(*) AS order_count,
+                   ROUND(SUM(o.o_totalprice), 4) AS total_revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ), nranks AS (
+            SELECT nation_name AS grp,
+                   CAST(order_count AS DOUBLE) AS order_count,
+                   total_revenue,
+                   CAST(RANK() OVER (ORDER BY order_count DESC) AS DOUBLE) AS volume_rank,
+                   CAST(DENSE_RANK() OVER (ORDER BY total_revenue DESC) AS DOUBLE) AS revenue_rank
+            FROM nation_orders
+        ), ranked AS (
+            SELECT c_nationkey, o_totalprice,
+                   NTILE(4) OVER w AS quartile,
+                   PERCENT_RANK() OVER w AS pr,
+                   CUME_DIST() OVER w AS cd
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY o_totalprice, o_orderkey)
+        ), quartiles AS (
+            SELECT CAST(c_nationkey AS VARCHAR) || '/' || CAST(quartile AS VARCHAR) AS grp,
+                   CAST(COUNT(*) AS DOUBLE) AS order_count,
+                   ROUND(MIN(o_totalprice), 4) AS min_price,
+                   ROUND(MAX(o_totalprice), 4) AS max_price,
+                   ROUND(MAX(pr), 4) AS max_percent_rank,
+                   ROUND(MAX(cd), 4) AS max_cume_dist
+            FROM ranked GROUP BY c_nationkey, quartile
+        )
+        SELECT 'nation_rank' AS section, grp, 'order_count' AS metric, order_count AS value FROM nranks
+        UNION ALL SELECT 'nation_rank', grp, 'total_revenue', total_revenue FROM nranks
+        UNION ALL SELECT 'nation_rank', grp, 'volume_rank', volume_rank FROM nranks
+        UNION ALL SELECT 'nation_rank', grp, 'revenue_rank', revenue_rank FROM nranks
+        UNION ALL SELECT 'price_quartile', grp, 'order_count', order_count FROM quartiles
+        UNION ALL SELECT 'price_quartile', grp, 'min_price', min_price FROM quartiles
+        UNION ALL SELECT 'price_quartile', grp, 'max_price', max_price FROM quartiles
+        UNION ALL SELECT 'price_quartile', grp, 'max_percent_rank', max_percent_rank FROM quartiles
+        UNION ALL SELECT 'price_quartile', grp, 'max_cume_dist', max_cume_dist FROM quartiles
+        ORDER BY section, grp, metric
     """,
 )
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _melt(df: DataFrame, section: str, grp_col, metrics: list[str]) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(F.lit(m).alias("metric"), F.col(m).cast("double").alias("value"))
+                for m in metrics
+            ]
+        )
+        return df.select(
+            F.lit(section).alias("section"), grp_col.alias("grp"), F.explode(entries).alias("e")
+        ).select("section", "grp", "e.metric", "e.value")
+
+    nranks = nation_order_rank(spark, sf_dir)
+    quart = window_distribution_functions(spark, sf_dir)
+    return (
+        _melt(nranks, "nation_rank", F.col("nation_name"),
+              ["order_count", "total_revenue", "volume_rank", "revenue_rank"])
+        .unionByName(
+            _melt(
+                quart,
+                "price_quartile",
+                F.concat(
+                    F.col("c_nationkey").cast("string"), F.lit("/"),
+                    F.col("quartile").cast("string")
+                ),
+                ["order_count", "min_price", "max_price", "max_percent_rank", "max_cume_dist"],
+            )
+        )
+        .orderBy("section", "grp", "metric")
+    )
+
+
+@builder("moving_average_daily")
 def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered moving average over an explicit ROWS frame (04:253-256).
+    Driver-verified through daily_window_metrics; kept for the stable bench name."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")).agg(
         F.count("*").alias("order_count"), _r4(F.sum("o_totalprice")).alias("daily_revenue")
@@ -580,18 +713,27 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "day_over_day_lag",
-    tags=("window", "lag"),
-    doc="LAG + delta + guarded pct-change — the prev-day quality trend pattern "
-    "(05:533-537) with NULLIF division guard (04:168-169).",
+    "daily_window_metrics",
+    tags=("window", "frame", "lag"),
+    doc="Daily trend metrics merging two §2.5 demos on one daily grain: the "
+    "centered moving average with an explicit ROWS frame — the reference's "
+    "5-hour trend window (04:253-256, 07:302-307) — and LAG + delta + guarded "
+    "pct-change — the prev-day quality trend pattern (05:533-537) with NULLIF "
+    "division guard (04:168-169). One daily aggregate, two window specs over "
+    "the same global date order (one range shuffle; at scale the daily frame "
+    "is tiny — thousands of rows per decade).",
     oracle="""
         WITH daily AS (
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                   COUNT(*) AS order_count,
                    ROUND(SUM(o_totalprice), 4) AS daily_revenue
             FROM orders
             GROUP BY 1
         )
-        SELECT order_day, daily_revenue,
+        SELECT order_day, order_count, daily_revenue,
+               ROUND(AVG(order_count) OVER (
+                   ORDER BY order_day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4)
+                   AS moving_avg_orders,
                ROUND(daily_revenue - LAG(daily_revenue) OVER (ORDER BY order_day), 4)
                    AS revenue_delta,
                ROUND(100.0 * (daily_revenue - LAG(daily_revenue) OVER (ORDER BY order_day))
@@ -601,15 +743,17 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY order_day
     """,
 )
-def day_over_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def daily_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")).agg(
-        _r4(F.sum("o_totalprice")).alias("daily_revenue")
+        F.count("*").alias("order_count"), _r4(F.sum("o_totalprice")).alias("daily_revenue")
     )
+    w_frame = Window.orderBy("order_day").rowsBetween(-2, 2)
     w = Window.orderBy("order_day")
     prev = F.lag("daily_revenue").over(w)
     return (
-        daily.withColumn("revenue_delta", _r4(F.col("daily_revenue") - prev))
+        daily.withColumn("moving_avg_orders", _r4(F.avg("order_count").over(w_frame)))
+        .withColumn("revenue_delta", _r4(F.col("daily_revenue") - prev))
         .withColumn(
             "revenue_pct_change",
             _r4(100.0 * (F.col("daily_revenue") - prev) / F.nullif(prev, F.lit(0))),
@@ -690,11 +834,16 @@ def topk_line_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "string_function_suite",
-    tags=("scalar", "string"),
-    doc="LPAD/CONCAT/TRIM/UPPER/SUBSTRING/LENGTH/CONTAINS — the reference's "
-    "string surface (04:160,267,570-578; flight_data_processor.py:157-164: "
-    "callsign normalize + 3-char airline-code extraction).",
+    "scalar_function_suite",
+    tags=("scalar", "string", "math"),
+    doc="Per-row scalar-function surface on one grain (customer), merging the "
+    "string demo — LPAD/CONCAT/TRIM/UPPER/SUBSTRING/LENGTH/CONTAINS "
+    "(04:160,267,570-578; flight_data_processor.py:157-164: callsign "
+    "normalize + 3-char airline-code extraction) — with the math demo — "
+    "ABS/SQRT/POW/GREATEST/modulo (04:102,335-336,517-518,589). Math columns "
+    "are cross-engine exact by construction: ABS/GREATEST are exact IEEE ops, "
+    "SQRT is correctly rounded per IEEE-754, and POW runs on small integers "
+    "where every libm is exact — no ROUND needed anywhere.",
     oracle="""
         SELECT c_custkey,
                UPPER(TRIM(c_name))                         AS name_upper,
@@ -702,12 +851,17 @@ def topk_line_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                LPAD(CAST(c_custkey AS VARCHAR), 10, '0')   AS padded_key,
                c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS segment_tag,
                CAST(LENGTH(c_name) AS INT)                 AS name_len,
-               CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has_digit_one
+               CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has_digit_one,
+               ABS(c_acctbal)                              AS abs_bal,
+               SQRT(ABS(c_acctbal))                        AS sqrt_abs_bal,
+               CAST(POW(c_custkey % 9, 2) AS BIGINT)       AS pow_key_sq,
+               GREATEST(c_acctbal, 0.0)                    AS pos_bal,
+               c_custkey % 10                              AS mod_key
         FROM customer
         ORDER BY c_custkey
     """,
 )
-def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -719,6 +873,11 @@ def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length("c_name").alias("name_len"),
         F.when(F.col("c_name").contains("1"), 1).otherwise(0).alias("has_digit_one"),
+        F.abs(F.col("c_acctbal")).alias("abs_bal"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("sqrt_abs_bal"),
+        F.pow(F.col("c_custkey") % 9, 2).cast("long").alias("pow_key_sq"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("pos_bal"),
+        (F.col("c_custkey") % 10).alias("mod_key"),
     ).orderBy("c_custkey")
 
 
@@ -749,41 +908,6 @@ def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("order_count"), _r4(F.sum("o_totalprice")).alias("revenue"))
         .orderBy("order_year", "order_month", "approx_dow")
-    )
-
-
-@query(
-    "math_function_suite",
-    tags=("scalar", "math"),
-    doc="ROUND/ABS/SQRT/POW/GREATEST/modulo surface (04:102,335-336,517-518,589).",
-    oracle="""
-        SELECT l_linenumber,
-               COUNT(*) AS cnt,
-               ROUND(AVG(SQRT(l_extendedprice)), 4)                      AS avg_sqrt_price,
-               ROUND(AVG(POW(l_discount, 2)), 4)                         AS avg_disc_sq,
-               ROUND(AVG(ABS(l_extendedprice - l_quantity * 1000)), 4)   AS avg_abs_gap,
-               ROUND(AVG(GREATEST(l_tax, l_discount)), 4)                AS avg_max_rate,
-               ROUND(AVG(CAST(l_orderkey % 10 AS DOUBLE)), 4)            AS avg_key_mod
-        FROM lineitem
-        GROUP BY l_linenumber
-        ORDER BY l_linenumber
-    """,
-)
-def math_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_linenumber")
-        .agg(
-            F.count("*").alias("cnt"),
-            _r4(F.avg(F.sqrt("l_extendedprice"))).alias("avg_sqrt_price"),
-            _r4(F.avg(F.pow("l_discount", 2))).alias("avg_disc_sq"),
-            _r4(F.avg(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000))).alias(
-                "avg_abs_gap"
-            ),
-            _r4(F.avg(F.greatest("l_tax", "l_discount"))).alias("avg_max_rate"),
-            _r4(F.avg((F.col("l_orderkey") % 10).cast("double"))).alias("avg_key_mod"),
-        )
-        .orderBy("l_linenumber")
     )
 
 
@@ -859,98 +983,4 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.col("avg_value")).alias("avg_value"),
         )
         .orderBy("event_type")
-    )
-
-
-@query(
-    "rollup_subtotals",
-    tags=("agg", "rollup"),
-    doc="ROLLUP subtotal hierarchy (grand total → per-flag → per-flag-status) "
-    "— parity-plus: the reference has no grouping sets (SURVEY §2.4 note), "
-    "Spark and the oracle both support them natively. One pass produces every "
-    "subtotal level (vs the reference's chained CTE re-aggregations).",
-    oracle="""
-        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-               COALESCE(l_linestatus, 'ALL') AS linestatus,
-               COUNT(*) AS row_count,
-               ROUND(SUM(l_quantity), 4) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 4) AS sum_price
-        FROM lineitem
-        GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY returnflag, linestatus
-    """,
-)
-def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("row_count"),
-            _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_price"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "row_count",
-            "sum_qty",
-            "sum_price",
-        )
-        .orderBy("returnflag", "linestatus")
-    )
-
-
-@query(
-    "window_distribution_functions",
-    tags=("window", "distribution"),
-    doc="Distribution window functions — ntile quartiles, percent_rank, "
-    "cume_dist over order value per nation (parity-plus: the reference uses "
-    "only rank/row_number/lag; these complete Spark's §2.5 window surface). "
-    "Aggregated to per-(nation, quartile) bands so the result is compact at "
-    "any scale.",
-    oracle="""
-        WITH ranked AS (
-            SELECT c_nationkey,
-                   o_totalprice,
-                   NTILE(4) OVER w AS quartile,
-                   PERCENT_RANK() OVER w AS pr,
-                   CUME_DIST() OVER w AS cd
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            WINDOW w AS (PARTITION BY c_nationkey ORDER BY o_totalprice, o_orderkey)
-        )
-        SELECT c_nationkey, quartile,
-               COUNT(*) AS order_count,
-               ROUND(MIN(o_totalprice), 4) AS min_price,
-               ROUND(MAX(o_totalprice), 4) AS max_price,
-               ROUND(MAX(pr), 4) AS max_percent_rank,
-               ROUND(MAX(cd), 4) AS max_cume_dist
-        FROM ranked
-        GROUP BY c_nationkey, quartile
-        ORDER BY c_nationkey, quartile
-    """,
-)
-def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    joined = o.join(c, o.o_custkey == c.c_custkey)
-    w = Window.partitionBy("c_nationkey").orderBy("o_totalprice", "o_orderkey")
-    ranked = joined.select(
-        "c_nationkey",
-        "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    )
-    return (
-        ranked.groupBy("c_nationkey", "quartile")
-        .agg(
-            F.count("*").alias("order_count"),
-            _r4(F.min("o_totalprice")).alias("min_price"),
-            _r4(F.max("o_totalprice")).alias("max_price"),
-            _r4(F.max("pr")).alias("max_percent_rank"),
-            _r4(F.max("cd")).alias("max_cume_dist"),
-        )
-        .orderBy("c_nationkey", "quartile")
     )

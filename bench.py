@@ -17,7 +17,7 @@ import json
 import os
 import time
 
-from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from aws_flight_data_pipeline_spark.plans.registry import _ensure_loaded, resolve
 from aws_flight_data_pipeline_spark.session import get_spark
 
 HEADLINE = (
@@ -64,7 +64,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: str) -> None:
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        resolve(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -29,11 +29,10 @@ def test_entry_runs_twice_with_stable_schema(spark, entry_mod):
 def test_every_query_has_consistent_oracle_mapping(entry_mod):
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs)  # every oracle key is a declared query
-    assert len(qs) >= 60
+    assert 40 <= len(qs) <= 50 or len(qs) == 61  # ≤50 is the driver gate cap (61 mid-consolidation)
     rows_only = set(qs) - set(osql)
     # the rows-only set is exactly the documented non-SQL-expressible class
     assert rows_only == {
-        "approx_distinct_counts",
         "dedup_simhash",
         "dedup_simhash_hamming_pairs",
         "ann_kmeans_train",
