@@ -16,8 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
 
@@ -130,73 +131,78 @@ _TIMELINESS_SQL = f"""
 
 
 @query(
-    "quality_completeness",
+    "quality_score_profile",
     tags=("quality", "agg"),
-    doc="Batch completeness metrics per event type — weighted presence score "
-    "+ fully-complete ratio (quality_validator.py:284-332 as one hash-agg).",
+    doc="Batch completeness + validity profile per event type, merging the two "
+    "per-dimension score queries on their shared grain (quality_validator.py:"
+    "284-332 completeness weights, :334-522 validity checks; one hash-agg). "
+    "Cross-engine value discipline: the weighted completeness score is summed "
+    "as exact integer tenths (5/3/2 per field) and validity as integer "
+    "quarters (4 − failed checks), each divided once at the end — unrounded "
+    "quotients of exact integers are bit-identical doubles in both engines, "
+    "unlike ROUND(AVG(score), 4) which diverges on 4-dp half-boundaries.",
     oracle=f"""
         WITH gapped AS ({_GAPPED_SQL})
         SELECT event_type,
                COUNT(*) AS record_count,
-               ROUND(AVG({_COMPLETENESS_SQL}), 4) AS avg_completeness,
-               SUM(CASE WHEN value_g IS NULL THEN 1 ELSE 0 END)  AS missing_value_count,
-               SUM(CASE WHEN props_g IS NULL THEN 1 ELSE 0 END)  AS missing_props_count,
-               ROUND(AVG(CASE WHEN value_g IS NOT NULL AND props_g IS NOT NULL
-                              AND type_g IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
-                   AS fully_complete_ratio
+               CAST(SUM(CASE WHEN value_g IS NOT NULL THEN 5 ELSE 0 END
+                        + CASE WHEN props_g IS NOT NULL THEN 3 ELSE 0 END
+                        + CASE WHEN type_g IS NOT NULL THEN 2 ELSE 0 END) AS BIGINT)
+                   / (10.0 * COUNT(*)) AS avg_completeness,
+               CAST(SUM(CASE WHEN value_g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS missing_value_count,
+               CAST(SUM(CASE WHEN props_g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS missing_props_count,
+               CAST(SUM(CASE WHEN value_g IS NOT NULL AND props_g IS NOT NULL
+                             AND type_g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   / (1.0 * COUNT(*)) AS fully_complete_ratio,
+               CAST(SUM(4 - (CASE WHEN value >= 0 AND value <= 250 THEN 0 ELSE 1 END
+                             + CASE WHEN year(ts) = 2024 THEN 0 ELSE 1 END
+                             + CASE WHEN event_type IN {_KNOWN_TYPES_SQL} THEN 0 ELSE 1 END
+                             + CASE WHEN user_id >= 0 THEN 0 ELSE 1 END)) AS BIGINT)
+                   / (4.0 * COUNT(*)) AS avg_validity,
+               CAST(SUM(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS range_failures,
+               CAST(SUM(CASE WHEN year(ts) <> 2024 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS temporal_failures,
+               MIN({_VALIDITY_SQL}) AS min_validity
         FROM gapped
         GROUP BY event_type
         ORDER BY event_type
     """,
 )
-def quality_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _gapped(load_table(spark, sf_dir, "events"))
     fully = (
         F.col("value_g").isNotNull() & F.col("props_g").isNotNull() & F.col("type_g").isNotNull()
     )
+    tenths = (
+        F.when(F.col("value_g").isNotNull(), 5).otherwise(0)
+        + F.when(F.col("props_g").isNotNull(), 3).otherwise(0)
+        + F.when(F.col("type_g").isNotNull(), 2).otherwise(0)
+    )
+    known = F.col("event_type").isin(*KNOWN_EVENT_TYPES)
+    failed = (
+        F.when((F.col("value") >= 0) & (F.col("value") <= 250), 0).otherwise(1)
+        + F.when(F.year("ts") == 2024, 0).otherwise(1)
+        + F.when(known, 0).otherwise(1)
+        + F.when(F.col("user_id") >= 0, 0).otherwise(1)
+    )
+    n = F.count("*")
     return (
         e.groupBy("event_type")
         .agg(
-            F.count("*").alias("record_count"),
-            _r4(F.avg(completeness_score())).alias("avg_completeness"),
+            n.alias("record_count"),
+            (F.sum(tenths) / (10.0 * n)).alias("avg_completeness"),
             F.sum(F.when(F.col("value_g").isNull(), 1).otherwise(0)).alias("missing_value_count"),
             F.sum(F.when(F.col("props_g").isNull(), 1).otherwise(0)).alias("missing_props_count"),
-            _r4(F.avg(F.when(fully, 1.0).otherwise(0.0))).alias("fully_complete_ratio"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "quality_validity",
-    tags=("quality", "agg"),
-    doc="Batch validity metrics — 1−failed/checked score plus per-check "
-    "failure counts (quality_validator.py:334-522).",
-    oracle=f"""
-        SELECT event_type,
-               COUNT(*) AS record_count,
-               ROUND(AVG({_VALIDITY_SQL}), 4) AS avg_validity,
-               SUM(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END) AS range_failures,
-               SUM(CASE WHEN year(ts) <> 2024 THEN 1 ELSE 0 END)         AS temporal_failures,
-               ROUND(MIN({_VALIDITY_SQL}), 4) AS min_validity
-        FROM events
-        GROUP BY event_type
-        ORDER BY event_type
-    """,
-)
-def quality_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    v = validity_score()
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count("*").alias("record_count"),
-            _r4(F.avg(v)).alias("avg_validity"),
+            (F.sum(F.when(fully, 1).otherwise(0)) / (1.0 * n)).alias("fully_complete_ratio"),
+            (F.sum(4 - failed) / (4.0 * n)).alias("avg_validity"),
             F.sum(
                 F.when((F.col("value") < 0) | (F.col("value") > 250), 1).otherwise(0)
             ).alias("range_failures"),
             F.sum(F.when(F.year("ts") != 2024, 1).otherwise(0)).alias("temporal_failures"),
-            _r4(F.min(v)).alias("min_validity"),
+            F.min(validity_score()).alias("min_validity"),
         )
         .orderBy("event_type")
     )
@@ -255,27 +261,46 @@ def quality_grade_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_quarantine_split",
     tags=("quality", "quarantine"),
-    doc="Quarantine decision + split counts — score < 0.30 or critical issue "
-    "(quality_validator.py:808-820, quarantine_system.py:238-336). In the "
-    "pipeline this boolean drives two filtered writes (clean/quarantine paths).",
+    doc="Quarantine decision + split counts + review-status triage — score "
+    "< 0.30 or critical issue quarantines a record (quality_validator.py:"
+    "808-820, quarantine_system.py:238-336); quarantined records are then "
+    "triaged into the reference's review workflow states (quarantine_system"
+    ".py:338-381): auto_release_eligible (borderline score, no critical "
+    "issue), expired (older than the 30-day retention vs the injected now), "
+    "else pending_review. In the pipeline the quarantine boolean drives two "
+    "filtered writes (clean/quarantine paths). quarantine_rate is an "
+    "unrounded quotient of exact counts.",
     oracle=f"""
         WITH gapped AS ({_GAPPED_SQL}),
         scored AS (
-            SELECT event_type,
+            SELECT event_type, ts,
                    0.30 * {_COMPLETENESS_SQL} + 0.30 * {_VALIDITY_SQL}
                    + 0.25 * {_TIMELINESS_SQL} + 0.15 * 1.0 AS overall,
                    CASE WHEN value_g IS NULL OR value > 250 THEN 1 ELSE 0 END AS critical_issue
             FROM gapped
+        ),
+        flagged AS (
+            SELECT event_type, overall, critical_issue,
+                   CASE WHEN overall < 0.30 OR critical_issue = 1 THEN 1 ELSE 0 END AS q,
+                   CASE WHEN epoch({QUALITY_NOW_SQL}) - epoch(ts) > 2592000.0
+                        THEN 1 ELSE 0 END AS aged_out
+            FROM scored
         )
         SELECT event_type,
                COUNT(*) AS total_records,
-               SUM(CASE WHEN overall < 0.30 OR critical_issue = 1 THEN 1 ELSE 0 END)
-                   AS quarantined,
-               SUM(CASE WHEN overall < 0.30 OR critical_issue = 1 THEN 0 ELSE 1 END)
-                   AS clean,
-               ROUND(AVG(CASE WHEN overall < 0.30 OR critical_issue = 1 THEN 1.0 ELSE 0.0 END), 4)
-                   AS quarantine_rate
-        FROM scored
+               CAST(SUM(q) AS BIGINT)     AS quarantined,
+               CAST(SUM(1 - q) AS BIGINT) AS clean,
+               CAST(SUM(q) AS BIGINT) / (1.0 * COUNT(*)) AS quarantine_rate,
+               CAST(SUM(CASE WHEN q = 1 AND aged_out = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS review_expired,
+               CAST(SUM(CASE WHEN q = 1 AND aged_out = 0 AND critical_issue = 0
+                             AND overall >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS review_auto_release,
+               CAST(SUM(CASE WHEN q = 1 AND aged_out = 0
+                             AND NOT (critical_issue = 0 AND overall >= 0.25)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS review_pending
+        FROM flagged
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -289,16 +314,36 @@ def quality_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.15 * F.lit(1.0)
     )
     critical = F.when(F.col("value_g").isNull() | (F.col("value") > 250), 1).otherwise(0)
-    quarantine = (overall < 0.30) | (critical == 1)
+    scored = e.select(
+        "event_type",
+        overall.alias("overall"),
+        critical.alias("critical_issue"),
+        F.when((overall < 0.30) | (critical == 1), 1).otherwise(0).alias("q"),
+        F.when(
+            F.lit(QUALITY_NOW).cast("timestamp").cast("double") - F.col("ts").cast("double")
+            > 2592000.0,
+            1,
+        )
+        .otherwise(0)
+        .alias("aged_out"),
+    )
+    quarantined, aged = F.col("q") == 1, F.col("aged_out") == 1
+    borderline = (F.col("critical_issue") == 0) & (F.col("overall") >= 0.25)
+    n = F.count("*")
     return (
-        e.withColumn("overall", overall)
-        .withColumn("critical_issue", critical)
-        .groupBy("event_type")
+        scored.groupBy("event_type")
         .agg(
-            F.count("*").alias("total_records"),
-            F.sum(F.when(quarantine, 1).otherwise(0)).alias("quarantined"),
-            F.sum(F.when(quarantine, 0).otherwise(1)).alias("clean"),
-            _r4(F.avg(F.when(quarantine, 1.0).otherwise(0.0))).alias("quarantine_rate"),
+            n.alias("total_records"),
+            F.sum("q").alias("quarantined"),
+            F.sum(1 - F.col("q")).alias("clean"),
+            (F.sum("q") / (1.0 * n)).alias("quarantine_rate"),
+            F.sum(F.when(quarantined & aged, 1).otherwise(0)).alias("review_expired"),
+            F.sum(F.when(quarantined & ~aged & borderline, 1).otherwise(0)).alias(
+                "review_auto_release"
+            ),
+            F.sum(F.when(quarantined & ~aged & ~borderline, 1).otherwise(0)).alias(
+                "review_pending"
+            ),
         )
         .orderBy("event_type")
     )
@@ -473,39 +518,29 @@ def serving_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.crossJoin(top)
 
 
-@query(
-    "anomaly_iqr_outliers",
-    tags=("anomaly", "percentile", "join"),
-    doc="IQR-fence outlier detection — per-group p25/p75, fences at ±1.5·IQR, "
-    "stats broadcast back to the fact rows (anomaly_detector.py:296-376; the "
-    "altitude_range IQR×3 batch check, data_quality_validator.py). At scale the "
-    "per-group stats row set stays tiny → broadcast join, no fact shuffle.",
-    oracle="""
-        WITH fences AS (
-            SELECT l_returnflag,
-                   quantile_cont(l_extendedprice, 0.25) AS p25,
-                   quantile_cont(l_extendedprice, 0.75) AS p75
-            FROM lineitem GROUP BY l_returnflag
-        )
-        SELECT l.l_returnflag,
-               COUNT(*) AS row_count,
-               SUM(CASE WHEN l.l_extendedprice < f.p25 - 1.5 * (f.p75 - f.p25)
-                          OR l.l_extendedprice > f.p75 + 1.5 * (f.p75 - f.p25)
-                        THEN 1 ELSE 0 END) AS outlier_count,
-               ROUND(f.p25 - 1.5 * (f.p75 - f.p25), 4) AS lower_fence,
-               ROUND(f.p75 + 1.5 * (f.p75 - f.p25), 4) AS upper_fence
-        FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
-        GROUP BY l.l_returnflag, f.p25, f.p75
-        ORDER BY l.l_returnflag
-    """,
-)
-def anomaly_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _iqr_frame(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    """IQR-fence outlier detection — per-group p25/p75, fences at ±1.5·IQR,
+    stats broadcast back to the fact rows (anomaly_detector.py:296-376; the
+    altitude_range IQR×3 batch check, data_quality_validator.py). At scale the
+    per-group stats row set stays tiny → broadcast join, no fact shuffle.
+
+    ``exact=True`` buffers each group's full column in the agg buffer — kept
+    for oracle parity only. The production path (``exact=False``) uses
+    ``approx_percentile`` (bounded-memory KLL-style sketch, mergeable across
+    partitions) — the at-scale variant the reference's APPROX_PERCENTILE
+    surface implies. Both exact percentiles come from ONE buffered sort
+    (array form); two scalar percentile aggs would buffer+sort twice.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    # both exact percentiles from ONE buffered sort (array form) — two scalar
-    # percentile aggs would buffer+sort the column twice (~2× slower measured)
+    qs = F.array(F.lit(0.25), F.lit(0.75))
+    pctl = (
+        F.percentile("l_extendedprice", qs)
+        if exact
+        else F.percentile_approx("l_extendedprice", qs)
+    )
     fences = (
         li.groupBy(F.col("l_returnflag").alias("rf"))
-        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75))).alias("ps"))
+        .agg(pctl.alias("ps"))
         .select(
             "rf",
             F.element_at("ps", 1).alias("p25"),
@@ -526,43 +561,32 @@ def anomaly_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "row_count",
             "outlier_count",
-            _r4(lower).alias("lower_fence"),
-            _r4(upper).alias("upper_fence"),
+            # integer-microscale rounding: the fence is an exact ≤5-dp decimal
+            # (4-dp interpolated percentile + 1.5×4-dp IQR), so ×1e5 lands
+            # integer±ε in both engines — never on a .5 boundary
+            (F.round(lower * 1e5).cast("long") / 1e5).alias("lower_fence"),
+            (F.round(upper * 1e5).cast("long") / 1e5).alias("upper_fence"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@query(
-    "anomaly_data_corruption",
-    tags=("anomaly", "corruption"),
-    doc="Data-corruption scan — NaN / Inf / extreme-magnitude / impossible "
-    "values across numeric fields (anomaly_detector.py:565-621). The testdata "
-    "is clean, so corruption is injected at fixed residues to exercise the "
-    "detector on both engines.",
-    oracle="""
-        WITH corrupted AS (
-            SELECT event_id, event_type,
-                   CASE WHEN event_id % 101 = 0 THEN CAST('nan' AS DOUBLE)
-                        WHEN event_id % 103 = 0 THEN CAST('inf' AS DOUBLE)
-                        WHEN event_id % 107 = 0 THEN 1e12
-                        ELSE value END AS v
-            FROM events
-        )
-        SELECT event_type,
-               COUNT(*) AS total_rows,
-               SUM(CASE WHEN isnan(v) THEN 1 ELSE 0 END)                    AS nan_count,
-               SUM(CASE WHEN NOT isnan(v) AND isinf(v) THEN 1 ELSE 0 END)   AS inf_count,
-               SUM(CASE WHEN NOT isnan(v) AND NOT isinf(v) AND ABS(v) > 1e10
-                        THEN 1 ELSE 0 END)                                  AS extreme_count,
-               SUM(CASE WHEN NOT isnan(v) AND NOT isinf(v) AND ABS(v) <= 1e10
-                        THEN 1 ELSE 0 END)                                  AS clean_count
-        FROM corrupted
-        GROUP BY event_type
-        ORDER BY event_type
-    """,
-)
-def anomaly_data_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+@builder("anomaly_iqr_outliers")
+def anomaly_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile IQR fences (round-1 bench name, oracle-parity form)."""
+    return _iqr_frame(spark, sf_dir, exact=True)
+
+
+@builder("anomaly_iqr_outliers_approx")
+def anomaly_iqr_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IQR path: approx_percentile sketch — bounded memory at any
+    group size (the exact form buffers the whole group's column)."""
+    return _iqr_frame(spark, sf_dir, exact=False)
+
+
+def _corruption_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-corruption scan — NaN / Inf / extreme-magnitude values injected at
+    fixed residues (anomaly_detector.py:565-621; testdata is clean)."""
     e = load_table(spark, sf_dir, "events")
     v = (
         F.when(F.col("event_id") % 101 == 0, F.lit(float("nan")))
@@ -591,42 +615,162 @@ def anomaly_data_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anomaly_scan_suite",
+    tags=("anomaly", "percentile", "join", "corruption"),
+    doc="Statistical + structural anomaly scan in long (section, grp, metric, "
+    "value) form, merging two §2.9 detectors: IQR-fence outliers over "
+    "lineitem price groups (anomaly_detector.py:296-376 — per-group exact "
+    "p25/p75 broadcast back to the fact rows; approx_percentile is the "
+    "at-scale production variant, see anomaly_iqr_outliers_approx) and the "
+    "NaN/Inf/extreme corruption scan over events (anomaly_detector.py:"
+    "565-621). Counts travel as exact integer-valued doubles; fences are "
+    "integer-microscale (×1e5) rounded, which both engines agree on.",
+    oracle="""
+        WITH fences AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        iqr AS (
+            SELECT l.l_returnflag AS grp,
+                   CAST(COUNT(*) AS DOUBLE) AS row_count,
+                   CAST(SUM(CASE WHEN l.l_extendedprice < f.p25 - 1.5 * (f.p75 - f.p25)
+                              OR l.l_extendedprice > f.p75 + 1.5 * (f.p75 - f.p25)
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS outlier_count,
+                   CAST(ROUND((f.p25 - 1.5 * (f.p75 - f.p25)) * 1e5) AS BIGINT) / 1e5
+                       AS lower_fence,
+                   CAST(ROUND((f.p75 + 1.5 * (f.p75 - f.p25)) * 1e5) AS BIGINT) / 1e5
+                       AS upper_fence
+            FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+            GROUP BY l.l_returnflag, f.p25, f.p75
+        ),
+        corrupted AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 101 = 0 THEN CAST('nan' AS DOUBLE)
+                        WHEN event_id % 103 = 0 THEN CAST('inf' AS DOUBLE)
+                        WHEN event_id % 107 = 0 THEN 1e12
+                        ELSE value END AS v
+            FROM events
+        ),
+        corr AS (
+            SELECT event_type AS grp,
+                   CAST(COUNT(*) AS DOUBLE) AS total_rows,
+                   CAST(SUM(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS DOUBLE) AS nan_count,
+                   CAST(SUM(CASE WHEN NOT isnan(v) AND isinf(v) THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS inf_count,
+                   CAST(SUM(CASE WHEN NOT isnan(v) AND NOT isinf(v) AND ABS(v) > 1e10
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS extreme_count,
+                   CAST(SUM(CASE WHEN NOT isnan(v) AND NOT isinf(v) AND ABS(v) <= 1e10
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS clean_count
+            FROM corrupted
+            GROUP BY event_type
+        )
+        SELECT 'iqr' AS section, grp, 'row_count' AS metric, row_count AS value FROM iqr
+        UNION ALL SELECT 'iqr', grp, 'outlier_count', outlier_count FROM iqr
+        UNION ALL SELECT 'iqr', grp, 'lower_fence', lower_fence FROM iqr
+        UNION ALL SELECT 'iqr', grp, 'upper_fence', upper_fence FROM iqr
+        UNION ALL SELECT 'corruption', grp, 'total_rows', total_rows FROM corr
+        UNION ALL SELECT 'corruption', grp, 'nan_count', nan_count FROM corr
+        UNION ALL SELECT 'corruption', grp, 'inf_count', inf_count FROM corr
+        UNION ALL SELECT 'corruption', grp, 'extreme_count', extreme_count FROM corr
+        UNION ALL SELECT 'corruption', grp, 'clean_count', clean_count FROM corr
+        ORDER BY section, grp, metric
+    """,
+)
+def anomaly_scan_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _melt(df: DataFrame, section: str, grp: str, metrics: list[str]) -> DataFrame:
+        entries = F.array(
+            *[
+                F.struct(F.lit(m).alias("metric"), F.col(m).cast("double").alias("value"))
+                for m in metrics
+            ]
+        )
+        return df.select(
+            F.lit(section).alias("section"),
+            F.col(grp).alias("grp"),
+            F.explode(entries).alias("e"),
+        ).select("section", "grp", "e.metric", "e.value")
+
+    iqr = _melt(
+        _iqr_frame(spark, sf_dir, exact=True),
+        "iqr",
+        "l_returnflag",
+        ["row_count", "outlier_count", "lower_fence", "upper_fence"],
+    )
+    corr = _melt(
+        _corruption_frame(spark, sf_dir),
+        "corruption",
+        "event_type",
+        ["total_rows", "nan_count", "inf_count", "extreme_count", "clean_count"],
+    )
+    return iqr.unionAll(corr).orderBy("section", "grp", "metric")
+
+
+@query(
     "alert_evaluation",
     tags=("quality", "alerting"),
-    doc="Threshold alert evaluation over batch summaries (alerting.py:398-520, "
-    "operators/quality.evaluate_alerts): the events split into previous/"
-    "current batches (even/odd event_id — non-empty at every scale), each "
-    "summarized by one agg, combined by single-row crossJoin, and evaluated "
-    "against the quarantine-rate / "
-    "quality-floor / quality-drop thresholds — (alert, severity, triggered, "
-    "observed) rows.",
+    doc="Threshold alert evaluation with suppression windows + severity "
+    "routing (alerting.py:398-520 thresholds; :80-115 suppression — an alert "
+    "already active in the previous window is suppressed for one cooldown "
+    "window; :143-180 severity→destination routing). The events are bucketed "
+    "into 4 equal time windows; each window is summarized by one agg and "
+    "evaluated against the quarantine-rate / quality-floor / quality-drop "
+    "thresholds, then a LAG window per alert_name applies the cooldown. "
+    "Bucketing uses exact double arithmetic on order-independent MIN/MAX "
+    "epochs, so both engines agree; rates are exact count quotients and "
+    "quality is ROUND(AVG,4) of a continuous score (boundary-safe).",
     oracle=f"""
         WITH gapped AS ({_GAPPED_SQL}),
         scored AS (
-            SELECT event_id % 2 AS half,
+            SELECT ts,
                    0.30 * {_COMPLETENESS_SQL} + 0.30 * {_VALIDITY_SQL}
                    + 0.25 * {_TIMELINESS_SQL} + 0.15 * 1.0 AS overall,
                    CASE WHEN value_g IS NULL OR value > 250 THEN 1 ELSE 0 END AS critical
             FROM gapped
         ),
-        cur AS (
-            SELECT ROUND(AVG(overall), 4) AS q,
-                   ROUND(AVG(CASE WHEN overall < 0.30 OR critical = 1
-                             THEN 1.0 ELSE 0.0 END), 4) AS qr
-            FROM scored WHERE half = 1
+        bounds AS (SELECT MIN(epoch(ts)) AS tmin, MAX(epoch(ts)) AS tmax FROM scored),
+        bucketed AS (
+            SELECT LEAST(3, CAST(FLOOR(4.0 * (epoch(ts) - tmin) / (tmax - tmin + 1.0))
+                                 AS BIGINT)) AS window_id,
+                   overall, critical
+            FROM scored, bounds
         ),
-        prev AS (SELECT ROUND(AVG(overall), 4) AS pq FROM scored WHERE half = 0)
-        SELECT a.alert_name, a.severity, a.triggered, a.observed
-        FROM cur, prev, LATERAL (
-            SELECT 'quarantine_rate_high' AS alert_name, 'HIGH' AS severity,
-                   qr > 0.15 AS triggered, qr AS observed
-            UNION ALL
-            SELECT 'quality_below_floor', 'CRITICAL', q < 0.70, q
-            UNION ALL
-            SELECT 'quality_drop_vs_previous', 'MEDIUM',
-                   pq - q > 0.10, ROUND(pq - q, 4)
-        ) a
-        ORDER BY alert_name
+        per_window AS (
+            SELECT window_id,
+                   ROUND(AVG(overall), 4) AS q,
+                   CAST(SUM(CASE WHEN overall < 0.30 OR critical = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) / (1.0 * COUNT(*)) AS qr
+            FROM bucketed GROUP BY window_id
+        ),
+        with_prev AS (
+            SELECT *, LAG(q) OVER (ORDER BY window_id) AS prev_q FROM per_window
+        ),
+        alerts AS (
+            SELECT w.window_id, a.alert_name, a.severity, a.triggered, a.observed
+            FROM with_prev w, LATERAL (
+                SELECT 'quarantine_rate_high' AS alert_name, 'HIGH' AS severity,
+                       w.qr > 0.15 AS triggered, w.qr AS observed
+                UNION ALL
+                SELECT 'quality_below_floor', 'CRITICAL', w.q < 0.70, w.q
+                UNION ALL
+                SELECT 'quality_drop_vs_previous', 'MEDIUM',
+                       COALESCE(w.prev_q - w.q > 0.10, FALSE),
+                       ROUND(COALESCE(w.prev_q - w.q, 0.0), 4)
+            ) a
+        )
+        SELECT window_id, alert_name, severity, triggered, observed,
+               triggered AND COALESCE(
+                   LAG(triggered) OVER (PARTITION BY alert_name ORDER BY window_id),
+                   FALSE) AS suppressed,
+               triggered AND NOT COALESCE(
+                   LAG(triggered) OVER (PARTITION BY alert_name ORDER BY window_id),
+                   FALSE) AS notify,
+               CASE severity WHEN 'CRITICAL' THEN 'pager'
+                             WHEN 'HIGH' THEN 'oncall-chat'
+                             ELSE 'daily-digest' END AS route
+        FROM alerts
+        ORDER BY window_id, alert_name
     """,
 )
 def alert_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,16 +783,29 @@ def alert_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     critical = F.when(F.col("value_g").isNull() | (F.col("value") > 250), 1).otherwise(0)
     scored = e.select(
-        (F.col("event_id") % 2).alias("half"), overall.alias("overall"), critical.alias("critical")
+        F.col("ts").cast("double").alias("epoch_ts"),
+        overall.alias("overall"),
+        critical.alias("critical"),
+    )
+    bounds = scored.agg(F.min("epoch_ts").alias("tmin"), F.max("epoch_ts").alias("tmax"))
+    bucketed = scored.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(3),
+            F.floor(
+                4.0 * (F.col("epoch_ts") - F.col("tmin")) / (F.col("tmax") - F.col("tmin") + 1.0)
+            ),
+        ).alias("window_id"),
+        "overall",
+        "critical",
     )
     quarantine = (F.col("overall") < 0.30) | (F.col("critical") == 1)
-    cur = scored.filter(F.col("half") == 1).agg(
+    per_window = bucketed.groupBy("window_id").agg(
         _r4(F.avg("overall")).alias("q"),
-        _r4(F.avg(F.when(quarantine, 1.0).otherwise(0.0))).alias("qr"),
+        (F.sum(F.when(quarantine, 1).otherwise(0)) / (1.0 * F.count("*"))).alias("qr"),
     )
-    prev = scored.filter(F.col("half") == 0).agg(_r4(F.avg("overall")).alias("pq"))
-    s = cur.crossJoin(F.broadcast(prev))
-    alerts = F.array(
+    w_seq = Window.orderBy("window_id")
+    with_prev = per_window.withColumn("prev_q", F.lag("q").over(w_seq))
+    alerts_arr = F.array(
         F.struct(
             F.lit("quarantine_rate_high").alias("alert_name"),
             F.lit("HIGH").alias("severity"),
@@ -664,14 +821,25 @@ def alert_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit("quality_drop_vs_previous").alias("alert_name"),
             F.lit("MEDIUM").alias("severity"),
-            (F.col("pq") - F.col("q") > 0.10).alias("triggered"),
-            _r4(F.col("pq") - F.col("q")).alias("observed"),
+            F.coalesce(F.col("prev_q") - F.col("q") > 0.10, F.lit(False)).alias("triggered"),
+            _r4(F.coalesce(F.col("prev_q") - F.col("q"), F.lit(0.0))).alias("observed"),
         ),
     )
+    alerts = with_prev.select("window_id", F.explode(alerts_arr).alias("a")).select(
+        "window_id", "a.alert_name", "a.severity", "a.triggered", "a.observed"
+    )
+    w_alert = Window.partitionBy("alert_name").orderBy("window_id")
+    prev_trig = F.coalesce(F.lag("triggered").over(w_alert), F.lit(False))
     return (
-        s.select(F.explode(alerts).alias("a"))
-        .select("a.alert_name", "a.severity", "a.triggered", "a.observed")
-        .orderBy("alert_name")
+        alerts.withColumn("suppressed", F.col("triggered") & prev_trig)
+        .withColumn("notify", F.col("triggered") & ~prev_trig)
+        .withColumn(
+            "route",
+            F.when(F.col("severity") == "CRITICAL", "pager")
+            .when(F.col("severity") == "HIGH", "oncall-chat")
+            .otherwise("daily-digest"),
+        )
+        .orderBy("window_id", "alert_name")
     )
 
 
