@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from aws_flight_data_pipeline_spark.functions.geo import haversine
-from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
 
@@ -32,138 +32,146 @@ def _w():
     return Window.partitionBy("user_id").orderBy("ts", "event_id")
 
 
-@query(
-    "seq_delta_cumulative",
-    tags=("sequence", "window", "lag"),
-    doc="Per-entity LAG delta + running cumulative sum — the consecutive-point "
-    "distance + cumsum operator (data_transformer.py:409-472).",
-    oracle="""
-        SELECT event_id, user_id,
-               ROUND(value, 4) AS value,
-               ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
-                   AS value_delta,
-               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
-        FROM events
-        ORDER BY user_id, ts, event_id
-    """,
-)
+@builder("seq_delta_cumulative")
 def seq_delta_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    """Standalone delta+cumsum (round-1 bench name) — see seq_kinematics."""
+    return _kinematics_frame(spark, sf_dir).select(
+        "event_id", "user_id", "value", "value_delta", "running_total"
+    )
+
+
+@builder("seq_rate_of_change")
+def seq_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone Δv/Δt (round-1 bench name) — see seq_kinematics."""
+    return _kinematics_frame(spark, sf_dir).select("event_id", "user_id", "rate_per_min")
+
+
+@builder("seq_trajectory_distance")
+def seq_trajectory_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone trajectory distance (round-1 bench name) — see seq_kinematics."""
+    return _kinematics_frame(spark, sf_dir).select(
+        "event_id", "user_id", "leg_distance_m", "cumulative_m"
+    )
+
+
+def _kinematics_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-event kinematics from ONE window shuffle.
+
+    Merges the reference's consecutive-point delta/cumsum
+    (data_transformer.py:409-472), climb-rate/acceleration Δv/Δt
+    (:474-518), and haversine trajectory distance (:409-472) — every metric
+    shares the same (user_id)×(ts, event_id) window spec, so Spark plans a
+    single Exchange+Sort feeding all window functions: at 100 TB the shuffle
+    happens once, not three times.
+
+    Cross-engine value notes: rate_per_min is an UNROUNDED quotient —
+    subtraction and division of identical doubles are deterministic IEEE ops,
+    while ROUND(quotient, 4) diverges on 4-dp half-boundaries (2-decimal
+    Δvalue over whole-second Δt lands there; driver-observed). Trajectory
+    legs are quantized to integer meters before the running sum so libm trig
+    noise cannot accumulate (the haversine composition is the reference
+    formula, asin form, R=6371 km).
+    """
+    e = load_table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
+    e = e.withColumn("lat", (F.col("value") % 120) - 60).withColumn(
+        "lon", (F.col("event_id") % 360).cast("double") - 180.0
+    )
     w = _w()
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dv = F.col("value") - F.lag("value").over(w)
+    dt_min = (F.col("ts_sec") - F.lag("ts_sec").over(w)) / 60.0
+    leg_m = F.round(
+        1000.0
+        * haversine(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")),
+        0,
+    ).cast("bigint")
     return e.select(
         "event_id",
         "user_id",
         _r4(F.col("value")).alias("value"),
-        _r4(F.col("value") - F.lag("value").over(w)).alias("value_delta"),
-        _r4(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
-            "running_total"
-        ),
-    )  # no final global sort — see seq_forward_fill note
+        _r4(dv).alias("value_delta"),
+        _r4(F.sum("value").over(w_run)).alias("running_total"),
+        (dv / F.nullif(dt_min, F.lit(0.0))).alias("rate_per_min"),
+        leg_m.alias("leg_distance_m"),
+        F.sum(F.coalesce(leg_m, F.lit(0))).over(w_run).cast("bigint").alias("cumulative_m"),
+    )  # no final global sort: compare is order-insensitive, and a cosmetic
+    # ORDER BY costs a full range shuffle of every row
 
 
 @query(
-    "seq_rate_of_change",
-    tags=("sequence", "window", "lag"),
-    doc="Δvalue/Δt per minute — the climb-rate / acceleration operators "
-    "(data_transformer.py:474-518), with zero-Δt guard.",
+    "seq_kinematics",
+    tags=("sequence", "window", "lag", "geo"),
+    doc="Per-entity kinematics suite — LAG delta + running cumsum "
+    "(data_transformer.py:409-472), Δvalue/Δt climb-rate with zero-Δt guard "
+    "(:474-518), and integer-meter haversine trajectory legs + cumulative "
+    "distance, all from ONE shared window shuffle (see _kinematics_frame).",
     oracle="""
-        SELECT event_id, user_id,
-               ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                     / NULLIF((epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 60.0, 0),
-                     4) AS rate_per_min
-        FROM events
-        ORDER BY user_id, ts, event_id
-    """,
-)
-def seq_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
-    w = _w()
-    dv = F.col("value") - F.lag("value").over(w)
-    dt_min = (F.col("ts_sec") - F.lag("ts_sec").over(w)) / 60.0
-    return (
-        e.select(
-            "event_id",
-            "user_id",
-            "ts",
-            _r4(dv / F.nullif(dt_min, F.lit(0.0))).alias("rate_per_min"),
-        )
-        .drop("ts")  # no final global sort: compare is order-insensitive,
-        # and a cosmetic ORDER BY costs a full range shuffle of every row
-    )
-
-
-@query(
-    "seq_forward_fill",
-    tags=("sequence", "imputation"),
-    doc="Forward-fill imputation via last(ignorenulls) over an unbounded-"
-    "preceding frame — the ffill strategy (data_transformer.py:306-350); gaps "
-    "injected deterministically at event_id %% 7 == 0.",
-    oracle="""
-        SELECT event_id, user_id,
-               ROUND(last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
-        FROM events
-        ORDER BY user_id, ts, event_id
-    """,
-)
-def seq_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
-        F.col("value")
-    )
-    w = _w().rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        e.withColumn("value_gapped", gapped)
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            _r4(F.last("value_gapped", ignorenulls=True).over(w)).alias("value_ffill"),
-        )
-        .drop("ts")  # no final global sort: compare is order-insensitive,
-        # and a cosmetic ORDER BY costs a full range shuffle of every row
-    )
-
-
-@query(
-    "seq_linear_interpolation",
-    tags=("sequence", "imputation"),
-    doc="Linear interpolation of gaps via window-lerp — the reference's "
-    "`interpolate` strategy (data_transformer.py:117-126,306-350), which has "
-    "no Spark builtin (SURVEY §7.3 hard-part 1): previous/next non-null value "
-    "and timestamp from two one-sided frames, then lerp in event time.",
-    oracle="""
-        WITH gapped AS (
-            SELECT event_id, user_id, ts, epoch(ts) AS ts_sec,
-                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_g
+        WITH fixes AS (
+            SELECT event_id, user_id, ts, epoch(ts) AS ts_sec, value,
+                   (value % 120) - 60                       AS lat,
+                   (CAST(event_id % 360 AS DOUBLE)) - 180.0 AS lon
             FROM events
-        ), bounds AS (
-            SELECT event_id, user_id, ts, ts_sec, value_g,
-                   last_value(value_g IGNORE NULLS) OVER w_prev  AS prev_val,
-                   last_value(CASE WHEN value_g IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER w_prev AS prev_ts,
-                   first_value(value_g IGNORE NULLS) OVER w_next AS next_val,
-                   first_value(CASE WHEN value_g IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER w_next AS next_ts
-            FROM gapped
-            WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                   w_next AS (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), legs AS (
+            SELECT event_id, user_id, ts, ts_sec, value, lat, lon,
+                   LAG(value)  OVER w AS prev_value,
+                   LAG(ts_sec) OVER w AS prev_ts,
+                   LAG(lat)    OVER w AS prev_lat,
+                   LAG(lon)    OVER w AS prev_lon,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS running_total
+            FROM fixes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), dists AS (
+            SELECT event_id, user_id, ts, value, prev_value, ts_sec, prev_ts,
+                   running_total,
+                   CAST(ROUND(1000.0 * 2.0 * 6371.0 * ASIN(SQRT(
+                       POW(SIN(RADIANS(lat - prev_lat) / 2), 2)
+                       + COS(RADIANS(prev_lat)) * COS(RADIANS(lat))
+                         * POW(SIN(RADIANS(lon - prev_lon) / 2), 2)
+                   )), 0) AS BIGINT) AS leg_m
+            FROM legs
         )
         SELECT event_id, user_id,
-               ROUND(CASE
-                   WHEN value_g IS NOT NULL THEN value_g
-                   WHEN prev_val IS NULL THEN next_val
-                   WHEN next_val IS NULL THEN prev_val
-                   ELSE prev_val + (next_val - prev_val)
-                        * (ts_sec - prev_ts) / NULLIF(next_ts - prev_ts, 0)
-               END, 4) AS value_interp
-        FROM bounds
+               ROUND(value, 4) AS value,
+               ROUND(value - prev_value, 4) AS value_delta,
+               running_total,
+               (value - prev_value) / NULLIF((ts_sec - prev_ts) / 60.0, 0) AS rate_per_min,
+               leg_m AS leg_distance_m,
+               CAST(SUM(COALESCE(leg_m, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cumulative_m
+        FROM dists
         ORDER BY user_id, ts, event_id
     """,
 )
+def seq_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kinematics_frame(spark, sf_dir)
+
+
+@builder("seq_forward_fill")
+def seq_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone forward-fill (round-1 bench name) — see seq_imputation_fill."""
+    return _fill_frame(spark, sf_dir).select("event_id", "user_id", "value_ffill")
+
+
+@builder("seq_linear_interpolation")
 def seq_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone window-lerp (round-1 bench name) — see seq_imputation_fill."""
+    return _fill_frame(spark, sf_dir).select("event_id", "user_id", "value_interp")
+
+
+def _fill_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill + linear interpolation from shared one-sided frames.
+
+    Merges the reference's `ffill` and `interpolate` strategies
+    (data_transformer.py:117-126, 306-350) on their shared per-event grain.
+    Interpolation has no Spark builtin (SURVEY §7.3 hard-part 1): previous/
+    next non-null value and timestamp come from two one-sided frames over the
+    SAME window partitioning — one shuffle+sort feeds both directions (the
+    backward frame is a reversed traversal of the same sorted run, no second
+    Exchange) — then lerp in event time. Gaps injected at event_id % 7 == 0.
+    """
     e = load_table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
     gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
         F.col("value")
@@ -187,11 +195,54 @@ def seq_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("next_val").isNull(), F.col("prev_val"))
         .otherwise(lerp)
     )
-    return (
-        e.select("event_id", "user_id", "ts", _r4(interp).alias("value_interp"))
-        .drop("ts")  # no final global sort: compare is order-insensitive,
-        # and a cosmetic ORDER BY costs a full range shuffle of every row
-    )
+    return e.select(
+        "event_id",
+        "user_id",
+        _r4(F.col("prev_val")).alias("value_ffill"),
+        _r4(interp).alias("value_interp"),
+    )  # no final global sort: compare is order-insensitive, and a cosmetic
+    # ORDER BY costs a full range shuffle of every row
+
+
+@query(
+    "seq_imputation_fill",
+    tags=("sequence", "imputation"),
+    doc="Forward-fill + linear-interpolation imputation in one pass over "
+    "shared one-sided frames (see _fill_frame; data_transformer.py:117-126,"
+    "306-350). value_ffill is last(ignorenulls) over the preceding frame; "
+    "value_interp lerps between the bracketing non-null fixes in event time.",
+    oracle="""
+        WITH gapped AS (
+            SELECT event_id, user_id, ts, epoch(ts) AS ts_sec,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_g
+            FROM events
+        ), bounds AS (
+            SELECT event_id, user_id, ts, ts_sec, value_g,
+                   last_value(value_g IGNORE NULLS) OVER w_prev  AS prev_val,
+                   last_value(CASE WHEN value_g IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER w_prev AS prev_ts,
+                   first_value(value_g IGNORE NULLS) OVER w_next AS next_val,
+                   first_value(CASE WHEN value_g IS NOT NULL THEN ts_sec END IGNORE NULLS) OVER w_next AS next_ts
+            FROM gapped
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id,
+               ROUND(prev_val, 4) AS value_ffill,
+               ROUND(CASE
+                   WHEN value_g IS NOT NULL THEN value_g
+                   WHEN prev_val IS NULL THEN next_val
+                   WHEN next_val IS NULL THEN prev_val
+                   ELSE prev_val + (next_val - prev_val)
+                        * (ts_sec - prev_ts) / NULLIF(next_ts - prev_ts, 0)
+               END, 4) AS value_interp
+        FROM bounds
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def seq_imputation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fill_frame(spark, sf_dir)
 
 
 @query(
@@ -280,74 +331,6 @@ def seq_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "seq_trajectory_distance",
-    tags=("sequence", "geo", "window"),
-    doc="Haversine distance between consecutive fixes + per-entity cumulative "
-    "distance (data_transformer.py:409-472). Coordinates derived "
-    "deterministically from event fields (the testdata has no geo columns); "
-    "the haversine composition is the reference formula verbatim (asin form, "
-    "R=6371 km). Legs are quantized to integer meters before the running sum "
-    "so cross-engine libm noise in trig results cannot accumulate past a "
-    "rounding boundary — the cumulative is exact integer arithmetic.",
-    oracle="""
-        WITH fixes AS (
-            SELECT event_id, user_id, ts,
-                   (value % 120) - 60                         AS lat,
-                   (CAST(event_id % 360 AS DOUBLE)) - 180.0   AS lon
-            FROM events
-        ), legs AS (
-            SELECT event_id, user_id, ts, lat, lon,
-                   LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lat,
-                   LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lon
-            FROM fixes
-        ), dists AS (
-            SELECT event_id, user_id, ts,
-                   CAST(ROUND(1000.0 * 2.0 * 6371.0 * ASIN(SQRT(
-                       POW(SIN(RADIANS(lat - prev_lat) / 2), 2)
-                       + COS(RADIANS(prev_lat)) * COS(RADIANS(lat))
-                         * POW(SIN(RADIANS(lon - prev_lon) / 2), 2)
-                   )), 0) AS BIGINT) AS leg_m
-            FROM legs
-        )
-        SELECT event_id, user_id, leg_m AS leg_distance_m,
-               CAST(SUM(COALESCE(leg_m, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                   AS cumulative_m
-        FROM dists
-        ORDER BY user_id, ts, event_id
-    """,
-)
-def seq_trajectory_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    e = e.withColumn("lat", (F.col("value") % 120) - 60).withColumn(
-        "lon", (F.col("event_id") % 360).cast("double") - 180.0
-    )
-    w = _w()
-    e = e.withColumn("prev_lat", F.lag("lat").over(w)).withColumn(
-        "prev_lon", F.lag("lon").over(w)
-    )
-    leg_m = F.round(
-        1000.0 * haversine(F.col("prev_lat"), F.col("prev_lon"), F.col("lat"), F.col("lon")), 0
-    ).cast("bigint")
-    e = e.withColumn("leg_m", leg_m)
-    w_run = _w().rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        e.select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.col("leg_m").alias("leg_distance_m"),
-            F.sum(F.coalesce(F.col("leg_m"), F.lit(0)))
-            .over(w_run)
-            .cast("bigint")
-            .alias("cumulative_m"),
-        )
-        .drop("ts")  # no final global sort: compare is order-insensitive,
-        # and a cosmetic ORDER BY costs a full range shuffle of every row
-    )
-
-
-@query(
     "seq_impute_bfill_mode_mean",
     tags=("sequence", "imputation"),
     doc="The remaining imputation strategies of data_transformer.py:306-350 "
@@ -375,18 +358,31 @@ def seq_trajectory_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    first_value(vg IGNORE NULLS) OVER (
                        PARTITION BY g.user_id ORDER BY ts, event_id
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill,
-                   AVG(vg) OVER (PARTITION BY g.user_id) AS umean,
+                   -- per-user mean from exact integer cents: order-independent
+                   -- sums, so both engines compute the identical double
+                   CAST(SUM(CAST(ROUND(vg * 100) AS BIGINT)) OVER (PARTITION BY g.user_id)
+                        AS BIGINT)
+                       / (100.0 * COUNT(vg) OVER (PARTITION BY g.user_id)) AS umean,
                    tg IS NULL AS type_gap,
                    COALESCE(tg, m.mode_type) AS type_filled
             FROM g LEFT JOIN modes m ON g.user_id = m.user_id
         )
         SELECT user_bucket,
-               SUM(CASE WHEN value_gap THEN 1 ELSE 0 END) AS n_value_gaps,
+               CAST(SUM(CASE WHEN value_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_value_gaps,
                CAST(SUM(CASE WHEN value_gap THEN CAST(ROUND(bfill * 100) AS BIGINT) END)
                     AS BIGINT) AS bfill_cents_total,
                COUNT(CASE WHEN value_gap THEN bfill END) AS bfill_count,
-               ROUND(AVG(CASE WHEN value_gap THEN umean END), 4) AS avg_mean_fill,
-               SUM(CASE WHEN type_gap THEN 1 ELSE 0 END) AS n_type_gaps,
+               -- mean-fill as exact integer cents summed then divided once:
+               -- ROUND(AVG(umean), 4) lands on 4-dp half-boundaries (the
+               -- documented Spark-up/DuckDB-down divergence); ROUND(umean*100)
+               -- is boundary-safe because an exact .5 is dyadic (both engines
+               -- see the identical binary value and round away from zero)
+               CAST(SUM(CASE WHEN value_gap THEN CAST(ROUND(umean * 100) AS BIGINT) END)
+                    AS BIGINT) AS mean_fill_cents_total,
+               CAST(SUM(CASE WHEN value_gap THEN CAST(ROUND(umean * 100) AS BIGINT) END)
+                    AS BIGINT)
+                   / (100.0 * COUNT(CASE WHEN value_gap THEN umean END)) AS avg_mean_fill,
+               CAST(SUM(CASE WHEN type_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_type_gaps,
                COUNT(DISTINCT CASE WHEN type_gap THEN type_filled END) AS distinct_mode_fills
         FROM filled
         GROUP BY user_bucket
@@ -411,29 +407,42 @@ def seq_impute_bfill_mode_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bfill_w = _w().rowsBetween(0, Window.unboundedFollowing)
     user_w = Window.partitionBy("user_id")
+    # per-user mean from exact integer cents — order-independent, so both
+    # engines compute the identical double (plain AVG(double) sums in
+    # engine-specific order)
+    umean = (
+        F.sum(F.round(F.col("vg") * 100).cast("long")).over(user_w).cast("bigint")
+        / (100.0 * F.count("vg").over(user_w))
+    )
     filled = g.join(modes, "user_id", "left").select(
         (F.col("user_id") % 10).alias("user_bucket"),
         F.col("vg").isNull().alias("value_gap"),
         F.first("vg", ignorenulls=True).over(bfill_w).alias("bfill"),
-        F.avg("vg").over(user_w).alias("umean"),
+        umean.alias("umean"),
         F.col("tg").isNull().alias("type_gap"),
         F.coalesce(F.col("tg"), F.col("mode_type")).alias("type_filled"),
     )
     vgap = F.col("value_gap")
+    # integer cents, no floating rounding of averages: a rounded AVG of
+    # 2-decimal values lands on exact 4-dp half-boundaries (e.g. 628254/14400
+    # = 43.62875) where Spark rounds the shortest-decimal string UP and the
+    # oracle rounds the binary double DOWN — only integer encodings (and
+    # single end divisions of them) are boundary-proof here
+    mean_fill_cents = F.sum(F.when(vgap, F.round(F.col("umean") * 100).cast("long"))).cast(
+        "bigint"
+    )
     return (
         filled.groupBy("user_bucket")
         .agg(
             F.sum(F.when(vgap, 1).otherwise(0)).alias("n_value_gaps"),
-            # integer cents, no division: a rounded AVG of 2-decimal values
-            # lands on exact 4-dp half-boundaries (e.g. 628254/14400 =
-            # 43.62875) where Spark rounds the shortest-decimal string UP and
-            # the oracle rounds the binary double DOWN — only an integer
-            # encoding is boundary-proof here
             F.sum(F.when(vgap, F.round(F.col("bfill") * 100).cast("long")))
             .cast("bigint")
             .alias("bfill_cents_total"),
             F.count(F.when(vgap, F.col("bfill"))).alias("bfill_count"),
-            _r4(F.avg(F.when(vgap, F.col("umean")))).alias("avg_mean_fill"),
+            mean_fill_cents.alias("mean_fill_cents_total"),
+            (mean_fill_cents / (100.0 * F.count(F.when(vgap, F.col("umean"))))).alias(
+                "avg_mean_fill"
+            ),
             F.sum(F.when(F.col("type_gap"), 1).otherwise(0)).alias("n_type_gaps"),
             F.countDistinct(F.when(F.col("type_gap"), F.col("type_filled"))).alias(
                 "distinct_mode_fills"
