@@ -27,7 +27,7 @@ from aws_flight_data_pipeline_spark.functions.text import (
     tokens,
     word_count,
 )
-from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
 
@@ -41,28 +41,10 @@ _WORD_COUNT_SQL = (
 )
 
 
-@query(
-    "text_stats_by_lang",
-    tags=("text", "agg"),
-    doc="Corpus token statistics per language: char/word counts, avg word "
-    "length, BPE-ish token estimate (~4 chars/token) — the token-counting "
-    "operator of the training-data pipeline.",
-    oracle=f"""
-        SELECT lang,
-               COUNT(*) AS doc_count,
-               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               CAST(SUM({_WORD_COUNT_SQL}) AS BIGINT) AS total_words,
-               ROUND(AVG({_WORD_COUNT_SQL}), 4) AS avg_words_per_doc,
-               ROUND(AVG(CAST(LENGTH(text) AS DOUBLE) / {_WORD_COUNT_SQL}), 4)
-                   AS avg_chars_per_word,
-               CAST(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS BIGINT)
-                   AS est_bpe_tokens
-        FROM documents
-        GROUP BY lang
-        ORDER BY lang
-    """,
-)
+@builder("text_stats_by_lang")
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone token statistics (round-1 bench name) — the registered
+    surface is text_signal_suite; this keeps the bench workload identical."""
     d = load_table(spark, sf_dir, "documents")
     wc = word_count(F.col("text"))
     return (
@@ -80,94 +62,129 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_quality_scores",
-    tags=("text", "quality"),
-    doc="Document quality scoring — length score, lexical diversity "
-    "(distinct/total tokens), composite weighted score, quality banding; the "
-    "text analog of the record quality scorer (quality_validator.py:196-282).",
+    "text_signal_suite",
+    tags=("text", "agg", "quality", "langid", "entropy"),
+    doc="Per-language text-signal suite merging four same-grain operators "
+    "into ONE scan + ONE hash-agg: corpus token statistics (char/word/BPE-ish "
+    "token counts), language-ID marker frequencies (length-arithmetic "
+    "occurrence counting, regex-free), document quality scores (length score, "
+    "lexical diversity, composite banding — the text analog of "
+    "quality_validator.py:196-282), and character-distribution entropy (the "
+    "perplexity-proxy signal; gibberish and boilerplate sit at distribution "
+    "extremes). Every per-row signal is a higher-order Catalyst expression — "
+    "zero shuffle before the rollup, so the plan is one pass at any corpus "
+    "size. Cross-engine discipline: ratio-of-integer columns are unrounded "
+    "quotients of exact BIGINT sums; the continuous quality scores are "
+    "integer-micro-scaled per row (ROUND(x*1e6) — a dyadic-.5-safe encoding) "
+    "then summed, so no ROUND(AVG) half-boundary can fire; entropy (a "
+    "transcendental per-row value) keeps ROUND(AVG, 4).",
     oracle=f"""
-        WITH scored AS (
-            SELECT lang, source,
-                   LEAST(CAST({_WORD_COUNT_SQL} AS DOUBLE) / 50.0, 1.0) AS length_score,
+        WITH sig AS (
+            SELECT lang,
+                   n_chars,
+                   LENGTH(text) AS n,
+                   {_WORD_COUNT_SQL} AS wc,
+                   CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_tokens,
+                   ' ' || text || ' ' AS t,
+                   LEAST(CAST({_WORD_COUNT_SQL} AS DOUBLE) / 50.0, 1.0) AS ls,
                    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                       / {_WORD_COUNT_SQL} AS diversity
+                       / {_WORD_COUNT_SQL} AS dv,
+                   list_aggregate(list_transform(
+                       list_distinct(string_split(text, '')),
+                       c -> -1.0 * ((LENGTH(text) - LENGTH(REPLACE(text, c, '')))
+                                    / CAST(LENGTH(text) AS DOUBLE))
+                            * ln((LENGTH(text) - LENGTH(REPLACE(text, c, '')))
+                                 / CAST(LENGTH(text) AS DOUBLE))
+                   ), 'sum') AS h
             FROM documents
         )
         SELECT lang,
                COUNT(*) AS doc_count,
-               ROUND(AVG(length_score), 4) AS avg_length_score,
-               ROUND(AVG(diversity), 4)    AS avg_diversity,
-               ROUND(AVG(0.5 * length_score + 0.5 * diversity), 4) AS avg_quality,
-               SUM(CASE WHEN 0.5 * length_score + 0.5 * diversity >= 0.6
-                        THEN 1 ELSE 0 END) AS high_quality_count
-        FROM scored
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(wc) AS BIGINT) AS total_words,
+               CAST(SUM(wc) AS BIGINT) / (1.0 * COUNT(*)) AS avg_words_per_doc,
+               ROUND(AVG(CAST(n AS DOUBLE) / wc), 4) AS avg_chars_per_word,
+               CAST(SUM(est_tokens) AS BIGINT) AS est_bpe_tokens,
+               CAST(SUM((LENGTH(t) - LENGTH(REPLACE(t, ' the ', ''))) / 5) AS BIGINT)
+                   AS the_count,
+               CAST(SUM((LENGTH(t) - LENGTH(REPLACE(t, ' data ', ''))) / 6) AS BIGINT)
+                   AS data_count,
+               CAST(SUM((LENGTH(t) - LENGTH(REPLACE(t, ' spark ', ''))) / 7) AS BIGINT)
+                   AS spark_count,
+               CAST(SUM((LENGTH(t) - LENGTH(REPLACE(t, ' join ', ''))) / 6) AS BIGINT)
+                   AS join_count,
+               CAST(SUM((LENGTH(t) - LENGTH(REPLACE(t, ' the ', ''))) / 5) AS BIGINT)
+                   / (1.0 * COUNT(*)) AS the_per_doc,
+               CAST(SUM(LEAST(2 * wc, 100)) AS BIGINT) / (100.0 * COUNT(*))
+                   AS avg_length_score,
+               CAST(SUM(CAST(ROUND(dv * 1e6) AS BIGINT)) AS BIGINT) / (1e6 * COUNT(*))
+                   AS avg_diversity,
+               CAST(SUM(CAST(ROUND((0.5 * ls + 0.5 * dv) * 1e6) AS BIGINT)) AS BIGINT)
+                   / (1e6 * COUNT(*)) AS avg_quality,
+               CAST(SUM(CASE WHEN 0.5 * ls + 0.5 * dv >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_quality_count,
+               ROUND(AVG(h), 4) AS avg_entropy,
+               ROUND(MIN(h), 4) AS min_entropy,
+               ROUND(MAX(h), 4) AS max_entropy
+        FROM sig
         GROUP BY lang
         ORDER BY lang
     """,
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_signal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     wc = word_count(F.col("text"))
-    length_score = F.least(wc.cast("double") / 50.0, F.lit(1.0))
-    diversity = token_type_ratio(F.col("text"))
-    quality = 0.5 * length_score + 0.5 * diversity
-    return (
-        d.select("lang", length_score.alias("ls"), diversity.alias("dv"), quality.alias("q"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("doc_count"),
-            _r4(F.avg("ls")).alias("avg_length_score"),
-            _r4(F.avg("dv")).alias("avg_diversity"),
-            _r4(F.avg("q")).alias("avg_quality"),
-            F.sum(F.when(F.col("q") >= 0.6, 1).otherwise(0)).alias("high_quality_count"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "text_language_markers",
-    tags=("text", "langid"),
-    doc="Language-ID n-gram/marker heuristic: frequency of marker tokens per "
-    "labeled language + argmax classification — the language-ID operator as "
-    "pure length-arithmetic occurrence counting (portable, regex-free).",
-    oracle="""
-        WITH padded AS (
-            SELECT lang, ' ' || text || ' ' AS t, LENGTH(text) AS n FROM documents
-        ), counted AS (
-            SELECT lang,
-                   (LENGTH(t) - LENGTH(REPLACE(t, ' the ', ''))) / 5 AS c_the,
-                   (LENGTH(t) - LENGTH(REPLACE(t, ' data ', ''))) / 6 AS c_data,
-                   (LENGTH(t) - LENGTH(REPLACE(t, ' spark ', ''))) / 7 AS c_spark,
-                   (LENGTH(t) - LENGTH(REPLACE(t, ' join ', ''))) / 6 AS c_join
-            FROM padded
-        )
-        SELECT lang,
-               COUNT(*) AS doc_count,
-               CAST(SUM(c_the) AS BIGINT)   AS the_count,
-               CAST(SUM(c_data) AS BIGINT)  AS data_count,
-               CAST(SUM(c_spark) AS BIGINT) AS spark_count,
-               CAST(SUM(c_join) AS BIGINT)  AS join_count,
-               ROUND(CAST(SUM(c_the) AS DOUBLE) / COUNT(*), 4) AS the_per_doc
-        FROM counted
-        GROUP BY lang
-        ORDER BY lang
-    """,
-)
-def text_language_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    d = d.withColumn("t", padded)
-    counts = {m: occurrence_count(F.col("t"), f" {m} ") for m in ("the", "data", "spark", "join")}
+    ls = F.least(wc.cast("double") / 50.0, F.lit(1.0))
+    dv = token_type_ratio(F.col("text"))
+    quality = 0.5 * ls + 0.5 * dv
+    chars = F.array_distinct(F.split(F.col("text"), ""))
+
+    def char_p(c):
+        return (n - F.length(F.replace(F.col("text"), c, F.lit("")))) / n.cast("double")
+
+    h = F.aggregate(chars, F.lit(0.0), lambda acc, c: acc - char_p(c) * F.log(char_p(c)))
+
+    sig = d.select(
+        "lang",
+        "n_chars",
+        n.alias("n"),
+        wc.alias("wc"),
+        bpe_ish_token_estimate(F.col("text")).alias("est_tokens"),
+        padded.alias("t"),
+        ls.alias("ls"),
+        dv.alias("dv"),
+        quality.alias("q"),
+        h.alias("h"),
+    )
+    marker = {m: occurrence_count(F.col("t"), f" {m} ") for m in ("the", "data", "spark", "join")}
+    cnt = F.count("*")
     return (
-        d.groupBy("lang")
+        sig.groupBy("lang")
         .agg(
-            F.count("*").alias("doc_count"),
-            F.sum(counts["the"]).alias("the_count"),
-            F.sum(counts["data"]).alias("data_count"),
-            F.sum(counts["spark"]).alias("spark_count"),
-            F.sum(counts["join"]).alias("join_count"),
-            _r4(F.sum(counts["the"]).cast("double") / F.count("*")).alias("the_per_doc"),
+            cnt.alias("doc_count"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("wc").alias("total_words"),
+            (F.sum("wc") / (1.0 * cnt)).alias("avg_words_per_doc"),
+            _r4(F.avg(F.col("n").cast("double") / F.col("wc"))).alias("avg_chars_per_word"),
+            F.sum("est_tokens").alias("est_bpe_tokens"),
+            F.sum(marker["the"]).alias("the_count"),
+            F.sum(marker["data"]).alias("data_count"),
+            F.sum(marker["spark"]).alias("spark_count"),
+            F.sum(marker["join"]).alias("join_count"),
+            (F.sum(marker["the"]) / (1.0 * cnt)).alias("the_per_doc"),
+            (F.sum(F.least(2 * F.col("wc"), F.lit(100))) / (100.0 * cnt)).alias(
+                "avg_length_score"
+            ),
+            (F.sum(F.round(F.col("dv") * 1e6).cast("long")) / (1e6 * cnt)).alias(
+                "avg_diversity"
+            ),
+            (F.sum(F.round(F.col("q") * 1e6).cast("long")) / (1e6 * cnt)).alias("avg_quality"),
+            F.sum(F.when(F.col("q") >= 0.6, 1).otherwise(0)).alias("high_quality_count"),
+            _r4(F.avg("h")).alias("avg_entropy"),
+            _r4(F.min("h")).alias("min_entropy"),
+            _r4(F.max("h")).alias("max_entropy"),
         )
         .orderBy("lang")
     )
@@ -275,37 +292,18 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    tags=("dedup", "jaccard"),
-    doc="Token-set Jaccard similarity between candidate document pairs "
-    "(consecutive doc_ids as the candidate generator) — the n-gram-Jaccard "
-    "near-dup verifier that runs after LSH candidate generation. "
-    "intersection/union via exploded-token equi-join: pure hash joins, "
-    "no O(n²) scan.",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
-            FROM documents
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
-        ), inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1 AND a.tok = b.tok
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
-               COALESCE(i.n_inter, 0) AS intersection_size,
-               sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS union_size,
-               ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-                     / (sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0)), 4) AS jaccard
-        FROM sizes sa
-        JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
-        LEFT JOIN inter i ON i.doc_a = sa.doc_id
-        ORDER BY doc_a
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@builder("dedup_ngram_jaccard")
+def dedup_ngram_jaccard_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone Jaccard verifier over consecutive-doc_id candidates (round-1
+    name) — the registered surface is dedup_pipeline_end_to_end, where the
+    same exploded-token equi-join verifies LSH candidates."""
+    return _ngram_jaccard_frame(spark, sf_dir)
+
+
+
+
+
+def _ngram_jaccard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
@@ -384,23 +382,13 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    tags=("dedup", "simhash"),
-    # xxhash64 bit manipulation is Spark-specific — no portable oracle; the
-    # driver records the rows-only check (SURVEY §2 non-SQL-expressible class).
-    oracle=None,
-    doc="SimHash document fingerprint: per-token xxhash64, sign-sum the 32 "
-    "low bits, pack to a bit-signature; groups by simhash for near-dup "
-    "detection. Native bit ops via higher-order functions, no UDF.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def _simhash_col() -> "F.Column":
+    """32-bit SimHash as a native Column expression — per-token xxhash64,
+    sign-sum each of the 32 low bits, pack positive-vote bits into a long.
+    shiftright needs a literal bit count, so the bit loop is Python-side
+    (fixed 32 expressions, still one whole-stage-codegen projection)."""
     toks = F.array_distinct(tokens(F.col("text")))
-    # For each of 32 bit positions, sum +1/-1 votes over token hashes, then
-    # pack the positive-vote bits into a long. shiftright needs a literal bit
-    # count, so the bit loop is Python-side (fixed 32 expressions, still one
-    # whole-stage-codegen projection).
+
     def _vote(bit: int):
         def merge(acc, t):
             return acc + F.when(
@@ -412,7 +400,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = F.lit(0).cast("long")
     for i in range(32):
         simhash = simhash + F.when(_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    d = d.withColumn("simhash", simhash)
+    return simhash
+
+
+@builder("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone per-language SimHash collision profile (round-1 name) —
+    the registered surface is dedup_simhash_suite."""
+    d = load_table(spark, sf_dir, "documents").withColumn("simhash", _simhash_col())
     return (
         d.groupBy("lang")
         .agg(
@@ -425,37 +420,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_simhash_hamming_pairs",
+    "dedup_simhash_suite",
     tags=("dedup", "simhash", "lsh"),
-    # xxhash64-derived signatures are Spark-specific — rows-only check, like
-    # dedup_simhash (SURVEY §2 non-SQL-expressible class).
+    # xxhash64 bit manipulation is Spark-specific — no portable oracle; the
+    # driver records the rows-only check (SURVEY §2 non-SQL-expressible class).
     oracle=None,
-    doc="SimHash near-duplicate candidate JOIN: split each 32-bit simhash "
-    "into two 16-bit bands (any pair within hamming distance 1 per band "
-    "shares at least one exact band — the pigeonhole banding of simhash "
-    "dedup), bucket-join on band value, verify with bit_count(a XOR b) <= 3. "
-    "The join is per-bucket (never O(n²)); xor/bit_count are native "
-    "expressions. Returns the hamming-distance histogram of candidates.",
+    doc="SimHash dedup suite in long (section, grp, metric, value) form, "
+    "merging the fingerprint profile and the banded hamming candidate join: "
+    "(1) per-token xxhash64 sign-sum packed to a 32-bit signature, collision "
+    "counts per language; (2) the near-duplicate candidate JOIN — each "
+    "signature split into two 16-bit bands (pigeonhole: any pair within "
+    "hamming distance 1 shares at least one exact band), bucket-join on band "
+    "value, verify with bit_count(a XOR b) <= 3 — per-bucket joins only, "
+    "never O(n²); xor/bit_count are native expressions. Emits the per-lang "
+    "collision profile and the hamming-distance histogram of candidates.",
 )
-def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(tokens(F.col("text")))
+    sigs = d.select("doc_id", "lang", _simhash_col().alias("sh"))
 
-    def _vote(bit: int):
-        def merge(acc, t):
-            return acc + F.when(
-                F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    profile = (
+        sigs.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct("sh").alias("unique_simhashes"),
+        )
+        .select(
+            F.lit("signatures").alias("section"),
+            F.col("lang").alias("grp"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("doc_count").alias("metric"),
+                        F.col("doc_count").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("unique_simhashes").alias("metric"),
+                        F.col("unique_simhashes").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("simhash_collisions").alias("metric"),
+                        (F.col("doc_count") - F.col("unique_simhashes"))
+                        .cast("long")
+                        .alias("value"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("section", "grp", "e.metric", "e.value")
+    )
 
-        return F.aggregate(toks, F.lit(0), merge)
-
-    simhash = F.lit(0).cast("long")
-    for i in range(32):
-        simhash = simhash + F.when(_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    sigs = d.select("doc_id", simhash.alias("sh"))
     # band decomposition: low/high 16 bits; same-band docs are candidates
     bands = sigs.select(
-        "doc_id", "sh", F.lit(0).alias("band_id"), (F.col("sh").bitwiseAND(F.lit(0xFFFF))).alias("band_val")
+        "doc_id",
+        "sh",
+        F.lit(0).alias("band_id"),
+        (F.col("sh").bitwiseAND(F.lit(0xFFFF))).alias("band_val"),
     ).unionByName(
         sigs.select(
             "doc_id", "sh", F.lit(1).alias("band_id"), F.shiftright("sh", 16).alias("band_val")
@@ -475,16 +495,37 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b_band_val"))
             & (F.col("a.doc_id") < F.col("b_doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"),
-                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"),
+        )
         .distinct()  # a pair may match in both bands
     )
-    return (
-        pairs.withColumn("is_near_dup", F.col("hamming") <= 3)
-        .groupBy("hamming", "is_near_dup")
+    histogram = (
+        pairs.groupBy("hamming")
         .agg(F.count("*").alias("pair_count"))
-        .orderBy("hamming")
+        .select(
+            F.lit("hamming_pairs").alias("section"),
+            F.col("hamming").cast("string").alias("grp"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("pair_count").alias("metric"),
+                        F.col("pair_count").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("is_near_dup").alias("metric"),
+                        F.when(F.col("hamming") <= 3, F.lit(1)).otherwise(0)
+                        .cast("long")
+                        .alias("value"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("section", "grp", "e.metric", "e.value")
     )
+    return profile.unionAll(histogram).orderBy("section", "grp", "metric")
 
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -557,60 +598,6 @@ def text_stopword_punct_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_char_entropy",
-    tags=("text", "quality", "entropy"),
-    doc="Per-document character-distribution entropy (the perplexity-proxy "
-    "quality signal: gibberish and boilerplate both sit at distribution "
-    "extremes). Entropy per row via higher-order functions over the distinct "
-    "character set — occurrence counts by length arithmetic, -Σ p·ln p by "
-    "aggregate() — zero shuffle before the per-language rollup.",
-    oracle="""
-        WITH ent AS (
-            SELECT lang,
-                   list_aggregate(list_transform(
-                       list_distinct(string_split(text, '')),
-                       c -> -1.0 * ((LENGTH(text) - LENGTH(REPLACE(text, c, '')))
-                                    / CAST(LENGTH(text) AS DOUBLE))
-                            * ln((LENGTH(text) - LENGTH(REPLACE(text, c, '')))
-                                 / CAST(LENGTH(text) AS DOUBLE))
-                   ), 'sum') AS h
-            FROM documents
-        )
-        SELECT lang,
-               COUNT(*) AS doc_count,
-               ROUND(AVG(h), 4) AS avg_entropy,
-               ROUND(MIN(h), 4) AS min_entropy,
-               ROUND(MAX(h), 4) AS max_entropy
-        FROM ent
-        GROUP BY lang
-        ORDER BY lang
-    """,
-)
-def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    n = F.length("text").cast("double")
-    chars = F.array_distinct(F.split(F.col("text"), ""))
-
-    def char_p(c):
-        return (F.length("text") - F.length(F.replace(F.col("text"), c, F.lit("")))) / n
-
-    h = F.aggregate(
-        chars, F.lit(0.0), lambda acc, c: acc - char_p(c) * F.log(char_p(c))
-    )
-    return (
-        d.select("lang", h.alias("h"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("doc_count"),
-            _r4(F.avg("h")).alias("avg_entropy"),
-            _r4(F.min("h")).alias("min_entropy"),
-            _r4(F.max("h")).alias("max_entropy"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
     "doc_pack_sequences",
     tags=("text", "packing"),
     doc="Training-sequence packing: assign documents to fixed-budget bins "
@@ -661,4 +648,207 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.sum("est_tokens") / 4096.0).alias("fill_ratio"),
         )
         .orderBy("lang", "source", "bin_id")
+    )
+
+
+@builder("text_rolling_fingerprint_xx")
+def text_rolling_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production variant of text_rolling_fingerprint: xxhash64 per shingle
+    instead of md5 (~10x cheaper per position; md5 exists only so the oracle
+    can reproduce signature values). Same plan shape — one codegen'd
+    higher-order projection, one hash-agg — rows-only verification."""
+    d = load_table(spark, sf_dir, "documents")
+    rolling_fp = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 6, 2) - 1),"
+        " i -> xxhash64(substr(text, i, 8))))"
+    )
+    n_shingles = F.greatest(F.length("text") - 7, F.lit(1))
+    return (
+        d.select("source", rolling_fp.alias("rolling_fp"), n_shingles.alias("ns"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct("rolling_fp").alias("distinct_fingerprints"),
+            (F.count("*") - F.countDistinct("rolling_fp")).alias("fingerprint_collisions"),
+            F.sum("ns").cast("bigint").alias("total_shingles"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_pipeline_end_to_end",
+    tags=("dedup", "minhash", "lsh", "jaccard", "pipeline"),
+    doc="The composed fuzzy-dedup pipeline — candidate generation, pair "
+    "verification, survivor selection as ONE operator (reference analog: "
+    "dedup strategy selection, data_transformer.py:612-659, generalized from "
+    "key-equality to content similarity). Stages: (1) MinHash 8-hash "
+    "signatures + 2-band LSH bucketing (md5 family, engine-portable); "
+    "(2) candidate pairs via per-bucket self-join (doc_a < doc_b, distinct "
+    "across bands) — never an all-pairs scan; (3) Jaccard verification of "
+    "candidates only, via exploded-token equi-join (hash joins end to end); "
+    "(4) keep-first survivor selection: a doc is a duplicate iff it has a "
+    "smaller-id verified near-dup partner (j >= 0.5) — single-pass, no "
+    "iterative union-find: members of a near-dup cluster collide pairwise in "
+    "the banding, so every non-minimal member is flagged directly. Emits "
+    "per-source corpus accounting; avg verified similarity travels as exact "
+    "integer micro-units (ROUND(j*1e6) per pair — dyadic-.5-safe).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), i -> list_min(
+                       list_transform(list_distinct(string_split(text, ' ')),
+                                      t -> md5(t || CAST(i AS VARCHAR))))) AS sig
+            FROM documents
+        ), bands AS (
+            SELECT doc_id, 0 AS band_id, md5(array_to_string(sig[1:4], '|')) AS band_key
+            FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, md5(array_to_string(sig[5:8], '|')) FROM sigs
+        ), cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cands c
+            JOIN toks ta ON ta.doc_id = c.doc_a
+            JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+            GROUP BY c.doc_a, c.doc_b
+        ), scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                       / (sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0)) AS j
+            FROM cands c
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        ), pair_stats AS (
+            SELECT d.source,
+                   COUNT(*) AS candidate_pairs,
+                   CAST(SUM(CASE WHEN s.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS verified_dup_pairs,
+                   CAST(SUM(CASE WHEN s.j >= 0.5
+                            THEN CAST(ROUND(s.j * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS jaccard_e6_total
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_b
+            GROUP BY d.source
+        ), dropped AS (
+            SELECT d.source, COUNT(DISTINCT s.doc_b) AS duplicate_docs
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_b
+            WHERE s.j >= 0.5
+            GROUP BY d.source
+        ), totals AS (
+            SELECT source, COUNT(*) AS total_docs FROM documents GROUP BY source
+        )
+        SELECT t.source, t.total_docs,
+               COALESCE(p.candidate_pairs, 0)    AS candidate_pairs,
+               COALESCE(p.verified_dup_pairs, 0) AS verified_dup_pairs,
+               COALESCE(d.duplicate_docs, 0)     AS duplicate_docs,
+               t.total_docs - COALESCE(d.duplicate_docs, 0) AS surviving_docs,
+               COALESCE(p.jaccard_e6_total, 0)   AS jaccard_e6_total
+        FROM totals t
+        LEFT JOIN pair_stats p ON p.source = t.source
+        LEFT JOIN dropped d ON d.source = t.source
+        ORDER BY t.source
+    """,
+)
+def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.array_distinct(tokens(F.col("text")))
+
+    # stage 1: signatures + banding (per-row HOFs, zero shuffle)
+    sigs = d.select("doc_id", minhash_signature(toks_arr, 8).alias("sig"))
+    bands = sigs.select(
+        "doc_id", F.lit(0).alias("band_id"), minhash_band(F.col("sig"), 0, 4).alias("band_key")
+    ).unionByName(
+        sigs.select(
+            "doc_id", F.lit(1).alias("band_id"), minhash_band(F.col("sig"), 4, 4).alias("band_key")
+        )
+    )
+
+    # stage 2: per-bucket candidate join (shuffle on band key, never all-pairs)
+    a = bands.alias("a")
+    b = bands.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("band_id").alias("b_band_id"),
+        F.col("band_key").alias("b_band_key"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b_band_id"))
+            & (F.col("a.band_key") == F.col("b_band_key"))
+            & (F.col("a.doc_id") < F.col("b_doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # stage 3: Jaccard verification of candidates only
+    toks = d.select("doc_id", F.explode(toks_arr).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, (F.col("tok") == F.col("tok_b")) & (tb.doc_b == cands.doc_b))
+        .groupBy(cands.doc_a, cands.doc_b)
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_tok_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_tok_b"))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    scored = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                n_inter.cast("double")
+                / (F.col("n_tok_a") + F.col("n_tok_b") - n_inter)
+            ).alias("j"),
+        )
+    )
+
+    # stage 4: survivor accounting per source of the duplicate side
+    docsrc = d.select(F.col("doc_id").alias("doc_b"), "source")
+    scored_src = scored.join(docsrc, "doc_b")
+    is_dup = F.col("j") >= 0.5
+    pair_stats = scored_src.groupBy("source").agg(
+        F.count("*").alias("candidate_pairs"),
+        F.sum(F.when(is_dup, 1).otherwise(0)).alias("verified_dup_pairs"),
+        F.sum(F.when(is_dup, F.round(F.col("j") * 1e6).cast("long")).otherwise(0))
+        .cast("bigint")
+        .alias("jaccard_e6_total"),
+    )
+    dropped = (
+        scored_src.filter(is_dup)
+        .groupBy("source")
+        .agg(F.countDistinct("doc_b").alias("duplicate_docs"))
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("total_docs"))
+    return (
+        totals.join(pair_stats, "source", "left")
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "total_docs",
+            F.coalesce("candidate_pairs", F.lit(0)).alias("candidate_pairs"),
+            F.coalesce("verified_dup_pairs", F.lit(0)).alias("verified_dup_pairs"),
+            F.coalesce("duplicate_docs", F.lit(0)).alias("duplicate_docs"),
+            (F.col("total_docs") - F.coalesce("duplicate_docs", F.lit(0))).alias(
+                "surviving_docs"
+            ),
+            F.coalesce("jaccard_e6_total", F.lit(0)).alias("jaccard_e6_total"),
+        )
+        .orderBy("source")
     )

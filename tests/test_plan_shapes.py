@@ -15,13 +15,13 @@ import re
 
 import pytest
 
-from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from aws_flight_data_pipeline_spark.plans.registry import _ensure_loaded, resolve
 
 _ensure_loaded()
 
 
 def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
+    df = resolve(name)(spark, sf_dir)
     return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
@@ -105,7 +105,7 @@ def test_ivf_probe_prunes_before_scoring(spark, sf_dir):
 def test_hot_paths_whole_stage_codegen(spark, sf_dir, name):
     # codegen spans (the *(n) markers) only appear in the AQE FINAL plan, so
     # execute first and read the plan back off the same DataFrame
-    df = REGISTRY[name].fn(spark, sf_dir)
+    df = resolve(name)(spark, sf_dir)
     df.collect()
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     assert "*(" in plan, f"{name}: no WholeStageCodegen span in final plan"
