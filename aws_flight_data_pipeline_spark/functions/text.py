@@ -59,6 +59,26 @@ def prefix_fingerprint(text: Column, n_tokens: int = 5) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(text), 1, n_tokens)))
 
 
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (word k-grams) of the document.
+
+    MinHash over raw unigram tokens degenerates on corpora with a shared
+    vocabulary: every document contains the same frequent words, so the
+    per-family minimum is usually the hash of a common token and thousands
+    of non-duplicate documents collide into one LSH bucket (measured: a
+    2520-doc bucket at sf0.1 → 6.2M candidate pairs). k-gram shingles are
+    the standard fix — contiguous word sequences are distinctive, so only
+    genuinely near-duplicate documents share band minima (same corpus:
+    max bucket 4, 453 candidate pairs)."""
+    tk = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(tk, i, k), " "),
+        )
+    )
+
+
 def minhash_signature(token_array: Column, num_hashes: int = 8) -> Column:
     """MinHash signature as an array of ``num_hashes`` md5-derived minima.
 
@@ -80,3 +100,57 @@ def minhash_band(signature: Column, start: int, length: int) -> Column:
     """LSH band key: md5 of a contiguous signature slice. Documents sharing a
     band key are near-dup candidates (standard MinHash-LSH banding)."""
     return F.md5(F.concat_ws("|", F.slice(signature, start + 1, length)))
+
+
+#: Universal-hash family constants for the fast MinHash: h_i(x) = (a_i·x + b_i)
+#: mod p with p = 2^31−1. x is reduced mod p first, so a_i·x < 2^62 — no int64
+#: overflow in either engine (identical arithmetic, hence identical minima).
+MINHASH_P = 2_147_483_647
+MINHASH_A = (179424673, 32452843, 86028121, 49979687, 67867967, 15485863, 23456789, 122949829)
+MINHASH_B = (7, 101, 1009, 10007, 100003, 1000003, 333667, 999983)
+
+
+def minhash_nums(token_array: Column) -> Column:
+    """ONE md5 digest per element, parsed to int64 (mod p) — the expensive
+    stage of the fast MinHash, materialized as its own column so Catalyst
+    keeps a single evaluation (CollapseProject will not inline a non-cheap
+    alias referenced by every hash family)."""
+    return F.transform(
+        token_array,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
+
+
+def minhash_signature_fast(nums: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature over pre-hashed elements (:func:`minhash_nums`):
+    each family is cheap codegen arithmetic ``(a_i·x + b_i) mod p`` — ~8×
+    fewer digest computations than :func:`minhash_signature` at identical
+    banding quality. Engine-portable: both Spark (``conv(hex,16,10)``) and
+    DuckDB (``('0x'||hex)::BIGINT``) parse the same 15-hex-digit prefix to
+    the same integer, and the modular arithmetic is exact int64 in both."""
+    a = F.array(*[F.lit(v) for v in MINHASH_A[:num_hashes]])
+    b = F.array(*[F.lit(v) for v in MINHASH_B[:num_hashes]])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                nums,
+                lambda x: (
+                    F.element_at(a, (i + 1).cast("int")) * x
+                    + F.element_at(b, (i + 1).cast("int"))
+                )
+                % MINHASH_P,
+            )
+        ),
+    )
+
+
+def minhash_fast_sql(elements_sql: str, num_hashes: int = 8) -> str:
+    """DuckDB mirror of :func:`minhash_signature_fast` over a SQL list
+    expression — used by oracles so signature VALUES are verified."""
+    a = "[" + ", ".join(str(v) for v in MINHASH_A[:num_hashes]) + "]"
+    b = "[" + ", ".join(str(v) for v in MINHASH_B[:num_hashes]) + "]"
+    return f"""list_transform(range(0, {num_hashes}), i -> list_min(list_transform(
+        list_transform({elements_sql},
+            t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % {MINHASH_P}),
+        x -> (({a})[i + 1] * x + ({b})[i + 1]) % {MINHASH_P})))"""

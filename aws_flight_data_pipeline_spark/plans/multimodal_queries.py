@@ -23,7 +23,7 @@ from aws_flight_data_pipeline_spark.operators.multimodal import (
     extract_features,
     sample_frames,
 )
-from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
 
@@ -39,73 +39,10 @@ _MODALITY_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
 _BYTES_SQL = "list_transform(string_split(text, ''), c -> ord(c))"
 
 
-@query(
-    "multimodal_payload_stats",
-    tags=("multimodal", "agg"),
-    doc="Multimodal asset profile: per-modality asset counts, payload byte "
-    "totals, distinct-payload (exact-dup) counts, and visual dimensions from "
-    "the typed meta struct. Metadata-only — at scale this plan prunes the "
-    "payload column out of the parquet scan entirely.",
-    oracle=f"""
-        SELECT {_MODALITY_SQL} AS modality,
-               COUNT(*) AS asset_count,
-               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-               ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
-               COUNT(DISTINCT md5(text)) AS distinct_payloads,
-               MAX(CASE WHEN doc_id % 3 <> 1
-                        THEN octet_length(encode(text)) % 57 + 8 END) AS max_width,
-               MAX(CASE WHEN doc_id % 3 = 2
-                        THEN CAST(FLOOR(octet_length(encode(text)) / 16.0) AS INTEGER)
-                   END) AS max_frames
-        FROM documents
-        GROUP BY modality
-        ORDER BY modality
-    """,
-)
-def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = attach_payloads(load_table(spark, sf_dir, "documents"))
-    return (
-        assets.groupBy("modality")
-        .agg(
-            F.count("*").alias("asset_count"),
-            F.sum("meta.n_bytes").alias("total_bytes"),
-            _r4(F.avg("meta.n_bytes")).alias("avg_bytes"),
-            F.countDistinct(F.md5(F.col("payload").cast("string"))).alias("distinct_payloads"),
-            F.max("meta.width").alias("max_width"),
-            F.max("meta.n_frames").alias("max_frames"),
-        )
-        .orderBy("modality")
-    )
-
-
-@query(
-    "multimodal_decode_stats",
-    tags=("multimodal", "mapinpandas"),
-    doc="The stubbed decode driven end-to-end: mapInPandas decodes each "
-    "payload to byte statistics (numpy over Arrow batches); the oracle "
-    "recomputes the identical stats from ord() arithmetic — exact value "
-    "verification of the Python decode path.",
-    oracle=f"""
-        WITH decoded AS (
-            SELECT {_MODALITY_SQL} AS modality,
-                   octet_length(encode(text)) AS n_bytes,
-                   list_avg({_BYTES_SQL}) AS byte_mean,
-                   list_min({_BYTES_SQL}) AS byte_min,
-                   list_max({_BYTES_SQL}) AS byte_max
-            FROM documents
-        )
-        SELECT modality,
-               COUNT(*) AS decoded_count,
-               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-               ROUND(AVG(byte_mean), 4) AS avg_byte_mean,
-               MIN(byte_min) AS min_byte,
-               MAX(byte_max) AS max_byte
-        FROM decoded
-        GROUP BY modality
-        ORDER BY modality
-    """,
-)
+@builder("multimodal_decode_stats")
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone decode-stats (round-1 bench name) — the registered surface
+    is multimodal_asset_profile; this keeps the bench workload identical."""
     decoded = decode_assets(attach_payloads(load_table(spark, sf_dir, "documents")))
     return (
         decoded.groupBy("modality")
@@ -118,6 +55,81 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@query(
+    "multimodal_asset_profile",
+    tags=("multimodal", "agg", "mapinpandas"),
+    doc="Multimodal asset profile merging the metadata scan and the decode "
+    "path on their shared modality grain: per-modality asset counts, payload "
+    "byte totals, distinct-payload (exact-dup) counts, and visual dimensions "
+    "from the typed meta struct (metadata-only — at scale these columns "
+    "prune the payload out of the parquet scan) PLUS the stubbed decode "
+    "driven end-to-end through mapInPandas (numpy byte statistics over Arrow "
+    "batches), with the oracle recomputing the identical stats from ord() "
+    "arithmetic — exact value verification of the Python decode path. "
+    "avg_bytes is an unrounded quotient of exact integers; per-asset byte "
+    "means (exact rationals — integer sums are order-independent in float64) "
+    "travel as integer micro-units.",
+    oracle=f"""
+        WITH meta AS (
+            SELECT {_MODALITY_SQL} AS modality,
+                   COUNT(*) AS asset_count,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) / (1.0 * COUNT(*))
+                       AS avg_bytes,
+                   COUNT(DISTINCT md5(text)) AS distinct_payloads,
+                   CAST(MAX(CASE WHEN doc_id % 3 <> 1
+                            THEN octet_length(encode(text)) % 57 + 8 END) AS INTEGER)
+                       AS max_width,
+                   MAX(CASE WHEN doc_id % 3 = 2
+                            THEN CAST(FLOOR(octet_length(encode(text)) / 16.0) AS INTEGER)
+                       END) AS max_frames
+            FROM documents
+            GROUP BY modality
+        ),
+        decoded AS (
+            SELECT {_MODALITY_SQL} AS modality,
+                   list_avg({_BYTES_SQL}) AS byte_mean,
+                   list_min({_BYTES_SQL}) AS byte_min,
+                   list_max({_BYTES_SQL}) AS byte_max
+            FROM documents
+        ),
+        dstats AS (
+            SELECT modality,
+                   CAST(SUM(CAST(ROUND(byte_mean * 1e6) AS BIGINT)) AS BIGINT)
+                       / (1e6 * COUNT(*)) AS avg_byte_mean,
+                   MIN(byte_min) AS min_byte,
+                   MAX(byte_max) AS max_byte
+            FROM decoded
+            GROUP BY modality
+        )
+        SELECT m.modality, m.asset_count, m.total_bytes, m.avg_bytes,
+               m.distinct_payloads, m.max_width, m.max_frames,
+               d.avg_byte_mean, d.min_byte, d.max_byte
+        FROM meta m JOIN dstats d ON m.modality = d.modality
+        ORDER BY m.modality
+    """,
+)
+def multimodal_asset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = attach_payloads(load_table(spark, sf_dir, "documents"))
+    meta = assets.groupBy("modality").agg(
+        F.count("*").alias("asset_count"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        (F.sum("meta.n_bytes") / (1.0 * F.count("*"))).alias("avg_bytes"),
+        F.countDistinct(F.md5(F.col("payload").cast("string"))).alias("distinct_payloads"),
+        F.max("meta.width").alias("max_width"),
+        F.max("meta.n_frames").alias("max_frames"),
+    )
+    decoded = decode_assets(assets)
+    dstats = decoded.groupBy("modality").agg(
+        (F.sum(F.round(F.col("byte_mean") * 1e6).cast("long")) / (1e6 * F.count("*"))).alias(
+            "avg_byte_mean"
+        ),
+        F.min("byte_min").alias("min_byte"),
+        F.max("byte_max").alias("max_byte"),
+    )
+    return meta.join(dstats, "modality").orderBy("modality")
 
 
 @query(

@@ -20,9 +20,13 @@ from aws_flight_data_pipeline_spark.functions.text import (
     bpe_ish_token_estimate,
     fingerprint,
     minhash_band,
+    minhash_fast_sql,
+    minhash_nums,
     minhash_signature,
+    minhash_signature_fast,
     occurrence_count,
     prefix_fingerprint,
+    shingles,
     token_type_ratio,
     tokens,
     word_count,
@@ -676,35 +680,43 @@ def text_rolling_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_FAST_SQL = minhash_fast_sql("shingles", 8)
+
+
 @query(
     "dedup_pipeline_end_to_end",
     tags=("dedup", "minhash", "lsh", "jaccard", "pipeline"),
     doc="The composed fuzzy-dedup pipeline — candidate generation, pair "
     "verification, survivor selection as ONE operator (reference analog: "
     "dedup strategy selection, data_transformer.py:612-659, generalized from "
-    "key-equality to content similarity). Stages: (1) MinHash 8-hash "
-    "signatures + 2-band LSH bucketing (md5 family, engine-portable); "
-    "(2) candidate pairs via per-bucket self-join (doc_a < doc_b, distinct "
-    "across bands) — never an all-pairs scan; (3) Jaccard verification of "
-    "candidates only, via exploded-token equi-join (hash joins end to end); "
-    "(4) keep-first survivor selection: a doc is a duplicate iff it has a "
+    "key-equality to content similarity). Stages: (1) 3-token SHINGLE "
+    "MinHash 8-hash signatures + 2-band LSH bucketing (md5 family, engine-"
+    "portable; shingles, not unigrams — unigram minima degenerate on shared "
+    "vocabulary, see functions.text.shingles); (2) candidate pairs via "
+    "per-bucket self-join (doc_a < doc_b, distinct across bands) — never an "
+    "all-pairs scan; (3) shingle-set Jaccard verification of candidates "
+    "only, via exploded-shingle equi-join (hash joins end to end); (4) "
+    "keep-first survivor selection: a doc is a duplicate iff it has a "
     "smaller-id verified near-dup partner (j >= 0.5) — single-pass, no "
     "iterative union-find: members of a near-dup cluster collide pairwise in "
     "the banding, so every non-minimal member is flagged directly. Emits "
     "per-source corpus accounting; avg verified similarity travels as exact "
     "integer micro-units (ROUND(j*1e6) per pair — dyadic-.5-safe).",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+    oracle=f"""
+        WITH shing AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                   )) AS shingles
             FROM documents
+        ), toks AS (
+            SELECT doc_id, UNNEST(shingles) AS tok FROM shing
         ), sizes AS (
             SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
         ), sigs AS (
-            SELECT doc_id,
-                   list_transform(range(0, 8), i -> list_min(
-                       list_transform(list_distinct(string_split(text, ' ')),
-                                      t -> md5(t || CAST(i AS VARCHAR))))) AS sig
-            FROM documents
+            SELECT doc_id, {_MINHASH_FAST_SQL} AS sig
+            FROM shing
         ), bands AS (
             SELECT doc_id, 0 AS band_id, md5(array_to_string(sig[1:4], '|')) AS band_key
             FROM sigs
@@ -761,17 +773,26 @@ def text_rolling_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks_arr = F.array_distinct(tokens(F.col("text")))
+    toks_arr = shingles(F.col("text"), 3)
 
-    # stage 1: signatures + banding (per-row HOFs, zero shuffle)
-    sigs = d.select("doc_id", minhash_signature(toks_arr, 8).alias("sig"))
-    bands = sigs.select(
-        "doc_id", F.lit(0).alias("band_id"), minhash_band(F.col("sig"), 0, 4).alias("band_key")
-    ).unionByName(
-        sigs.select(
-            "doc_id", F.lit(1).alias("band_id"), minhash_band(F.col("sig"), 4, 4).alias("band_key")
-        )
+    # stage 1: signatures + banding (per-row HOFs, zero shuffle). The md5
+    # pass is materialized as its own column ("nums") so the 8 hash families
+    # are arithmetic over it, not 8 digest sweeps.
+    sigs = d.select("doc_id", minhash_nums(toks_arr).alias("nums")).select(
+        "doc_id", minhash_signature_fast(F.col("nums"), 8).alias("sig")
     )
+    # both bands from ONE signature evaluation (posexplode of the two band
+    # keys), and the tiny (doc_id, band_id, band_key) frame is cached: it
+    # feeds BOTH sides of the candidate self-join, which would otherwise
+    # re-evaluate the whole shingle+minhash subtree once per side. At scale
+    # this is the signature table a dedup service materializes once per
+    # corpus snapshot.
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(minhash_band(F.col("sig"), 0, 4), minhash_band(F.col("sig"), 4, 4))
+        ).alias("band_id", "band_key"),
+    ).cache()
 
     # stage 2: per-bucket candidate join (shuffle on band key, never all-pairs)
     a = bands.alias("a")
@@ -791,8 +812,10 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # stage 3: Jaccard verification of candidates only
-    toks = d.select("doc_id", F.explode(toks_arr).alias("tok"))
+    # stage 3: Jaccard verification of candidates only. The exploded-shingle
+    # frame is cached: sizes + both pair sides read it (4 re-explosions of
+    # the corpus otherwise).
+    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).cache()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))

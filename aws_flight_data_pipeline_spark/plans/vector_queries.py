@@ -28,7 +28,7 @@ from aws_flight_data_pipeline_spark.functions.vectors import (
     unit_dot,
     with_unit_embedding,
 )
-from aws_flight_data_pipeline_spark.plans.registry import query
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
 
@@ -53,69 +53,15 @@ _NORM_SQL = f"""
 """
 
 
-@query(
-    "embedding_norms_by_label",
-    tags=("vector", "agg"),
-    doc="Per-label L2-norm statistics — the embedding sanity/profile scan. "
-    "Spark: aggregate() over the array per row (no explode, no shuffle before "
-    "the final 10-group agg).",
-    oracle=f"""
-        WITH norms AS ({_NORM_SQL})
-        SELECT label,
-               COUNT(*) AS vec_count,
-               ROUND(AVG(vnorm), 4) AS avg_norm,
-               ROUND(MIN(vnorm), 4) AS min_norm,
-               ROUND(MAX(vnorm), 4) AS max_norm
-        FROM norms
-        GROUP BY label
-        ORDER BY label
-    """,
-)
-def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.select("label", norm(F.col("embedding")).alias("vnorm"))
-        .groupBy("label")
-        .agg(
-            F.count("*").alias("vec_count"),
-            _r4(F.avg("vnorm")).alias("avg_norm"),
-            _r4(F.min("vnorm")).alias("min_norm"),
-            _r4(F.max("vnorm")).alias("max_norm"),
-        )
-        .orderBy("label")
-    )
-
-
-@query(
-    "cosine_topk_bruteforce",
-    tags=("vector", "similarity", "topk"),
-    doc="Brute-force cosine top-k against a query vector (vec_id 0) — the ANN "
-    "correctness baseline. Broadcast the 1-row query, per-row zip_with dot "
-    "product, TakeOrderedAndProject top-k: a narrow map + bounded sort at any "
-    "scale. Ordering on the rounded score + vec_id tiebreak keeps the top-k "
-    "deterministic across engines.",
-    oracle=f"""
-        WITH elems AS ({_ELEMS_SQL}),
-        q AS (SELECT pos, val AS qval FROM elems WHERE vec_id = 0),
-        dots AS (
-            SELECT e.vec_id, e.label,
-                   SUM(e.val * q.qval)        AS dot,
-                   SQRT(SUM(e.val * e.val))   AS en,
-                   SQRT(SUM(q.qval * q.qval)) AS qn
-            FROM elems e JOIN q ON e.pos = q.pos
-            WHERE e.vec_id <> 0
-            GROUP BY e.vec_id, e.label
-        )
-        SELECT vec_id, label, ROUND(dot / (en * qn), 4) AS cosine_sim
-        FROM dots
-        ORDER BY cosine_sim DESC, vec_id
-        LIMIT 20
-    """,
-)
+@builder("cosine_topk_bruteforce")
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Direct per-row cosine: with exactly one pair per row there is nothing to
-    # amortize, so pre-normalization (unit_dot path) only adds projections —
-    # measured slower here; it pays off in the quadratic pair join below.
+    """Brute-force cosine top-k against a query vector (vec_id 0) — the ANN
+    correctness baseline (round-1 bench name; registered surface is
+    ann_topk_compare). Broadcast the 1-row query, per-row zip_with dot
+    product, TakeOrderedAndProject top-k: a narrow map + bounded sort at any
+    scale. Direct per-row cosine: with exactly one pair per row there is
+    nothing to amortize, so pre-normalization (unit_dot path) only adds
+    projections — measured slower here; it pays off in the pair joins."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return (
@@ -131,43 +77,15 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_near_dup_pairs",
-    tags=("vector", "dedup", "join"),
-    doc="Embedding-cosine near-duplicate detection, blocked by label (the "
-    "cluster-blocking that bounds the pair count at scale): per-label pair "
-    "stats + near-dup count above 0.9 cosine.",
-    oracle=f"""
-        WITH elems AS ({_ELEMS_SQL}),
-        dots AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-                   SUM(a.val * b.val) AS dot
-            FROM elems a
-            JOIN elems b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
-            GROUP BY a.vec_id, b.vec_id, a.label
-        ),
-        norms AS (
-            SELECT vec_id, SQRT(SUM(val * val)) AS n FROM elems GROUP BY vec_id
-        ),
-        pairs AS (
-            SELECT d.label, d.dot / (na.n * nb.n) AS cos
-            FROM dots d JOIN norms na ON d.id_a = na.vec_id
-                        JOIN norms nb ON d.id_b = nb.vec_id
-        )
-        SELECT label,
-               COUNT(*) AS pair_count,
-               ROUND(AVG(cos), 4) AS avg_cosine,
-               ROUND(MAX(cos), 4) AS max_cosine,
-               SUM(CASE WHEN cos > 0.9 THEN 1 ELSE 0 END) AS near_dup_pairs
-        FROM pairs
-        GROUP BY label
-        ORDER BY label
-    """,
-)
+@builder("embedding_near_dup_pairs")
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pre-normalize ONCE per row, then each pair is a single zip_with sweep
-    # (unit_dot) — vs cosine() per pair, which re-walks both norms for every
-    # one of the O(n²/labels) candidate pairs (~2.5× measured at sf0.1).
+    """Label-blocked all-pairs cosine near-dup scan — kept ONLY as the
+    correctness baseline the LSH path is judged against (round-1 bench name).
+    O(n²/labels): at 100× data the pair count grows ~10,000×, so the
+    registered production surface is embedding_near_dup_lsh (bucketed
+    candidates, bounded pair sets). Pre-normalize ONCE per row, then each
+    pair is a single zip_with sweep (unit_dot) — vs cosine() per pair, which
+    re-walks both norms for every pair (~2.5× measured at sf0.1)."""
     e = with_unit_embedding(load_table(spark, sf_dir, "embeddings"))
     a = e.select("vec_id", "label", "unit").alias("a")
     b = e.select(
@@ -185,6 +103,91 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.avg("cos")).alias("avg_cosine"),
             _r4(F.max("cos")).alias("max_cosine"),
             F.sum(F.when(F.col("cos") > 0.9, 1).otherwise(0)).alias("near_dup_pairs"),
+        )
+        .orderBy("label")
+    )
+
+
+_SIGN_BUCKET_SQL = "CONCAT(" + ", ".join(
+    f"CASE WHEN CAST(embedding[{i}] AS DOUBLE) >= 0 THEN '+' ELSE '-' END" for i in range(1, 7)
+) + ")"
+
+
+@query(
+    "embedding_near_dup_lsh",
+    tags=("vector", "dedup", "lsh", "join"),
+    doc="Embedding near-duplicate detection via sign-LSH bucketed candidates "
+    "— the PRODUCTION path that replaces the O(n²/labels) blocked scan "
+    "(embedding_near_dup_pairs, kept as the correctness baseline): bucket "
+    "every vector by its 6-dim sign pattern (near-identical vectors agree on "
+    "all signs, so true near-dups land in the same bucket), self-join within "
+    "buckets only (pair count bounded by bucket sizes, never all-pairs), "
+    "verify with a single unit_dot sweep per candidate, cosine > 0.9. "
+    "Pair similarities travel as per-pair integer micro-units "
+    "(ROUND(cos*1e6)) so the aggregates are exact cross-engine.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        norms AS (
+            SELECT vec_id, SQRT(SUM(val * val)) AS vnorm FROM elems GROUP BY vec_id
+        ),
+        unitv AS (
+            SELECT e.vec_id, e.pos, e.val / n.vnorm AS uval
+            FROM elems e JOIN norms n ON e.vec_id = n.vec_id
+            WHERE n.vnorm > 0
+        ),
+        buckets AS (
+            SELECT vec_id, label, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+        ),
+        cands AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
+            FROM buckets a
+            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        dots AS (
+            SELECT c.id_a, c.id_b, c.label,
+                   CAST(ROUND(SUM(ua.uval * ub.uval) * 1e6) AS BIGINT) AS cos_e6
+            FROM cands c
+            JOIN unitv ua ON ua.vec_id = c.id_a
+            JOIN unitv ub ON ub.vec_id = c.id_b AND ub.pos = ua.pos
+            GROUP BY c.id_a, c.id_b, c.label
+        )
+        SELECT label,
+               COUNT(*) AS candidate_pairs,
+               CAST(SUM(CASE WHEN cos_e6 > 900000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS near_dup_pairs,
+               CAST(SUM(CASE WHEN cos_e6 > 900000 THEN cos_e6 ELSE 0 END) AS BIGINT)
+                   AS near_dup_cos_e6_total,
+               MAX(cos_e6) AS max_cos_e6
+        FROM dots
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = with_unit_embedding(load_table(spark, sf_dir, "embeddings"))
+    e = e.withColumn("bucket", sign_bucket(F.col("embedding"), 6))
+    a = e.select("vec_id", "label", "bucket", "unit").alias("a")
+    b = e.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("unit").alias("b_unit"),
+    )
+    cos_e6 = F.round(unit_dot(F.col("a.unit"), F.col("b_unit")) * 1e6).cast("long")
+    near = F.col("cos_e6") > 900000
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b_bucket")) & (F.col("a.vec_id") < F.col("b_vec_id")),
+        )
+        .select(F.col("a.label").alias("label"), cos_e6.alias("cos_e6"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("candidate_pairs"),
+            F.sum(F.when(near, 1).otherwise(0)).alias("near_dup_pairs"),
+            F.sum(F.when(near, F.col("cos_e6")).otherwise(0))
+            .cast("bigint")
+            .alias("near_dup_cos_e6_total"),
+            F.max("cos_e6").alias("max_cos_e6"),
         )
         .orderBy("label")
     )
@@ -232,43 +235,15 @@ def vector_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_topk",
-    tags=("vector", "ann", "ivf", "topk"),
-    doc="IVF approximate-nearest-neighbor search: label cells act as the "
-    "coarse quantizer (centroid per cell), the query probes its nProbe=3 "
-    "nearest cells, and exact cosine top-k runs only inside probed cells. "
-    "The scale path: centroids are a tiny broadcast table, the probe filter "
-    "is a partition-pruning predicate when the lake is partitioned by cell, "
-    "and the O(n) scan shrinks to nProbe/nCells of the data.",
-    oracle=f"""
-        WITH elems AS ({_ELEMS_SQL}),
-        q AS (SELECT pos, val AS qval FROM elems WHERE vec_id = 0),
-        centroids AS (
-            SELECT label, pos, AVG(val) AS cval FROM elems GROUP BY label, pos
-        ),
-        cdist AS (
-            SELECT c.label, SQRT(SUM((c.cval - q.qval) * (c.cval - q.qval))) AS cd
-            FROM centroids c JOIN q ON c.pos = q.pos
-            GROUP BY c.label
-        ),
-        probed AS (SELECT label FROM cdist ORDER BY ROUND(cd, 4), label LIMIT 3),
-        cand AS (
-            SELECT e.vec_id, e.label,
-                   SUM(e.val * q.qval)        AS dot,
-                   SQRT(SUM(e.val * e.val))   AS en,
-                   SQRT(SUM(q.qval * q.qval)) AS qn
-            FROM elems e JOIN q ON e.pos = q.pos
-            WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM probed)
-            GROUP BY e.vec_id, e.label
-        )
-        SELECT vec_id, label, ROUND(dot / (en * qn), 4) AS cosine_sim
-        FROM cand
-        ORDER BY cosine_sim DESC, vec_id
-        LIMIT 10
-    """,
-)
+@builder("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate-nearest-neighbor search (round-1 bench name; the
+    registered surface is ann_topk_compare): label cells act as the coarse
+    quantizer (centroid per cell), the query probes its nProbe=3 nearest
+    cells, and exact cosine top-k runs only inside probed cells. The scale
+    path: centroids are a tiny broadcast table, the probe filter is a
+    partition-pruning predicate when the lake is partitioned by cell, and
+    the O(n) scan shrinks to nProbe/nCells of the data."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
 
@@ -311,6 +286,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "ann_topk_compare",
+    tags=("vector", "similarity", "ann", "ivf", "topk"),
+    doc="Similarity search, baseline and scale path in one result: "
+    "method='brute' is exhaustive cosine top-20 against the query vector "
+    "(vec_id 0) — broadcast 1-row query, per-row zip_with dot product, "
+    "TakeOrderedAndProject (the ANN correctness baseline); method='ivf' is "
+    "the IVF search — label-cell centroids as the coarse quantizer, probe "
+    "the nProbe=3 nearest cells, exact cosine only inside probed cells "
+    "(at scale the probe filter is a partition-pruning predicate and the "
+    "scan shrinks to nProbe/nCells of the data). The shared rows measure "
+    "IVF recall against the baseline directly. Rounded score + vec_id "
+    "ordering keeps both top-k sets deterministic across engines.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        q AS (SELECT pos, val AS qval FROM elems WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   SUM(e.val * q.qval)        AS dot,
+                   SQRT(SUM(e.val * e.val))   AS en,
+                   SQRT(SUM(q.qval * q.qval)) AS qn
+            FROM elems e JOIN q ON e.pos = q.pos
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id, e.label
+        ),
+        brute AS (
+            SELECT 'brute' AS method, vec_id, label,
+                   ROUND(dot / (en * qn), 4) AS cosine_sim
+            FROM dots
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT 20
+        ),
+        centroids AS (
+            SELECT label, pos, AVG(val) AS cval FROM elems GROUP BY label, pos
+        ),
+        cdist AS (
+            SELECT c.label, SQRT(SUM((c.cval - q.qval) * (c.cval - q.qval))) AS cd
+            FROM centroids c JOIN q ON c.pos = q.pos
+            GROUP BY c.label
+        ),
+        probed AS (SELECT label FROM cdist ORDER BY ROUND(cd, 4), label LIMIT 3),
+        ivf AS (
+            SELECT 'ivf' AS method, vec_id, label,
+                   ROUND(dot / (en * qn), 4) AS cosine_sim
+            FROM dots
+            WHERE label IN (SELECT label FROM probed)
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT 10
+        )
+        SELECT * FROM brute UNION ALL SELECT * FROM ivf
+        ORDER BY method, cosine_sim DESC, vec_id
+    """,
+)
+def ann_topk_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = cosine_topk_bruteforce(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "vec_id", "label", "cosine_sim"
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "label", "cosine_sim"
+    )
+    return brute.unionAll(ivf).orderBy("method", F.desc("cosine_sim"), "vec_id")
 
 
 @query(
@@ -429,14 +467,51 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantize_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization + reconstruction error + norm — the
+    shared per-row stage of the storage profile."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = e.withColumn("v", v).withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / 127.0
+    ).filter(F.col("scale") > 0)
+    sq_err = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(x - F.round(x / F.col("scale")) * F.col("scale"), 2),
+    )
+    return e.withColumn("recon_err", F.sqrt(sq_err)).withColumn(
+        "vnorm", norm(F.col("embedding"))
+    )
+
+
+@builder("vector_quantize_int8")
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 bench name — the registered surface is vector_storage_profile."""
+    e = _quantize_frame(spark, sf_dir)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("vec_count"),
+            _r4(F.avg("recon_err")).alias("avg_recon_err"),
+            _r4(F.max("recon_err")).alias("max_recon_err"),
+            _r4(F.avg(F.col("recon_err") / F.col("vnorm"))).alias("avg_relative_err"),
+        )
+        .orderBy("label")
+    )
+
+
 @query(
-    "vector_quantize_int8",
-    tags=("vector", "quantization"),
-    doc="Scalar int8 quantization of embeddings (the storage-compression "
-    "step of a training-data vector store): symmetric per-vector scale = "
-    "max|x|/127, quantize with round(x/scale), report reconstruction error "
-    "per label. Pure higher-order array math; 4x storage cut with "
-    "oracle-verified error bounds.",
+    "vector_storage_profile",
+    tags=("vector", "quantization", "agg"),
+    doc="Embedding storage profile per label, merging the L2-norm sanity scan "
+    "and scalar int8 quantization (the storage-compression step of a "
+    "training-data vector store) on their shared grain: norm statistics "
+    "(aggregate() over the array per row — no explode, no shuffle before the "
+    "10-group agg) plus symmetric per-vector quantization (scale = "
+    "max|x|/127, quantize round(x/scale)) with oracle-verified "
+    "reconstruction-error bounds — a 4x storage cut. Pure higher-order array "
+    "math; one scan.",
     oracle=f"""
         WITH elems AS ({_ELEMS_SQL}),
         scales AS (
@@ -453,6 +528,9 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label,
                COUNT(*) AS vec_count,
+               ROUND(AVG(vnorm), 4) AS avg_norm,
+               ROUND(MIN(vnorm), 4) AS min_norm,
+               ROUND(MAX(vnorm), 4) AS max_norm,
                ROUND(AVG(recon_err), 4) AS avg_recon_err,
                ROUND(MAX(recon_err), 4) AS max_recon_err,
                ROUND(AVG(recon_err / vnorm), 4) AS avg_relative_err
@@ -461,22 +539,15 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY label
     """,
 )
-def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    e = e.withColumn("v", v).withColumn(
-        "scale", F.array_max(F.transform("v", F.abs)) / 127.0
-    ).filter(F.col("scale") > 0)
-    sq_err = F.aggregate(
-        F.col("v"),
-        F.lit(0.0),
-        lambda acc, x: acc + F.pow(x - F.round(x / F.col("scale")) * F.col("scale"), 2),
-    )
-    e = e.withColumn("recon_err", F.sqrt(sq_err)).withColumn("vnorm", norm(F.col("embedding")))
+def vector_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantize_frame(spark, sf_dir)
     return (
         e.groupBy("label")
         .agg(
             F.count("*").alias("vec_count"),
+            _r4(F.avg("vnorm")).alias("avg_norm"),
+            _r4(F.min("vnorm")).alias("min_norm"),
+            _r4(F.max("vnorm")).alias("max_norm"),
             _r4(F.avg("recon_err")).alias("avg_recon_err"),
             _r4(F.max("recon_err")).alias("max_recon_err"),
             _r4(F.avg(F.col("recon_err") / F.col("vnorm"))).alias("avg_relative_err"),

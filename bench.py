@@ -53,6 +53,12 @@ HEADLINE = (
     "doc_pack_sequences",
     "vector_quantize_int8",
     "window_distribution_functions",
+    # round 2 appends (the list is append-only so BENCH_rN stays per-query
+    # comparable): production-path variants + the composed dedup pipeline
+    "anomaly_iqr_outliers_approx",
+    "text_rolling_fingerprint_xx",
+    "embedding_near_dup_lsh",
+    "dedup_pipeline_end_to_end",
 )
 
 

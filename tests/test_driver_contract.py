@@ -29,13 +29,14 @@ def test_entry_runs_twice_with_stable_schema(spark, entry_mod):
 def test_every_query_has_consistent_oracle_mapping(entry_mod):
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs)  # every oracle key is a declared query
-    assert 40 <= len(qs) <= 50 or len(qs) == 61  # ≤50 is the driver gate cap (61 mid-consolidation)
+    # the driver's correctness gate verifies at most the first 50 registered
+    # queries — the whole inventory must fit inside that window
+    assert 40 <= len(qs) <= 50
     rows_only = set(qs) - set(osql)
     # the rows-only set is exactly the documented non-SQL-expressible class
     assert rows_only == {
-        "dedup_simhash",
-        "dedup_simhash_hamming_pairs",
-        "ann_kmeans_train",
+        "dedup_simhash_suite",  # xxhash64 bit manipulation is Spark-specific
+        "ann_kmeans_train",  # iterative algorithm
     }
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
@@ -45,7 +46,7 @@ def test_interleaved_sf_dirs_one_session(spark, entry_mod):
     qs = entry_mod.queries()
     a = qs["pricing_summary"](spark, "/root/testdata/sf0.001").count()
     b = qs["pricing_summary"](spark, "/root/testdata/sf0.01").count()
-    c = qs["text_stats_by_lang"](spark, "/root/testdata/sf0.001").count()
+    c = qs["text_signal_suite"](spark, "/root/testdata/sf0.001").count()
     d = qs["pricing_summary"](spark, "/root/testdata/sf0.001").count()
     assert a == d  # same dir twice → same result, no cross-dir cache bleed
     assert b >= a and c > 0
