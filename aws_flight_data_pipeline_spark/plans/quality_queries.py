@@ -266,7 +266,7 @@ def quality_grade_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "808-820, quarantine_system.py:238-336); quarantined records are then "
     "triaged into the reference's review workflow states (quarantine_system"
     ".py:338-381): auto_release_eligible (borderline score, no critical "
-    "issue), expired (older than the 30-day retention vs the injected now), "
+    "issue), expired (older than the 168-day retention vs the injected now — the boundary falls mid-corpus so every state is exercised), "
     "else pending_review. In the pipeline the quarantine boolean drives two "
     "filtered writes (clean/quarantine paths). quarantine_rate is an "
     "unrounded quotient of exact counts.",
@@ -282,7 +282,7 @@ def quality_grade_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged AS (
             SELECT event_type, overall, critical_issue,
                    CASE WHEN overall < 0.30 OR critical_issue = 1 THEN 1 ELSE 0 END AS q,
-                   CASE WHEN epoch({QUALITY_NOW_SQL}) - epoch(ts) > 2592000.0
+                   CASE WHEN epoch({QUALITY_NOW_SQL}) - epoch(ts) > 14515200.0
                         THEN 1 ELSE 0 END AS aged_out
             FROM scored
         )
@@ -321,7 +321,7 @@ def quality_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((overall < 0.30) | (critical == 1), 1).otherwise(0).alias("q"),
         F.when(
             F.lit(QUALITY_NOW).cast("timestamp").cast("double") - F.col("ts").cast("double")
-            > 2592000.0,
+            > 14515200.0,
             1,
         )
         .otherwise(0)
