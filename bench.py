@@ -59,6 +59,23 @@ HEADLINE = (
     "text_rolling_fingerprint_xx",
     "embedding_near_dup_lsh",
     "dedup_pipeline_end_to_end",
+    # the merged registered suites (their standalone parts remain above as
+    # builders; these rows track the one-pass merged plans round-over-round)
+    "order_status_profile",
+    "distribution_stats",
+    "window_rank_suite",
+    "daily_window_metrics",
+    "scalar_function_suite",
+    "quality_score_profile",
+    "anomaly_scan_suite",
+    "alert_evaluation",
+    "seq_kinematics",
+    "seq_imputation_fill",
+    "text_signal_suite",
+    "dedup_simhash_suite",
+    "ann_topk_compare",
+    "vector_storage_profile",
+    "multimodal_asset_profile",
 )
 
 

@@ -109,3 +109,34 @@ def test_hot_paths_whole_stage_codegen(spark, sf_dir, name):
     df.collect()
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     assert "*(" in plan, f"{name}: no WholeStageCodegen span in final plan"
+
+
+def test_kinematics_suite_shares_one_shuffle(spark, sf_dir):
+    # delta, cumsum, rate, and trajectory legs all ride ONE user_id shuffle
+    plan = _plan(spark, sf_dir, "seq_kinematics")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+
+
+def test_text_signal_suite_is_one_scan(spark, sf_dir):
+    # four merged operators, still a single documents scan + one hash-agg
+    # (formatted explain prints each scan node twice: tree + detail section,
+    # so count the Location lines — one per physical scan)
+    plan = _plan(spark, sf_dir, "text_signal_suite")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("HashAggregate") == 4  # partial + final, tree + detail
+
+
+def test_dedup_pipeline_never_cartesian(spark, sf_dir):
+    # candidate generation is per-bucket equi-join; verification is an
+    # exploded-shingle equi-join — no all-pairs anywhere
+    plan = _plan(spark, sf_dir, "dedup_pipeline_end_to_end")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_lsh_is_bucketed_equi_join(spark, sf_dir):
+    # the production near-dup path joins on the sign bucket (equi), with the
+    # id inequality only as a post-join filter — never a cartesian scan
+    plan = _plan(spark, sf_dir, "embedding_near_dup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
