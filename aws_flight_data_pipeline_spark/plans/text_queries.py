@@ -386,32 +386,46 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_col() -> "F.Column":
-    """32-bit SimHash as a native Column expression — per-token xxhash64,
-    sign-sum each of the 32 low bits, pack positive-vote bits into a long.
-    shiftright needs a literal bit count, so the bit loop is Python-side
-    (fixed 32 expressions, still one whole-stage-codegen projection)."""
+def _simhash_votes() -> "F.Column":
+    """32-wide SimHash vote array in ONE token walk: hash each distinct token
+    ONCE (the naive form calls xxhash64 inside every bit's aggregate — 32
+    digests per token), then fold a 32-counter array with zip_with, testing
+    each bit via a literal mask array (shiftright requires a literal count,
+    masks don't). Returns the vote array — materialize it as a column before
+    packing so the fold runs once, not once per referenced bit."""
     toks = F.array_distinct(tokens(F.col("text")))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
+    )
 
-    def _vote(bit: int):
-        def merge(acc, t):
-            return acc + F.when(
-                F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
 
-        return F.aggregate(toks, F.lit(0), merge)
-
-    simhash = F.lit(0).cast("long")
+def _pack_simhash(votes: "F.Column") -> "F.Column":
+    """Pack positive-vote bits of a 32-wide vote array into a long."""
+    sim = F.lit(0).cast("long")
     for i in range(32):
-        simhash = simhash + F.when(_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return simhash
+        sim = sim + F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return sim
 
 
 @builder("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone per-language SimHash collision profile (round-1 name) —
     the registered surface is dedup_simhash_suite."""
-    d = load_table(spark, sf_dir, "documents").withColumn("simhash", _simhash_col())
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("votes", _simhash_votes())
+        .withColumn("simhash", _pack_simhash(F.col("votes")))
+    )
     return (
         d.groupBy("lang")
         .agg(
@@ -441,7 +455,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", "lang", _simhash_col().alias("sh"))
+    # the 32-vote signature is the expensive subtree (interpreted HOFs) and
+    # feeds the profile AND both sides of the band self-join — cache the tiny
+    # (doc_id, lang, sh) frame so it is computed once, not three times
+    sigs = (
+        d.select("doc_id", "lang", _simhash_votes().alias("votes"))
+        .select("doc_id", "lang", _pack_simhash(F.col("votes")).alias("sh"))
+        .cache()
+    )
 
     profile = (
         sigs.groupBy("lang")
