@@ -554,3 +554,120 @@ def vector_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "ann_pipeline_end_to_end",
+    tags=("vector", "ann", "ivf", "pipeline", "iterative"),
+    # trained-quantizer search is iterative (Lloyd) — the non-SQL-expressible
+    # class (SURVEY §2 / driver contract): rows-only check.
+    oracle=None,
+    doc="The composed ANN pipeline — quantizer training, cell assignment, "
+    "probed search, and recall measurement as ONE operator (the IVF lifecycle "
+    "a vector store runs, composed from the building blocks ann_kmeans_train "
+    "and ann_topk_compare demonstrate separately): (1) train a k=8 coarse "
+    "quantizer with 2 deterministic Lloyd iterations (init = first k vectors; "
+    "only the k×dim centroid table ever reaches the driver); (2) assign every "
+    "vector to its trained cell via broadcast + min_by — the partition key a "
+    "cell-partitioned lake would use; (3) the query vector (vec_id 0) probes "
+    "its nProbe=2 nearest trained cells; (4) exact cosine top-10 inside "
+    "probed cells only (broadcast semi-join ≅ partition pruning); (5) recall "
+    "annotation: each hit marked against the brute-force top-10 — the "
+    "quality metric that justifies the probe pruning. Deterministic "
+    "tiebreaks (rounded score + vec_id) keep the result stable.",
+)
+def ann_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, iters, n_probe, topk = 8, 2, 2, 10
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .cache()
+    )
+
+    # stage 1: Lloyd training (same loop as ann_kmeans_train, without reports)
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        assigned = (
+            e.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v", "cid", l2_distance(F.col("v"), F.col("c")).alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min_by(F.struct("cid", "v"), F.struct("dist", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.v").alias("v"))
+        )
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+                ).alias("c")
+            )
+        )
+
+    # stage 2: final cell assignment with the TRAINED centroids
+    cells = (
+        e.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "label", "v", "cid", l2_distance(F.col("v"), F.col("c")).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min_by(F.struct("cid", "label", "v"), F.struct("dist", "cid")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("cell"),
+            F.col("best.label").alias("label"),
+            F.col("best.v").alias("v"),
+        )
+    )
+
+    # stage 3: the query probes its nProbe nearest trained cells
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cid", l2_distance(F.col("c"), F.col("qv")).alias("cd"))
+        .orderBy(F.round("cd", 4), "cid")
+        .limit(n_probe)
+        .select(F.col("cid").alias("cell"))
+    )
+
+    # stage 4: exact cosine inside probed cells only
+    cand = (
+        cells.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probed), "cell")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            _r4(cosine(F.col("v"), F.col("qv"))).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(topk)
+    )
+
+    # stage 5: recall vs the exhaustive baseline
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _r4(cosine(F.col("v"), F.col("qv"))).alias("bsim"))
+        .orderBy(F.desc("bsim"), "vec_id")
+        .limit(topk)
+        .select(F.col("vec_id").alias("b_vec_id"))
+    )
+    return (
+        cand.join(F.broadcast(brute), cand.vec_id == brute.b_vec_id, "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "cosine_sim",
+            F.col("b_vec_id").isNotNull().alias("in_brute_topk"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+    )

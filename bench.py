@@ -76,6 +76,7 @@ HEADLINE = (
     "ann_topk_compare",
     "vector_storage_profile",
     "multimodal_asset_profile",
+    "ann_pipeline_end_to_end",
 )
 
 

@@ -37,6 +37,7 @@ def test_every_query_has_consistent_oracle_mapping(entry_mod):
     assert rows_only == {
         "dedup_simhash_suite",  # xxhash64 bit manipulation is Spark-specific
         "ann_kmeans_train",  # iterative algorithm
+        "ann_pipeline_end_to_end",  # iterative (trained-quantizer search)
     }
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name

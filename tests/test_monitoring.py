@@ -80,3 +80,15 @@ def test_analyze_plan_counts():
     assert f["shuffle_count"] == 2 and f["scan_count"] == 1
     assert f["pushed_filters"] and not f["partition_filters"]
     assert f["query_type"] == "join_query"
+
+
+def test_ann_pipeline_end_to_end_semantics(spark, sf_dir):
+    # composed IVF lifecycle: top-10 inside probed trained cells, each hit
+    # annotated against the brute-force top-10 (the recall witness)
+    rows = resolve("ann_pipeline_end_to_end")(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] != 0 for r in rows)  # the query never matches itself
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # probe pruning must not collapse recall on this corpus
+    assert sum(1 for r in rows if r["in_brute_topk"]) >= 5
