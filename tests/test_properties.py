@@ -126,3 +126,54 @@ def test_feature_histograms_normalized(spark, payloads):
         assert sum(f) == pytest.approx(1.0)
         expected = np.bincount(np.frombuffer(p, np.uint8) >> 4, minlength=FEATURE_DIM) / len(p)
         assert f == pytest.approx(expected.tolist())
+
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+
+
+@SLOW
+@given(st.lists(st.lists(_word, min_size=1, max_size=30), min_size=1, max_size=10))
+def test_shingle_and_fast_minhash_laws(spark, docs):
+    from aws_flight_data_pipeline_spark.functions.text import (
+        MINHASH_P,
+        minhash_nums,
+        minhash_signature_fast,
+        shingles,
+    )
+
+    rows = [(" ".join(toks),) for toks in docs]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        shingles(F.col("text"), 3).alias("sh"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+    ).withColumn("nums", minhash_nums(F.col("sh"))).select(
+        "sh", "n_tok", minhash_signature_fast(F.col("nums"), 8).alias("sig")
+    )
+    for r in out.collect():
+        # shingle count: ≤ max(1, n_tok - 2) pre-dedup, ≥ 1; each ≤ 3 tokens
+        assert 1 <= len(r["sh"]) <= max(1, r["n_tok"] - 2)
+        assert all(1 <= len(s.split(" ")) <= 3 for s in r["sh"])
+        # signature: 8 hash families, each in [0, p)
+        assert len(r["sig"]) == 8
+        assert all(0 <= v < MINHASH_P for v in r["sig"])
+
+
+@SLOW
+@given(st.lists(_word, min_size=3, max_size=25))
+def test_fast_minhash_is_token_order_invariant(spark, toks):
+    from aws_flight_data_pipeline_spark.functions.text import (
+        minhash_nums,
+        minhash_signature_fast,
+    )
+
+    fwd = " ".join(toks)
+    # same multiset of 3-gram shingles in a DIFFERENT array order: reverse
+    # the document and reverse each shingle back (min over a set is
+    # order-invariant, so the signatures must agree when shingle sets agree)
+    df = spark.createDataFrame([(fwd,)], "text string")
+    arr = F.array_distinct(F.split(F.col("text"), " "))
+    sig_of = lambda a: minhash_signature_fast(minhash_nums(a), 8)
+    row = df.select(
+        sig_of(arr).alias("s1"), sig_of(F.reverse(arr)).alias("s2")
+    ).first()
+    assert row["s1"] == row["s2"]
