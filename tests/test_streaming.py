@@ -148,3 +148,29 @@ def test_sliding_realtime_metrics(spark, landing):
     assert peak["total_positions"] == 4
     assert peak["airborne_count"] == 3
     assert peak["latest_contact"] == NOW + 3 * 1800
+
+
+def test_streaming_corpus_dedup_drops_exact_dups(spark, tmp_path):
+    from aws_flight_data_pipeline_spark.streaming.streams import (
+        stream_documents,
+        streaming_corpus_dedup,
+    )
+
+    src = str(tmp_path / "corpus")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+    n_total = docs.count()
+    n_unique = docs.select(F.md5(F.lower(F.trim("text")))).distinct().count()
+
+    deduped = streaming_corpus_dedup(stream_documents(spark, src))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("corpus_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT fp FROM corpus_dedup")
+    assert out.count() == n_unique <= n_total
+    assert out.distinct().count() == n_unique  # one survivor per fingerprint
