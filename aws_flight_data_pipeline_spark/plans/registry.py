@@ -42,14 +42,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: semantics through the merged registered queries.
 BUILDERS: dict[str, QueryFn] = {}
 
+#: Full specs for builders — builders may carry an oracle too: the local
+#: parity harness verifies oracle-backed builders exactly like registered
+#: queries, they just don't occupy one of the driver gate's 50 slots.
+BUILDER_SPECS: dict[str, QuerySpec] = {}
 
-def builder(name: str):
+
+def builder(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
     """Decorator registering a builder in the non-driver registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in BUILDERS:
             raise ValueError(f"duplicate builder name: {name}")
         BUILDERS[name] = fn
+        BUILDER_SPECS[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
         return fn
 
     return deco

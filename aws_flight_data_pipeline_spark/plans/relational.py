@@ -984,3 +984,55 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@builder(
+    "asof_join_attribution",
+    tags=("join", "asof", "temporal"),
+    doc="Backward as-of join (operators/asof.py): every purchase event is "
+    "matched to the user's LATEST click at or before the purchase timestamp "
+    "— the point-in-time attribution lookup. Spark has no ASOF JOIN, so the "
+    "operator encodes it as union + one keyed sort + last(ignorenulls) "
+    "forward-fill: ONE shuffle over |L|+|R| rows, no range-join pair "
+    "explosion, the merge-join shape that survives a 100 TB event stream. "
+    "Verified against DuckDB's native ASOF LEFT JOIN (inclusive >= bound). "
+    "micros_since_click is exact BIGINT epoch-microsecond arithmetic.",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts AS click_ts, value AS click_value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id,
+               p.user_id,
+               p.ts,
+               p.purchase_value,
+               c.click_ts,
+               c.click_value,
+               epoch_us(p.ts) - epoch_us(c.click_ts) AS micros_since_click
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        "click_ts",
+        "click_value",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("micros_since_click"),
+    )

@@ -144,11 +144,15 @@ def text_signal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = token_type_ratio(F.col("text"))
     quality = 0.5 * ls + 0.5 * dv
     chars = F.array_distinct(F.split(F.col("text"), ""))
-
-    def char_p(c):
-        return (n - F.length(F.replace(F.col("text"), c, F.lit("")))) / n.cast("double")
-
-    h = F.aggregate(chars, F.lit(0.0), lambda acc, c: acc - char_p(c) * F.log(char_p(c)))
+    # one replace-scan per distinct char: materialize p before the fold — the
+    # naive fold (acc - p * log p with p inlined) re-evaluates the replace
+    # subtree twice per char. Same arithmetic, same fold order, so the value
+    # stays bit-identical with the oracle's list_transform/list_aggregate.
+    probs = F.transform(
+        chars,
+        lambda c: (n - F.length(F.replace(F.col("text"), c, F.lit("")))) / n.cast("double"),
+    )
+    h = F.aggregate(probs, F.lit(0.0), lambda acc, p: acc - p * F.log(p))
 
     sig = d.select(
         "lang",
@@ -417,15 +421,46 @@ def _pack_simhash(votes: "F.Column") -> "F.Column":
     return sim
 
 
+def _simhash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh) SimHash signatures via explode + codegen sums.
+
+    Value-equivalent to the HOF fold (``_simhash_votes`` + ``_pack_simhash``,
+    kept as the reference implementation and pinned equal in
+    tests/test_properties.py) but executes in whole-stage codegen instead of
+    the interpreted higher-order-function evaluator: explode the distinct
+    tokens, hash each once, and take 32 conditional SUMs — vote_i > 0 ⇔ the
+    majority of token hashes set bit i, exactly the fold's criterion. The
+    explode adds one doc_id-keyed shuffle, but the 32 sums partially aggregate
+    map-side so only ~one combined row per (doc, partition) moves — at corpus
+    scale this stays a linear one-pass plan. Measured 2.4× faster than the
+    interpreted fold at sf0.1.
+
+    Assumes non-null text (the corpus contract): ``explode`` of a null token
+    array would drop the document where the fold would carry a null signature.
+    """
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)).alias(
+                f"v{i}"
+            )
+            for i in range(32)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(32):
+        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return votes.select("doc_id", "lang", sim.alias("sh"))
+
+
 @builder("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone per-language SimHash collision profile (round-1 name) —
     the registered surface is dedup_simhash_suite."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("votes", _simhash_votes())
-        .withColumn("simhash", _pack_simhash(F.col("votes")))
-    )
+    d = _simhash_frame(load_table(spark, sf_dir, "documents")).withColumnRenamed("sh", "simhash")
     return (
         d.groupBy("lang")
         .agg(
@@ -455,14 +490,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # the 32-vote signature is the expensive subtree (interpreted HOFs) and
-    # feeds the profile AND both sides of the band self-join — cache the tiny
-    # (doc_id, lang, sh) frame so it is computed once, not three times
-    sigs = (
-        d.select("doc_id", "lang", _simhash_votes().alias("votes"))
-        .select("doc_id", "lang", _pack_simhash(F.col("votes")).alias("sh"))
-        .cache()
-    )
+    # the 32-vote signature is the expensive subtree and feeds the profile AND
+    # both sides of the band self-join — cache the tiny (doc_id, lang, sh)
+    # frame so it is computed once, not three times
+    sigs = _simhash_frame(d).cache()
 
     profile = (
         sigs.groupBy("lang")
@@ -895,4 +926,100 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("jaccard_e6_total", F.lit(0)).alias("jaccard_e6_total"),
         )
         .orderBy("source")
+    )
+
+
+@builder(
+    "text_language_id",
+    tags=("text", "langid", "classify"),
+    doc="Trainable n-gram language-ID heuristic, fit and applied in one plan: "
+    "(1) FIT — per-language token-frequency profiles over the full lang×vocab "
+    "grid with add-one smoothing; (2) APPLY — each document scores every "
+    "language by summing its tokens' profile weights and predicts the argmax "
+    "(deterministic lang-ascending tiebreak); (3) REPORT — the (actual, "
+    "predicted) confusion matrix. Weights are integer fixed-point "
+    "((c+1)*1e6 div (n_l+V)) so scoring is exact BIGINT arithmetic in both "
+    "engines — no log/float summation-order divergence. Scale shape: token "
+    "explode is linear, the profile (|langs|×|vocab| rows) broadcasts, "
+    "scoring is one map-side-combinable groupBy(doc, lang), the argmax is a "
+    "5-row-per-doc window. On this synthetic corpus the text distribution is "
+    "language-independent, so accuracy is chance level — the operator "
+    "demonstrates the full fit/apply/evaluate plumbing, which is the "
+    "engine-relevant part.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang AS actual, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT actual AS lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        vocab AS (SELECT DISTINCT tok FROM tok),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        lang_tot AS (
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM counts GROUP BY 1
+        ),
+        profile AS (
+            SELECT l.lang, t.tok,
+                   ((COALESCE(c.c, 0) + 1) * 1000000) // (lt.n_l + v.v) AS weight
+            FROM langs l
+            CROSS JOIN vocab t
+            CROSS JOIN v
+            JOIN lang_tot lt ON lt.lang = l.lang
+            LEFT JOIN counts c ON c.lang = l.lang AND c.tok = t.tok
+        ),
+        scores AS (
+            SELECT tk.doc_id, tk.actual, p.lang AS cand,
+                   CAST(SUM(p.weight) AS BIGINT) AS score
+            FROM tok tk JOIN profile p ON p.tok = tk.tok
+            GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT doc_id, actual, cand AS predicted
+            FROM scores
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, cand ASC
+            ) = 1
+        )
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM pred
+        GROUP BY actual, predicted
+        ORDER BY actual, predicted
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.col("lang").alias("actual"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = tok.groupBy(F.col("actual").alias("lang"), "tok").agg(F.count("*").alias("c"))
+    lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = tok.select("tok").distinct()
+    v = vocab.agg(F.count("*").alias("v"))
+    langs = d.select("lang").distinct()
+    # full smoothed lang×vocab grid; |langs|×|vocab| rows — broadcastable at
+    # any corpus size once vocab is capped (top-k by frequency at 100 TB)
+    profile = (
+        langs.crossJoin(vocab)
+        .join(counts, ["lang", "tok"], "left")
+        .na.fill({"c": 0})
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(v))
+        .select("lang", "tok", F.expr("((c + 1) * 1000000) div (n_l + v)").alias("weight"))
+    )
+    scores = (
+        tok.join(F.broadcast(profile.withColumnRenamed("lang", "cand")), "tok")
+        .groupBy("doc_id", "actual", "cand")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand").asc())
+    pred = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        pred.groupBy("actual", F.col("cand").alias("predicted"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("actual", "predicted")
     )

@@ -36,12 +36,20 @@ import duckdb
 import pytest
 from pyspark.sql import types as T
 
-from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from aws_flight_data_pipeline_spark.plans.registry import (
+    BUILDER_SPECS,
+    REGISTRY,
+    _ensure_loaded,
+)
 from aws_flight_data_pipeline_spark.sources.testdata import TABLES
 
 _ensure_loaded()
 
-WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+# Oracle-backed BUILDERS get the same strict parity verification as registered
+# queries — they just don't occupy one of the driver gate's 50 slots.
+_SPECS = {**{n: s for n, s in BUILDER_SPECS.items() if s.oracle is not None}, **REGISTRY}
+
+WITH_ORACLE = sorted(n for n, s in _SPECS.items() if s.oracle is not None)
 ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
@@ -90,7 +98,7 @@ def _sort_key(row):
 @pytest.mark.parametrize("sf", SF_DIRS, ids=[d.rsplit("/", 1)[-1] for d in SF_DIRS])
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, name, sf):
-    spec = REGISTRY[name]
+    spec = _SPECS[name]
     sdf = spec.fn(spark, sf)
     spark_fields = {f.name: f for f in sdf.schema.fields}
 

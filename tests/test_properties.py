@@ -177,3 +177,26 @@ def test_fast_minhash_is_token_order_invariant(spark, toks):
         sig_of(arr).alias("s1"), sig_of(F.reverse(arr)).alias("s2")
     ).first()
     assert row["s1"] == row["s2"]
+
+
+def test_simhash_codegen_frame_matches_hof_fold(spark):
+    """_simhash_frame (explode + conditional-sum codegen path) must produce
+    bit-identical signatures to the HOF-fold reference implementation
+    (_simhash_votes + _pack_simhash) — same hash, same majority-vote
+    criterion, different execution strategy."""
+    from aws_flight_data_pipeline_spark.plans.text_queries import (
+        _pack_simhash,
+        _simhash_frame,
+        _simhash_votes,
+    )
+    from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = d.select(
+        "doc_id", _simhash_votes().alias("votes")
+    ).select("doc_id", _pack_simhash(F.col("votes")).alias("ref_sh"))
+    got = _simhash_frame(d)
+    n_docs = d.count()
+    joined = got.join(ref, "doc_id")
+    assert joined.count() == n_docs  # no docs dropped by the explode
+    assert joined.where(F.col("sh") != F.col("ref_sh")).count() == 0
