@@ -148,19 +148,19 @@ _TIMELINESS_SQL = f"""
                CAST(SUM(CASE WHEN value_g IS NOT NULL THEN 5 ELSE 0 END
                         + CASE WHEN props_g IS NOT NULL THEN 3 ELSE 0 END
                         + CASE WHEN type_g IS NOT NULL THEN 2 ELSE 0 END) AS BIGINT)
-                   / (10.0 * COUNT(*)) AS avg_completeness,
+                   / (CAST(10 AS DOUBLE) * COUNT(*)) AS avg_completeness,
                CAST(SUM(CASE WHEN value_g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS missing_value_count,
                CAST(SUM(CASE WHEN props_g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS missing_props_count,
                CAST(SUM(CASE WHEN value_g IS NOT NULL AND props_g IS NOT NULL
                              AND type_g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   / (1.0 * COUNT(*)) AS fully_complete_ratio,
+                   / (CAST(1 AS DOUBLE) * COUNT(*)) AS fully_complete_ratio,
                CAST(SUM(4 - (CASE WHEN value >= 0 AND value <= 250 THEN 0 ELSE 1 END
                              + CASE WHEN year(ts) = 2024 THEN 0 ELSE 1 END
                              + CASE WHEN event_type IN {_KNOWN_TYPES_SQL} THEN 0 ELSE 1 END
                              + CASE WHEN user_id >= 0 THEN 0 ELSE 1 END)) AS BIGINT)
-                   / (4.0 * COUNT(*)) AS avg_validity,
+                   / (CAST(4 AS DOUBLE) * COUNT(*)) AS avg_validity,
                CAST(SUM(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END) AS BIGINT)
                    AS range_failures,
                CAST(SUM(CASE WHEN year(ts) <> 2024 THEN 1 ELSE 0 END) AS BIGINT)

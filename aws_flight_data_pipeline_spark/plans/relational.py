@@ -124,7 +124,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o_orderstatus, total_orders, unique_customers, unique_priorities,
                urgent_count, high_count, normal_count, big_ticket_count,
-               100.0 * total_orders / SUM(total_orders) OVER () AS pct_of_total,
+               CAST(100 AS DOUBLE) * total_orders / SUM(total_orders) OVER () AS pct_of_total,
                TRUE AS approx_customers_ok
         FROM agg
         ORDER BY o_orderstatus

@@ -544,19 +544,22 @@ def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band_id").alias("b_band_id"),
         F.col("band_val").alias("b_band_val"),
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b_band_id"))
-            & (F.col("a.band_val") == F.col("b_band_val"))
-            & (F.col("a.doc_id") < F.col("b_doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b_doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"),
-        )
-        .distinct()  # a pair may match in both bands
+    # A pair matching in BOTH bands would be emitted twice; count it only in
+    # its FIRST matching band (band 1 qualifies only when the low bands
+    # differ) — the standard LSH dedup that replaces a 700k-pair distinct()
+    # shuffle with a free post-join filter.
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b_band_id"))
+        & (F.col("a.band_val") == F.col("b_band_val"))
+        & (F.col("a.doc_id") < F.col("b_doc_id")),
+    ).where(
+        (F.col("a.band_id") == 0)
+        | (F.col("a.sh").bitwiseAND(F.lit(0xFFFF)) != F.col("b_sh").bitwiseAND(F.lit(0xFFFF)))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b_doc_id").alias("doc_b"),
+        F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"),
     )
     histogram = (
         pairs.groupBy("hamming")
@@ -1022,4 +1025,168 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.groupBy("actual", F.col("cand").alias("predicted"))
         .agg(F.count("*").alias("doc_count"))
         .orderBy("actual", "predicted")
+    )
+
+
+_INC_SOURCES_SQL = "('src18', 'src19')"
+
+
+@builder(
+    "corpus_merge_increment",
+    tags=("dedup", "merge", "incremental", "lsh"),
+    doc="Incremental corpus ingestion — admit a new document increment "
+    "against an EXISTING corpus (the operation a training-data pipeline runs "
+    "per crawl snapshot; here the increment is the src18/src19 slice). "
+    "Stages: (1) exact rejection — the increment's content fingerprints "
+    "left-semi-join the existing corpus's fingerprint set; (2) near-dup "
+    "rejection — shingle fast-MinHash 2-band LSH keys of the increment join "
+    "the EXISTING corpus's band table (asymmetric: increment × corpus, never "
+    "corpus × corpus), candidates verified by exploded-shingle Jaccard with "
+    "the INTEGER-EXACT threshold 2·|∩| ≥ |A|+|B|−|∩| (no doubles anywhere); "
+    "(3) per-source admission accounting. At production scale the existing "
+    "corpus's fingerprint + band tables are materialized once per snapshot, "
+    "so each increment's cost is proportional to the increment, not the "
+    "corpus. Increment-internal duplicates are the batch "
+    "dedup_pipeline_end_to_end operator's job.",
+    oracle=f"""
+        WITH inc AS (
+            SELECT * FROM documents WHERE source IN {_INC_SOURCES_SQL}
+        ), corpus AS (
+            SELECT * FROM documents WHERE source NOT IN {_INC_SOURCES_SQL}
+        ), corpus_fp AS (
+            SELECT DISTINCT md5(LOWER(TRIM(text))) AS fp FROM corpus
+        ), exact AS (
+            SELECT i.doc_id
+            FROM inc i JOIN corpus_fp e ON e.fp = md5(LOWER(TRIM(i.text)))
+        ), shing AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                   )) AS shingles
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, UNNEST(shingles) AS tok FROM shing
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id, source, {_MINHASH_FAST_SQL} AS sig FROM shing
+        ), bands AS (
+            SELECT doc_id, source,
+                   0 AS band_id, md5(array_to_string(sig[1:4], '|')) AS band_key
+            FROM sigs
+            UNION ALL
+            SELECT doc_id, source, 1, md5(array_to_string(sig[5:8], '|')) FROM sigs
+        ), cands AS (
+            SELECT DISTINCT i.doc_id AS i_doc, e.doc_id AS e_doc
+            FROM bands i
+            JOIN bands e ON e.band_id = i.band_id AND e.band_key = i.band_key
+            WHERE i.source IN {_INC_SOURCES_SQL}
+              AND e.source NOT IN {_INC_SOURCES_SQL}
+        ), inter AS (
+            SELECT c.i_doc, c.e_doc, COUNT(*) AS n_inter
+            FROM cands c
+            JOIN toks ta ON ta.doc_id = c.i_doc
+            JOIN toks tb ON tb.doc_id = c.e_doc AND tb.tok = ta.tok
+            GROUP BY c.i_doc, c.e_doc
+        ), near AS (
+            SELECT DISTINCT c.i_doc AS doc_id
+            FROM cands c
+            JOIN sizes sa ON sa.doc_id = c.i_doc
+            JOIN sizes sb ON sb.doc_id = c.e_doc
+            LEFT JOIN inter x ON x.i_doc = c.i_doc AND x.e_doc = c.e_doc
+            WHERE 2 * COALESCE(x.n_inter, 0)
+                  >= sa.n_tok + sb.n_tok - COALESCE(x.n_inter, 0)
+        ), flags AS (
+            SELECT i.doc_id, i.source,
+                   CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_exact,
+                   CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near
+            FROM inc i
+            LEFT JOIN exact e ON e.doc_id = i.doc_id
+            LEFT JOIN near n ON n.doc_id = i.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS incoming_docs,
+               CAST(SUM(is_exact) AS BIGINT) AS exact_dup_docs,
+               CAST(SUM(CASE WHEN is_near = 1 AND is_exact = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS near_dup_docs,
+               CAST(SUM(CASE WHEN is_exact = 0 AND is_near = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS admitted_docs
+        FROM flags
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    inc_sources = ("src18", "src19")
+    is_inc = F.col("source").isin(*inc_sources)
+    inc, corpus = d.where(is_inc), d.where(~is_inc)
+
+    # exact rejection: increment fp semi-join the corpus fingerprint set
+    corpus_fp = corpus.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    exact = (
+        inc.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .join(corpus_fp, "fp", "left_semi")
+        .select("doc_id")
+    )
+
+    # near-dup rejection: asymmetric increment × corpus LSH candidate join
+    toks_arr = shingles(F.col("text"), 3)
+    bands = (
+        d.select("doc_id", is_inc.alias("is_inc"), minhash_nums(toks_arr).alias("nums"))
+        .select("doc_id", "is_inc", minhash_signature_fast(F.col("nums"), 8).alias("sig"))
+        .select(
+            "doc_id",
+            "is_inc",
+            F.posexplode(
+                F.array(minhash_band(F.col("sig"), 0, 4), minhash_band(F.col("sig"), 4, 4))
+            ).alias("band_id", "band_key"),
+        )
+        .cache()
+    )
+    bi = bands.where("is_inc").select(F.col("doc_id").alias("i_doc"), "band_id", "band_key")
+    be = bands.where(~F.col("is_inc")).select(
+        F.col("doc_id").alias("e_doc"), "band_id", "band_key"
+    )
+    cands = bi.join(be, ["band_id", "band_key"]).select("i_doc", "e_doc").distinct()
+
+    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).cache()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("i_doc"), "tok")
+    tb = toks.select(F.col("doc_id").alias("e_doc"), F.col("tok").alias("tok_b"))
+    inter = (
+        cands.join(ta, "i_doc")
+        .join(tb, (F.col("tok") == F.col("tok_b")) & (tb.e_doc == cands.e_doc))
+        .groupBy(cands.i_doc, cands.e_doc)
+        .agg(F.count("*").alias("n_inter"))
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    near = (
+        cands.join(sizes.select(F.col("doc_id").alias("i_doc"), F.col("n_tok").alias("na")), "i_doc")
+        .join(sizes.select(F.col("doc_id").alias("e_doc"), F.col("n_tok").alias("nb")), "e_doc")
+        .join(inter, ["i_doc", "e_doc"], "left")
+        # integer-exact Jaccard >= 0.5:  2|∩| >= |A| + |B| - |∩|
+        .where(2 * n_inter >= F.col("na") + F.col("nb") - n_inter)
+        .select(F.col("i_doc").alias("doc_id"))
+        .distinct()
+    )
+
+    flags = (
+        inc.select("doc_id", "source")
+        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .na.fill({"is_exact": 0, "is_near": 0})
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("incoming_docs"),
+            F.sum("is_exact").alias("exact_dup_docs"),
+            F.sum(F.when((F.col("is_near") == 1) & (F.col("is_exact") == 0), 1).otherwise(0))
+            .alias("near_dup_docs"),
+            F.sum(F.when((F.col("is_exact") == 0) & (F.col("is_near") == 0), 1).otherwise(0))
+            .alias("admitted_docs"),
+        )
+        .orderBy("source")
     )

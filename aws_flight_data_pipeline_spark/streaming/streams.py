@@ -281,3 +281,36 @@ def streaming_corpus_dedup(docs: DataFrame, watermark: str = "30 minutes") -> Da
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+def stream_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_lag: str = "1 hour",
+    purchase_watermark: str = "30 minutes",
+    click_watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of the
+    batch as-of join (operators/asof.py).
+
+    Each purchase joins every click by the same user within
+    ``[purchase_time - max_lag, purchase_time]``. Pure streams cannot compute
+    "the single latest click" incrementally without unbounded wait (a later
+    micro-batch may always carry a closer click), so the streaming relaxation
+    emits the qualifying interval and leaves top-1 selection to the consumer
+    — the standard stream-stream pattern. State is bounded by the watermarks:
+    clicks are droppable once older than ``click_watermark`` (which must
+    cover ``max_lag`` plus the purchase lateness bound), purchases once past
+    ``purchase_watermark``.
+
+    Inputs must carry ``user_id``, an event-time column named
+    ``purchase_time`` / ``click_time``, and side-specific payload columns.
+    """
+    p = purchases.withWatermark("purchase_time", purchase_watermark)
+    c = clicks.withWatermark("click_time", click_watermark)
+    cond = (
+        (p["user_id"] == c["user_id"])
+        & (c["click_time"] >= p["purchase_time"] - F.expr(f"INTERVAL {max_lag}"))
+        & (c["click_time"] <= p["purchase_time"])
+    )
+    return p.join(c, cond, "inner").drop(c["user_id"])

@@ -77,9 +77,11 @@ HEADLINE = (
     "vector_storage_profile",
     "multimodal_asset_profile",
     "ann_pipeline_end_to_end",
-    # round-2 late appends: temporal as-of join + trained language-ID
+    # round-2 late appends: temporal as-of join, trained language-ID,
+    # incremental corpus admission
     "asof_join_attribution",
     "text_language_id",
+    "corpus_merge_increment",
 )
 
 

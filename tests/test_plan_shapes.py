@@ -140,3 +140,32 @@ def test_near_dup_lsh_is_bucketed_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_near_dup_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_one_shuffle_no_range_explosion(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join_attribution")
+    # the union+window encoding: ONE hash shuffle on the key, and never a
+    # range join (BroadcastNestedLoop/Cartesian) that explodes pairs
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_language_id_profile_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_language_id")
+    # scoring joins the lang×vocab profile via broadcast — the token stream
+    # must never shuffle for the profile lookup
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_signatures_run_in_codegen(spark, sf_dir):
+    df = resolve("dedup_simhash")(spark, sf_dir)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    # the vote fold is 32 conditional sums inside whole-stage codegen (the
+    # *(n) spans) — the interpreted HOF evaluator (the round-1 hotspot) must
+    # not reappear in the signature subtree
+    assert re.search(r"\*\(\d+\) HashAggregate\(keys=\[doc_id", plan)
+    assert "partial_sum(CASE WHEN" in plan  # map-side combine of the votes

@@ -174,3 +174,47 @@ def test_streaming_corpus_dedup_drops_exact_dups(spark, tmp_path):
     out = spark.sql("SELECT fp FROM corpus_dedup")
     assert out.count() == n_unique <= n_total
     assert out.distinct().count() == n_unique  # one survivor per fingerprint
+
+
+def test_stream_attribution_interval_join(spark, tmp_path):
+    """Stream-stream interval join: purchases match same-user clicks within
+    the lag window, across micro-batch boundaries, and never outside it."""
+    from aws_flight_data_pipeline_spark.streaming.streams import stream_attribution_join
+
+    base = 1704067200  # 2024-01-01T00:00Z
+    pdir, cdir = tmp_path / "purchases", tmp_path / "clicks"
+    pdir.mkdir(), cdir.mkdir()
+
+    def write(d, name, rows, cols):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(
+            str(d / name)
+        )
+
+    # clicks arrive in batch files; one is inside the 1h window, one outside,
+    # one belongs to a different user
+    write(cdir, "c1", [
+        (1, base + 100, 0.5),      # inside window for both purchases of user 1
+        (1, base - 7200, 0.1),     # 2h before: outside max_lag
+        (2, base + 150, 0.9),      # other user
+    ], "user_id long, click_s long, click_value double")
+    write(pdir, "p1", [
+        (1, base + 600, 42.0),     # clicks at +100 qualify
+        (1, base + 4000, 17.0),    # +100 is beyond 1h lag -> no match... (3900s lag > 3600)
+    ], "user_id long, purchase_s long, purchase_value double")
+
+    purchases = (
+        spark.readStream.schema("user_id long, purchase_s long, purchase_value double")
+        .parquet(str(pdir / "*"))
+        .withColumn("purchase_time", F.timestamp_seconds(F.col("purchase_s")))
+    )
+    clicks = (
+        spark.readStream.schema("user_id long, click_s long, click_value double")
+        .parquet(str(cdir / "*"))
+        .withColumn("click_time", F.timestamp_seconds(F.col("click_s")))
+    )
+    joined = stream_attribution_join(purchases, clicks, max_lag="1 hour")
+    _run_to_memory(joined, "attr_out")
+    rows = spark.sql(
+        "SELECT purchase_s, click_s FROM attr_out ORDER BY purchase_s"
+    ).collect()
+    assert [(r.purchase_s, r.click_s) for r in rows] == [(base + 600, base + 100)]
