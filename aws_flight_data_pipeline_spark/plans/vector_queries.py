@@ -671,3 +671,95 @@ def ann_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine_sim"), "vec_id")
     )
+
+
+@builder(
+    "ann_quantized_rerank",
+    tags=("vector", "ann", "quantization", "topk"),
+    doc="Two-stage quantized retrieval — the production ANN serving pattern "
+    "that pairs with the int8 storage cut (vector_storage_profile): stage 1 "
+    "scores EVERY vector against the query in int8 code space (integer "
+    "dot product — exact BIGINT arithmetic, 4× less data moved than float32) "
+    "and keeps the top-50 by (int8_score, vec_id); stage 2 re-ranks only "
+    "those candidates with the exact float cosine and returns the top-10. "
+    "Cosine travels as per-row integer micro-units (ROUND(cos*1e6)) so "
+    "ranking and values are deterministic cross-engine. Both stages are "
+    "narrow map + TakeOrderedAndProject — no shuffle grows with n.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        scales AS (
+            SELECT vec_id, MAX(ABS(val)) / 127.0 AS scale
+            FROM elems GROUP BY vec_id
+        ),
+        codes AS (
+            SELECT e.vec_id, e.label, e.pos,
+                   CAST(ROUND(e.val / s.scale) AS BIGINT) AS q
+            FROM elems e JOIN scales s ON e.vec_id = s.vec_id
+            WHERE s.scale > 0
+        ),
+        qc AS (SELECT pos, q FROM codes WHERE vec_id = 0),
+        iscore AS (
+            SELECT c.vec_id, c.label, CAST(SUM(c.q * qc.q) AS BIGINT) AS int8_score
+            FROM codes c JOIN qc ON qc.pos = c.pos
+            WHERE c.vec_id <> 0
+            GROUP BY c.vec_id, c.label
+        ),
+        top50 AS (
+            SELECT vec_id, label, int8_score
+            FROM iscore ORDER BY int8_score DESC, vec_id LIMIT 50
+        ),
+        norms AS (
+            SELECT vec_id, SQRT(SUM(val * val)) AS vnorm FROM elems GROUP BY vec_id
+        ),
+        qv AS (SELECT pos, val FROM elems WHERE vec_id = 0),
+        qn AS (SELECT vnorm AS qnorm FROM norms WHERE vec_id = 0),
+        rerank AS (
+            SELECT t.vec_id, t.label, t.int8_score,
+                   CAST(ROUND(1e6 * SUM(e.val * qv.val) / (n.vnorm * qn.qnorm))
+                        AS BIGINT) AS cos_e6
+            FROM top50 t
+            JOIN elems e ON e.vec_id = t.vec_id
+            JOIN qv ON qv.pos = e.pos
+            JOIN norms n ON n.vec_id = t.vec_id
+            CROSS JOIN qn
+            GROUP BY t.vec_id, t.label, t.int8_score, n.vnorm, qn.qnorm
+        )
+        SELECT vec_id, label, int8_score, cos_e6
+        FROM rerank ORDER BY cos_e6 DESC, vec_id LIMIT 10
+    """,
+)
+def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = (
+        e.withColumn("v", v)
+        .withColumn("scale", F.array_max(F.transform("v", F.abs)) / 127.0)
+        .filter(F.col("scale") > 0)
+        .withColumn(
+            "q", F.transform("v", lambda x: F.round(x / F.col("scale")).cast("long"))
+        )
+        .withColumn("vnorm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("v").alias("qv"), F.col("vnorm").alias("qnorm")
+    )
+    cand = base.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    int8_score = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    top50 = (
+        cand.withColumn("int8_score", int8_score)
+        .orderBy(F.desc("int8_score"), "vec_id")
+        .limit(50)
+    )
+    cos_e6 = F.round(
+        1e6
+        * F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+        / (F.col("vnorm") * F.col("qnorm"))
+    ).cast("long")
+    return (
+        top50.withColumn("cos_e6", cos_e6)
+        .select("vec_id", "label", "int8_score", "cos_e6")
+        .orderBy(F.desc("cos_e6"), "vec_id")
+        .limit(10)
+    )

@@ -82,6 +82,7 @@ HEADLINE = (
     "asof_join_attribution",
     "text_language_id",
     "corpus_merge_increment",
+    "ann_quantized_rerank",
 )
 
 
