@@ -1,0 +1,431 @@
+"""Corpus-curation operators: the stages a training-data pipeline runs
+between raw ingest and training-batch packing.
+
+Deterministic split assignment, PII detection/redaction, eval-set
+decontamination, per-domain token-budget sampling, and connected-components
+dedup clustering (the transitive generalization of the keep-first rule in
+``dedup_pipeline_end_to_end``). Reference analog: the transform/quality
+stages (``data_transformer.py``) — generalized from flight records to
+document corpora, which is the LLM-extension surface this engine treats as
+first-class.
+
+All are oracle-backed builders: the strict local parity harness verifies
+them value-exactly against DuckDB at sf0.001+sf0.01 via ``BUILDER_SPECS``
+without consuming one of the driver gate's 50 registered slots.
+
+Cross-engine discipline (see SURVEY §9): every integer aggregate is CAST to
+BIGINT in the oracle; thresholds compare integers (``4·overlap >= n`` rather
+than a float ratio); the split/sample hash is the md5-prefix integer that
+both engines parse identically (``conv(hex,16,10)`` == ``('0x'||hex)::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_flight_data_pipeline_spark.functions.text import shingles, word_count
+from aws_flight_data_pipeline_spark.operators.graph import (
+    propagate_min_labels,
+    symmetrize,
+)
+from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.plans.text_queries import (
+    _WORD_COUNT_SQL,
+    SCORED_PAIRS_CTES,
+    scored_pair_frame,
+)
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+
+def _md5_bucket(col: Column, mod: int | None = None) -> Column:
+    """First 8 hex digits of md5 as an int64 — the engine-portable
+    deterministic hash (Spark ``conv`` == DuckDB ``('0x'||hex)::BIGINT``)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % mod if mod else h
+
+
+def _md5_bucket_sql(expr: str, mod: int | None = None) -> str:
+    h = f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    return f"({h} % {mod})" if mod else h
+
+
+@builder(
+    "dataset_split_assign",
+    tags=("curation", "split", "sampling"),
+    doc="Deterministic train/validation/test split via content-independent "
+    "md5 bucketing of doc_id (80/10/10), with stratified accounting per "
+    "(lang, split): document counts and exact token totals. The hash-bucket "
+    "split is the scale-correct design: assignment is a per-row expression "
+    "(no shuffle, no global sort, no seed-dependent sampler), stable under "
+    "corpus growth — a doc's split never changes when new data arrives, "
+    "which is what keeps eval sets frozen across pipeline runs.",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang,
+                   CASE WHEN {_md5_bucket_sql("doc_id", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket_sql("doc_id", 100)} < 90 THEN 'validation'
+                        ELSE 'test' END AS split,
+                   {_WORD_COUNT_SQL} AS toks
+            FROM documents
+        )
+        SELECT lang, split,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(toks) AS BIGINT) AS token_total
+        FROM assigned
+        GROUP BY lang, split
+        ORDER BY lang, split
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), word_count(F.col("text")).alias("toks"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("toks").cast("bigint").alias("token_total"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# Simple-by-design detector patterns: identical semantics under Java regex
+# (Spark) and RE2 (DuckDB) — character classes, bounded repetition, no
+# backrefs/lookaround.
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@builder(
+    "text_pii_redaction",
+    tags=("curation", "pii", "text"),
+    doc="PII detection + redaction sweep: count and strip emails, phone "
+    "numbers, and IPv4 addresses, with per-language accounting (docs "
+    "touched, hits per class, exact characters removed). The synthetic "
+    "corpus contains no PII, so the operator plants deterministic PII spans "
+    "(derived from doc_id — identically on both engines) before scanning; "
+    "detection therefore has known ground truth and redaction is verified "
+    "by exact length arithmetic. Per-row regex work only — zero shuffle "
+    "before the final rollup, the property that lets the sweep run over "
+    "100 TB as one pass. Patterns are the RE2-safe subset so the same "
+    "expressions run on any engine.",
+    oracle=f"""
+        WITH aug AS (
+            SELECT lang,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id % 199 AS VARCHAR)
+                           ELSE '' END AS t
+            FROM documents
+        ), scanned AS (
+            SELECT lang, t,
+                   len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+                   len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone,
+                   len(regexp_extract_all(t, '{_IP_RE}')) AS n_ip,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_IP_RE}', '<IP>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM aug
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS docs_scanned,
+               CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_with_pii,
+               CAST(SUM(n_email) AS BIGINT) AS email_hits,
+               CAST(SUM(n_phone) AS BIGINT) AS phone_hits,
+               CAST(SUM(n_ip) AS BIGINT) AS ip_hits,
+               CAST(SUM(LENGTH(t) - LENGTH(redacted)) AS BIGINT) AS chars_redacted
+        FROM scanned
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 199).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    scanned = d.select(
+        "lang",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).alias("n_phone"),
+        F.regexp_count(t, F.lit(_IP_RE)).alias("n_ip"),
+        (F.length(t) - F.length(redacted)).alias("chars_removed"),
+    )
+    return (
+        scanned.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_scanned"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("n_email").cast("bigint").alias("email_hits"),
+            F.sum("n_phone").cast("bigint").alias("phone_hits"),
+            F.sum("n_ip").cast("bigint").alias("ip_hits"),
+            F.sum("chars_removed").cast("bigint").alias("chars_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
+@builder(
+    "corpus_decontamination",
+    tags=("curation", "contamination", "dedup"),
+    doc="Eval-set decontamination: the held-out set (deterministic 1% — "
+    "doc_id % 97 == 0, matching the frozen-split discipline of "
+    "dataset_split_assign) contributes its distinct 3-token shingles; every "
+    "training document is scored by how many of its shingles appear in that "
+    "set, and flagged contaminated on an integer-exact 25% threshold "
+    "(4·overlap >= n_shingles). Scale shape: the eval shingle set is tiny "
+    "relative to the corpus, so the membership probe is a BROADCAST "
+    "semi-join against linearly-exploded training shingles — no shuffle of "
+    "the corpus, which is how n-gram decontamination stays one pass at "
+    "100 TB. Emits per-source contamination accounting.",
+    oracle="""
+        WITH shing AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                   )) AS shingles
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, source, UNNEST(shingles) AS tok FROM shing
+        ), eval_toks AS (
+            SELECT DISTINCT tok FROM toks WHERE doc_id % 97 = 0
+        ), train AS (
+            SELECT * FROM toks WHERE doc_id % 97 <> 0
+        ), sizes AS (
+            SELECT doc_id, source, COUNT(*) AS n_tok FROM train GROUP BY 1, 2
+        ), overlap AS (
+            SELECT t.doc_id, COUNT(*) AS n_overlap
+            FROM train t JOIN eval_toks e ON e.tok = t.tok
+            GROUP BY t.doc_id
+        ), per_doc AS (
+            SELECT s.doc_id, s.source, s.n_tok,
+                   COALESCE(o.n_overlap, 0) AS n_overlap
+            FROM sizes s LEFT JOIN overlap o ON o.doc_id = s.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS train_docs,
+               CAST(SUM(CASE WHEN 4 * n_overlap >= n_tok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS contaminated_docs,
+               CAST(SUM(n_overlap) AS BIGINT) AS overlap_shingles_total,
+               CAST(SUM(n_tok) AS BIGINT) AS train_shingles_total
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # one explode feeds both the eval set and the training side
+    toks = d.select("doc_id", "source", F.explode(shingles(F.col("text"), 3)).alias("tok")).cache()
+    eval_toks = toks.filter(F.col("doc_id") % 97 == 0).select("tok").distinct()
+    train = toks.filter(F.col("doc_id") % 97 != 0)
+    sizes = train.groupBy("doc_id", "source").agg(F.count("*").alias("n_tok"))
+    overlap = (
+        train.join(F.broadcast(eval_toks), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
+    per_doc = sizes.join(overlap, "doc_id", "left").select(
+        "source", "n_tok", n_overlap.alias("n_overlap")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("train_docs"),
+            F.sum(F.when(4 * F.col("n_overlap") >= F.col("n_tok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("contaminated_docs"),
+            F.sum("n_overlap").cast("bigint").alias("overlap_shingles_total"),
+            F.sum("n_tok").cast("bigint").alias("train_shingles_total"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOMAIN_BUDGET = 500  # tokens admitted per source
+
+
+@builder(
+    "domain_budget_sample",
+    tags=("curation", "sampling", "window"),
+    doc="Domain-mix sampling under a per-source token budget: within each "
+    "source, documents are ordered by a deterministic content-independent "
+    "hash (md5-prefix integer — a frozen uniform shuffle, not ingestion "
+    "order) and admitted while the running token total stays within the "
+    "budget. One window shuffle partitioned by source; the running sum is "
+    "exact BIGINT. This is the mixture-weighting primitive: per-domain "
+    "budgets ARE the sampling weights when a training mix over-represents "
+    "some source. Emits admitted vs total docs/tokens per source.",
+    oracle=f"""
+        WITH wc AS (
+            SELECT source, doc_id,
+                   {_WORD_COUNT_SQL} AS toks,
+                   {_md5_bucket_sql("doc_id")} AS h
+            FROM documents
+        ), cum AS (
+            SELECT source, toks,
+                   SUM(toks) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_toks
+            FROM wc
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS total_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN cum_toks <= {_DOMAIN_BUDGET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS admitted_docs,
+               CAST(SUM(CASE WHEN cum_toks <= {_DOMAIN_BUDGET} THEN toks ELSE 0 END)
+                    AS BIGINT) AS admitted_tokens
+        FROM cum
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def domain_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = d.select(
+        "source",
+        "doc_id",
+        word_count(F.col("text")).alias("toks"),
+        _md5_bucket(F.col("doc_id")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wc.withColumn("cum_toks", F.sum("toks").over(w))
+    admitted = F.col("cum_toks") <= _DOMAIN_BUDGET
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(admitted, 1).otherwise(0)).cast("bigint").alias("admitted_docs"),
+            F.sum(F.when(admitted, F.col("toks")).otherwise(0))
+            .cast("bigint")
+            .alias("admitted_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _label_iteration_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+            SELECT l.node, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+            FROM {prev} l
+            LEFT JOIN dup_edges e ON e.u = l.node
+            LEFT JOIN {prev} n ON n.node = e.v
+            GROUP BY l.node, l.label
+        )"""
+
+
+_CC_ITERATIONS = 3
+
+
+@builder(
+    "dedup_cluster_components",
+    tags=("curation", "dedup", "graph", "components"),
+    doc="Connected-components dedup clustering: verified near-dup pairs "
+    "(the composed pipeline's LSH candidates with shingle-Jaccard >= 0.5) "
+    "become an undirected graph, and 3 rounds of distributed min-label "
+    "propagation (operators/graph.py — the Hash-Min formulation; each round "
+    "is one equi-join + one hash aggregate, labels reach 3 hops) assign "
+    "every document its cluster. This generalizes the pipeline's keep-first "
+    "rule to TRANSITIVE chains (A~B~C where A and C never share a band): "
+    "one survivor per component, not per pair. Output is the cluster-size "
+    "histogram (size 1 = unique docs). Both engines run the identical "
+    "3-round unrolling, so parity holds independent of convergence; "
+    "convergence on this corpus is asserted separately "
+    "(tests/test_graph.py).",
+    oracle=f"""
+        WITH {SCORED_PAIRS_CTES}, dup_edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM scored WHERE j >= 0.5
+            UNION ALL
+            SELECT doc_b, doc_a FROM scored WHERE j >= 0.5
+        ), lab0 AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+        ), {_label_iteration_sql("lab0", "lab1")},
+        {_label_iteration_sql("lab1", "lab2")},
+        {_label_iteration_sql("lab2", "lab3")},
+        comp AS (
+            SELECT label, COUNT(*) AS cluster_size
+            FROM lab{_CC_ITERATIONS} GROUP BY label
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS docs_in_bucket
+        FROM comp
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = scored_pair_frame(d)
+    edges = symmetrize(
+        scored.filter(F.col("j") >= 0.5).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    ).cache()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labels = propagate_min_labels(nodes, edges, _CC_ITERATIONS)
+    comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("docs_in_bucket"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -99,3 +99,7 @@ def _ensure_loaded() -> None:
     import aws_flight_data_pipeline_spark.plans.sequences  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.text_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.vector_queries  # noqa: F401
+
+    # builders only (no @query entries) — imported last so the driver-visible
+    # REGISTRY insertion order above stays exactly as round 1 recorded it
+    import aws_flight_data_pipeline_spark.plans.curation_queries  # noqa: F401

@@ -737,28 +737,11 @@ def text_rolling_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_FAST_SQL = minhash_fast_sql("shingles", 8)
 
-
-@query(
-    "dedup_pipeline_end_to_end",
-    tags=("dedup", "minhash", "lsh", "jaccard", "pipeline"),
-    doc="The composed fuzzy-dedup pipeline — candidate generation, pair "
-    "verification, survivor selection as ONE operator (reference analog: "
-    "dedup strategy selection, data_transformer.py:612-659, generalized from "
-    "key-equality to content similarity). Stages: (1) 3-token SHINGLE "
-    "MinHash 8-hash signatures + 2-band LSH bucketing (md5 family, engine-"
-    "portable; shingles, not unigrams — unigram minima degenerate on shared "
-    "vocabulary, see functions.text.shingles); (2) candidate pairs via "
-    "per-bucket self-join (doc_a < doc_b, distinct across bands) — never an "
-    "all-pairs scan; (3) shingle-set Jaccard verification of candidates "
-    "only, via exploded-shingle equi-join (hash joins end to end); (4) "
-    "keep-first survivor selection: a doc is a duplicate iff it has a "
-    "smaller-id verified near-dup partner (j >= 0.5) — single-pass, no "
-    "iterative union-find: members of a near-dup cluster collide pairwise in "
-    "the banding, so every non-minimal member is flagged directly. Emits "
-    "per-source corpus accounting; avg verified similarity travels as exact "
-    "integer micro-units (ROUND(j*1e6) per pair — dyadic-.5-safe).",
-    oracle=f"""
-        WITH shing AS (
+#: Stages 1-3 of the fuzzy-dedup pipeline as a reusable CTE chain (no WITH
+#: keyword): shingle → MinHash signature → 2-band LSH candidates → exploded-
+#: shingle Jaccard scores. Ends at `scored(doc_a, doc_b, j)`. Shared by the
+#: dedup pipeline and the cluster-components oracle (curation_queries.py).
+SCORED_PAIRS_CTES = f"""shing AS (
             SELECT doc_id,
                    list_distinct(list_transform(
                        range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -796,38 +779,14 @@ _MINHASH_FAST_SQL = minhash_fast_sql("shingles", 8)
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-        ), pair_stats AS (
-            SELECT d.source,
-                   COUNT(*) AS candidate_pairs,
-                   CAST(SUM(CASE WHEN s.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-                       AS verified_dup_pairs,
-                   CAST(SUM(CASE WHEN s.j >= 0.5
-                            THEN CAST(ROUND(s.j * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT)
-                       AS jaccard_e6_total
-            FROM scored s JOIN documents d ON d.doc_id = s.doc_b
-            GROUP BY d.source
-        ), dropped AS (
-            SELECT d.source, COUNT(DISTINCT s.doc_b) AS duplicate_docs
-            FROM scored s JOIN documents d ON d.doc_id = s.doc_b
-            WHERE s.j >= 0.5
-            GROUP BY d.source
-        ), totals AS (
-            SELECT source, COUNT(*) AS total_docs FROM documents GROUP BY source
-        )
-        SELECT t.source, t.total_docs,
-               COALESCE(p.candidate_pairs, 0)    AS candidate_pairs,
-               COALESCE(p.verified_dup_pairs, 0) AS verified_dup_pairs,
-               COALESCE(d.duplicate_docs, 0)     AS duplicate_docs,
-               t.total_docs - COALESCE(d.duplicate_docs, 0) AS surviving_docs,
-               COALESCE(p.jaccard_e6_total, 0)   AS jaccard_e6_total
-        FROM totals t
-        LEFT JOIN pair_stats p ON p.source = t.source
-        LEFT JOIN dropped d ON d.source = t.source
-        ORDER BY t.source
-    """,
-)
-def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+        )"""
+
+
+def scored_pair_frame(d: DataFrame) -> DataFrame:
+    """Stages 1-3 of the fuzzy-dedup pipeline over a documents frame:
+    shingle-MinHash LSH candidate generation + exploded-shingle Jaccard
+    verification. Returns ``(doc_a, doc_b, j)`` for every candidate pair
+    (doc_a < doc_b). The Spark twin of :data:`SCORED_PAIRS_CTES`."""
     toks_arr = shingles(F.col("text"), 3)
 
     # stage 1: signatures + banding (per-row HOFs, zero shuffle). The md5
@@ -883,7 +842,7 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_tok_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_tok_b"))
     n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
-    scored = (
+    return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .join(inter, ["doc_a", "doc_b"], "left")
@@ -896,6 +855,62 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j"),
         )
     )
+
+
+@query(
+    "dedup_pipeline_end_to_end",
+    tags=("dedup", "minhash", "lsh", "jaccard", "pipeline"),
+    doc="The composed fuzzy-dedup pipeline — candidate generation, pair "
+    "verification, survivor selection as ONE operator (reference analog: "
+    "dedup strategy selection, data_transformer.py:612-659, generalized from "
+    "key-equality to content similarity). Stages: (1) 3-token SHINGLE "
+    "MinHash 8-hash signatures + 2-band LSH bucketing (md5 family, engine-"
+    "portable; shingles, not unigrams — unigram minima degenerate on shared "
+    "vocabulary, see functions.text.shingles); (2) candidate pairs via "
+    "per-bucket self-join (doc_a < doc_b, distinct across bands) — never an "
+    "all-pairs scan; (3) shingle-set Jaccard verification of candidates "
+    "only, via exploded-shingle equi-join (hash joins end to end); (4) "
+    "keep-first survivor selection: a doc is a duplicate iff it has a "
+    "smaller-id verified near-dup partner (j >= 0.5) — single-pass, no "
+    "iterative union-find: members of a near-dup cluster collide pairwise in "
+    "the banding, so every non-minimal member is flagged directly. Emits "
+    "per-source corpus accounting; avg verified similarity travels as exact "
+    "integer micro-units (ROUND(j*1e6) per pair — dyadic-.5-safe).",
+    oracle=f"""
+        WITH {SCORED_PAIRS_CTES}, pair_stats AS (
+            SELECT d.source,
+                   COUNT(*) AS candidate_pairs,
+                   CAST(SUM(CASE WHEN s.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS verified_dup_pairs,
+                   CAST(SUM(CASE WHEN s.j >= 0.5
+                            THEN CAST(ROUND(s.j * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS jaccard_e6_total
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_b
+            GROUP BY d.source
+        ), dropped AS (
+            SELECT d.source, COUNT(DISTINCT s.doc_b) AS duplicate_docs
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_b
+            WHERE s.j >= 0.5
+            GROUP BY d.source
+        ), totals AS (
+            SELECT source, COUNT(*) AS total_docs FROM documents GROUP BY source
+        )
+        SELECT t.source, t.total_docs,
+               COALESCE(p.candidate_pairs, 0)    AS candidate_pairs,
+               COALESCE(p.verified_dup_pairs, 0) AS verified_dup_pairs,
+               COALESCE(d.duplicate_docs, 0)     AS duplicate_docs,
+               t.total_docs - COALESCE(d.duplicate_docs, 0) AS surviving_docs,
+               COALESCE(p.jaccard_e6_total, 0)   AS jaccard_e6_total
+        FROM totals t
+        LEFT JOIN pair_stats p ON p.source = t.source
+        LEFT JOIN dropped d ON d.source = t.source
+        ORDER BY t.source
+    """,
+)
+def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # stages 1-3 (shared with the cluster-components operator)
+    scored = scored_pair_frame(d)
 
     # stage 4: survivor accounting per source of the duplicate side
     docsrc = d.select(F.col("doc_id").alias("doc_b"), "source")

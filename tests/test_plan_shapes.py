@@ -169,3 +169,28 @@ def test_simhash_signatures_run_in_codegen(spark, sf_dir):
     # not reappear in the signature subtree
     assert re.search(r"\*\(\d+\) HashAggregate\(keys=\[doc_id", plan)
     assert "partial_sum(CASE WHEN" in plan  # map-side combine of the votes
+
+
+def test_decontamination_probe_is_broadcast(spark, sf_dir):
+    # the eval shingle set must broadcast: the corpus side is never shuffled
+    # for the membership probe (the property that keeps it one pass at scale)
+    plan = _plan(spark, sf_dir, "corpus_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_and_budget_sample_plan_shapes(spark, sf_dir):
+    # split assignment is a pure per-row expression: no join, single agg shuffle
+    plan = _plan(spark, sf_dir, "dataset_split_assign")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 1
+    # budget sampling: ONE window shuffle on source, then the rollup reuses it
+    plan = _plan(spark, sf_dir, "domain_budget_sample")
+    assert plan.count("hashpartitioning(") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_pii_sweep_is_single_scan_no_shuffle_before_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_pii_redaction")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 1  # the final rollup only
