@@ -83,6 +83,12 @@ HEADLINE = (
     "text_language_id",
     "corpus_merge_increment",
     "ann_quantized_rerank",
+    # round-2 curation block: the stages between raw ingest and batch packing
+    "dataset_split_assign",
+    "text_pii_redaction",
+    "corpus_decontamination",
+    "domain_budget_sample",
+    "dedup_cluster_components",
 )
 
 
