@@ -59,6 +59,18 @@ def prefix_fingerprint(text: Column, n_tokens: int = 5) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(text), 1, n_tokens)))
 
 
+def word_ngrams(text: Column, k: int) -> Column:
+    """ALL contiguous k-token word n-grams, in order, WITH multiplicity —
+    the repetition-analysis primitive (``shingles`` deduplicates; repetition
+    signals need every occurrence). Documents shorter than ``k`` tokens yield
+    one truncated gram (slice clamps), matching the shingle convention."""
+    tk = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tk, i, k), " "),
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (word k-grams) of the document.
 

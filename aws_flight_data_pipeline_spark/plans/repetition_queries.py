@@ -1,0 +1,260 @@
+"""Repetition analysis and the rule-cascade quality filter — the published
+heuristic-filter family for LLM corpora (Gopher-style rules: Rae et al. 2021,
+app. A; C4's cleaning rules, Raffel et al. 2020), re-expressed as Spark plans.
+
+Two oracle-backed builders over the ``documents`` table:
+
+- ``text_repetition_filter`` — per-document duplicate-n-gram and top-n-gram
+  character fractions (the "excessive repetition" signals) rolled up per
+  source with integer-exact flag thresholds.
+- ``quality_filter_funnel`` — the five-rule cascade (length bounds, word
+  shape, stopword presence, lexical diversity, repetition) with PROGRESSIVE
+  per-stage attrition accounting — the funnel report a curation run emits so
+  an operator can see which rule is eating the corpus.
+
+Line-based Gopher rules (duplicate-line fraction, bullet/ellipsis line
+ratios) are omitted: the corpus is single-line by construction (asserted in
+TESTDATA.md), so they are identically zero here; the n-gram family carries
+the repetition signal.
+
+Scale shape: n-gram multiplicity needs a per-(doc, gram) count, which is ONE
+shuffle keyed (doc_id, k, gram) with map-side combine — explode, never a
+per-row O(len²) higher-order fold, so 100k-token documents cost O(len) and
+hot grams combine before the wire. Both k=2 and k=3 ride the same explode
+(a struct tag), so the pass stays single-scan. Thresholds compare integers
+(``10·dup_chars >= total_chars``) — no float ratios cross an engine boundary.
+
+Reference analog: the reference's quality-scoring rule tables
+(``data_quality_validator.py`` weighted checks) — generalized from flight
+fields to corpus text, which is this engine's LLM-extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_flight_data_pipeline_spark.functions.text import (
+    distinct_token_count,
+    word_count,
+    word_ngrams,
+)
+from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.plans.text_queries import _WORD_COUNT_SQL
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+#: DuckDB twin of the tagged 2+3-gram explode → per-(doc, k, gram) count →
+#: per-doc repetition stats. Ends at ``rep(doc_id, source, g2_chars,
+#: dup2_chars, top2_cnt, g3_chars, dup3_chars)``. No WITH keyword.
+REP_PER_DOC_CTES = """toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+        ), grams AS (
+            SELECT doc_id, source, 2 AS k,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(tk) - 1, 1) + 1),
+                       i -> array_to_string(tk[i:i+1], ' '))) AS gram
+            FROM toks
+            UNION ALL
+            SELECT doc_id, source, 3,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(tk) - 2, 1) + 1),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+            FROM toks
+        ), gram_counts AS (
+            SELECT doc_id, source, k, gram, COUNT(*) AS cnt
+            FROM grams GROUP BY 1, 2, 3, 4
+        ), rep AS (
+            SELECT doc_id, source,
+                   SUM(CASE WHEN k = 2 THEN cnt * LENGTH(gram) ELSE 0 END) AS g2_chars,
+                   SUM(CASE WHEN k = 2 AND cnt > 1
+                            THEN cnt * LENGTH(gram) ELSE 0 END) AS dup2_chars,
+                   MAX(CASE WHEN k = 2 THEN cnt END) AS top2_cnt,
+                   SUM(CASE WHEN k = 3 THEN cnt * LENGTH(gram) ELSE 0 END) AS g3_chars,
+                   SUM(CASE WHEN k = 3 AND cnt > 1
+                            THEN cnt * LENGTH(gram) ELSE 0 END) AS dup3_chars
+            FROM gram_counts GROUP BY 1, 2
+        )"""
+
+
+def per_doc_repetition(d: DataFrame) -> DataFrame:
+    """Per-document repetition stats off ONE scan and one combine shuffle:
+    ``(doc_id, source, g2_chars, dup2_chars, top2_cnt, g3_chars,
+    dup3_chars)``. The Spark twin of :data:`REP_PER_DOC_CTES`."""
+    text = F.col("text")
+    tagged = F.concat(
+        F.transform(
+            word_ngrams(text, 2),
+            lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram")),
+        ),
+        F.transform(
+            word_ngrams(text, 3),
+            lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram")),
+        ),
+    )
+    counts = (
+        d.select("doc_id", "source", F.explode(tagged).alias("p"))
+        .select("doc_id", "source", F.col("p.k").alias("k"), F.col("p.gram").alias("gram"))
+        .groupBy("doc_id", "source", "k", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gchars = F.col("cnt") * F.length("gram")
+    k2, k3, dup = F.col("k") == 2, F.col("k") == 3, F.col("cnt") > 1
+    return counts.groupBy("doc_id", "source").agg(
+        F.sum(F.when(k2, gchars).otherwise(0)).alias("g2_chars"),
+        F.sum(F.when(k2 & dup, gchars).otherwise(0)).alias("dup2_chars"),
+        F.max(F.when(k2, F.col("cnt"))).alias("top2_cnt"),
+        F.sum(F.when(k3, gchars).otherwise(0)).alias("g3_chars"),
+        F.sum(F.when(k3 & dup, gchars).otherwise(0)).alias("dup3_chars"),
+    )
+
+
+@builder(
+    "text_repetition_filter",
+    tags=("curation", "quality", "repetition", "text"),
+    doc="Excessive-repetition detection (the Gopher duplicate-n-gram rule "
+    "family): per-document character fractions in duplicated 2-grams / "
+    "3-grams and the top-2-gram occurrence count, flagged on integer-exact "
+    "thresholds (dup-2-gram chars >= 10%, dup-3-gram chars >= 5%, top "
+    "2-gram seen >= 3 times) and rolled up per source with exact BIGINT "
+    "numerator/denominator totals so downstream consumers can re-threshold "
+    "without a rescan.",
+    oracle=f"""
+        WITH {REP_PER_DOC_CTES}
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(CASE WHEN 10 * dup2_chars >= g2_chars THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rep2_flagged,
+               CAST(SUM(CASE WHEN 20 * dup3_chars >= g3_chars THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rep3_flagged,
+               CAST(SUM(CASE WHEN top2_cnt >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS topgram_flagged,
+               CAST(SUM(CASE WHEN 10 * dup2_chars >= g2_chars
+                              OR 20 * dup3_chars >= g3_chars
+                              OR top2_cnt >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS any_flagged,
+               CAST(SUM(dup2_chars) AS BIGINT) AS dup2_chars_total,
+               CAST(SUM(g2_chars) AS BIGINT) AS gram2_chars_total,
+               CAST(SUM(dup3_chars) AS BIGINT) AS dup3_chars_total,
+               CAST(SUM(g3_chars) AS BIGINT) AS gram3_chars_total
+        FROM rep
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = per_doc_repetition(load_table(spark, sf_dir, "documents"))
+    rep2 = 10 * F.col("dup2_chars") >= F.col("g2_chars")
+    rep3 = 20 * F.col("dup3_chars") >= F.col("g3_chars")
+    topg = F.col("top2_cnt") >= 3
+
+    def _flag(c: Column) -> Column:
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            _flag(rep2).alias("rep2_flagged"),
+            _flag(rep3).alias("rep3_flagged"),
+            _flag(topg).alias("topgram_flagged"),
+            _flag(rep2 | rep3 | topg).alias("any_flagged"),
+            F.sum("dup2_chars").cast("bigint").alias("dup2_chars_total"),
+            F.sum("g2_chars").cast("bigint").alias("gram2_chars_total"),
+            F.sum("dup3_chars").cast("bigint").alias("dup3_chars_total"),
+            F.sum("g3_chars").cast("bigint").alias("gram3_chars_total"),
+        )
+        .orderBy("source")
+    )
+
+
+@builder(
+    "quality_filter_funnel",
+    tags=("curation", "quality", "funnel", "text"),
+    doc="The five-rule quality cascade with per-stage attrition: (1) length "
+    "bounds 25-90 words; (2) word shape — mean word length in [4,6] chars "
+    "via the integer compare 4·wc <= chars <= 6·wc (chars = text length "
+    "minus separator spaces); (3) stopword presence (' the ' AND ' a ' in "
+    "the padded text — the containment heuristic, not a tokenizer pass); "
+    "(4) lexical diversity — type-token ratio >= 0.4 as 5·distinct >= "
+    "2·words; (5) repetition — duplicate-2-gram chars < 10%. Counts are "
+    "PROGRESSIVE (docs surviving rules 1..k), which is the report shape that "
+    "shows which rule eats the corpus; admitted_tokens is the exact token "
+    "total of full survivors. Rules 1-4 are per-row expressions; only rule "
+    "5 needs the n-gram combine shuffle, joined back on doc_id.",
+    oracle=f"""
+        WITH {REP_PER_DOC_CTES}, base AS (
+            SELECT doc_id, source,
+                   {_WORD_COUNT_SQL} AS wc,
+                   LENGTH(text) - ({_WORD_COUNT_SQL} - 1) AS nchars,
+                   len(list_distinct(string_split(text, ' '))) AS dt,
+                   (contains(' ' || text || ' ', ' the ')
+                    AND contains(' ' || text || ' ', ' a ')) AS has_stop
+            FROM documents
+        ), flags AS (
+            SELECT b.source, b.wc,
+                   (b.wc BETWEEN 25 AND 90) AS p1,
+                   (4 * b.wc <= b.nchars AND b.nchars <= 6 * b.wc) AS p2,
+                   b.has_stop AS p3,
+                   (5 * b.dt >= 2 * b.wc) AS p4,
+                   (10 * r.dup2_chars < r.g2_chars) AS p5
+            FROM base b JOIN rep r ON r.doc_id = b.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_length,
+               CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_word_shape,
+               CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_stopword,
+               CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pass_diversity,
+               CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pass_repetition,
+               CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN wc ELSE 0 END)
+                    AS BIGINT) AS admitted_tokens
+        FROM flags
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    wc = word_count(text)
+    base = d.select(
+        "doc_id",
+        "source",
+        wc.alias("wc"),
+        (F.length(text) - (wc - 1)).alias("nchars"),
+        distinct_token_count(text).alias("dt"),
+        (
+            F.concat(F.lit(" "), text, F.lit(" ")).contains(" the ")
+            & F.concat(F.lit(" "), text, F.lit(" ")).contains(" a ")
+        ).alias("has_stop"),
+    )
+    rep = per_doc_repetition(d).select("doc_id", "g2_chars", "dup2_chars")
+    j = base.join(rep, "doc_id")
+    p1 = F.col("wc").between(25, 90)
+    p2 = (4 * F.col("wc") <= F.col("nchars")) & (F.col("nchars") <= 6 * F.col("wc"))
+    p3 = F.col("has_stop")
+    p4 = 5 * F.col("dt") >= 2 * F.col("wc")
+    p5 = 10 * F.col("dup2_chars") < F.col("g2_chars")
+
+    def _n(c: Column) -> Column:
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            _n(p1).alias("pass_length"),
+            _n(p1 & p2).alias("pass_word_shape"),
+            _n(p1 & p2 & p3).alias("pass_stopword"),
+            _n(p1 & p2 & p3 & p4).alias("pass_diversity"),
+            _n(p1 & p2 & p3 & p4 & p5).alias("pass_repetition"),
+            F.sum(F.when(p1 & p2 & p3 & p4 & p5, F.col("wc")).otherwise(0))
+            .cast("bigint")
+            .alias("admitted_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -89,6 +89,8 @@ HEADLINE = (
     "corpus_decontamination",
     "domain_budget_sample",
     "dedup_cluster_components",
+    "text_repetition_filter",
+    "quality_filter_funnel",
 )
 
 

@@ -194,3 +194,19 @@ def test_pii_sweep_is_single_scan_no_shuffle_before_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_pii_redaction")
     assert "Join" not in plan
     assert plan.count("hashpartitioning(") == 1  # the final rollup only
+
+
+def test_repetition_filter_combines_map_side_and_never_joins(spark, sf_dir):
+    # the per-(doc, k, gram) count must combine before the wire (hot grams
+    # collapse map-side — the property that bounds shuffle traffic on
+    # repetitive documents), and the whole signal pass is join-free
+    plan = _plan(spark, sf_dir, "text_repetition_filter")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_quality_funnel_single_doc_join(spark, sf_dir):
+    # rules 1-4 are per-row; only the repetition signal joins back, on doc_id
+    plan = _plan(spark, sf_dir, "quality_filter_funnel")
+    assert plan.count("Join") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
