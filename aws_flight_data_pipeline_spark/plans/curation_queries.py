@@ -429,3 +429,210 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@builder(
+    "token_frequency_vocab",
+    tags=("curation", "vocab", "tokenizer"),
+    doc="Corpus token-frequency vocabulary with Zipf coverage — the input a "
+    "tokenizer-training run consumes: top-20 tokens by count (deterministic "
+    "(count DESC, token) tiebreak), each with rank, exact occurrence count, "
+    "running cumulative count, and integer-exact half/90% coverage flags "
+    "(2*cum >= total, 10*cum >= 9*total). Scale shape: the explode is "
+    "linear and the per-token count combines map-side; the ranking window "
+    "then runs over the AGGREGATED vocab table — whose size is the "
+    "vocabulary, not the corpus — so the single-partition window is over "
+    "thousands of rows regardless of corpus bytes (cap with a frequency "
+    "floor before the window if the vocab itself explodes, e.g. web-scale "
+    "typo tails).",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), counts AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS occurrences
+            FROM tok GROUP BY tok
+        ), ranked AS (
+            SELECT tok, occurrences,
+                   CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, tok)
+                        AS BIGINT) AS rank,
+                   CAST(SUM(occurrences) OVER (
+                        ORDER BY occurrences DESC, tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_occurrences,
+                   CAST(SUM(occurrences) OVER () AS BIGINT) AS total_occurrences
+            FROM counts
+        )
+        SELECT rank, tok, occurrences, cum_occurrences, total_occurrences,
+               CAST(CASE WHEN 2 * cum_occurrences >= total_occurrences
+                         THEN 1 ELSE 0 END AS BIGINT) AS covers_half,
+               CAST(CASE WHEN 10 * cum_occurrences >= 9 * total_occurrences
+                         THEN 1 ELSE 0 END AS BIGINT) AS covers_90
+        FROM ranked
+        ORDER BY rank
+        LIMIT 20
+    """,
+)
+def token_frequency_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("occurrences"))
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), "tok")
+    ranked = counts.select(
+        "tok",
+        "occurrences",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("occurrences")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_occurrences"),
+        F.sum("occurrences")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total_occurrences"),
+    )
+    return (
+        ranked.select(
+            "rank",
+            "tok",
+            "occurrences",
+            "cum_occurrences",
+            "total_occurrences",
+            F.when(2 * F.col("cum_occurrences") >= F.col("total_occurrences"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("covers_half"),
+            F.when(10 * F.col("cum_occurrences") >= 9 * F.col("total_occurrences"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("covers_90"),
+        )
+        .orderBy("rank")
+        .limit(20)
+    )
+
+
+_BPE_ROUNDS = 3
+
+
+def _wc_sql(col: str) -> str:
+    return f"(LENGTH({col}) - LENGTH(REPLACE({col}, ' ', '')) + 1)"
+
+
+def _bpe_pair_counts_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(list_transform(
+                    range(1, GREATEST(len(string_split(t, ' ')) - 1, 1) + 1),
+                    i -> array_to_string((string_split(t, ' '))[i:i+1], ' ')
+                )) AS gram
+                FROM {prev}
+            )
+            WHERE contains(gram, ' ')
+            GROUP BY gram
+        )"""
+
+
+def _bpe_merge_round_sql(prev: str, top: str, this: str) -> str:
+    pat = f"(SELECT ' ' || replace(gram, ' ', '  ') || ' ' FROM {top})"
+    rep = f"(SELECT ' ' || replace(gram, ' ', '_') || ' ' FROM {top})"
+    return f"""{this} AS (
+            SELECT doc_id,
+                   trim(replace(replace(
+                       ' ' || replace(t, ' ', '  ') || ' ', {pat}, {rep}),
+                       '  ', ' ')) AS t
+            FROM {prev}
+        )"""
+
+
+@builder(
+    "bpe_merge_train",
+    tags=("curation", "tokenizer", "bpe", "iterative"),
+    doc="Iterative BPE-style merge training at the word level: each round "
+    "counts adjacent token pairs over the CURRENT corpus, merges the most "
+    "frequent pair ((count DESC, pair) deterministic argmax) everywhere it "
+    "occurs, and re-counts — 3 unrolled rounds, emitting per round the "
+    "chosen pair, its pre-merge count, and the exact corpus token total "
+    "after the merge (measured, not derived: overlapping occurrences like "
+    "'a a a' merge fewer times than the pair count). The rewrite is "
+    "engine-portable string algebra: wrapping every token in private "
+    "spaces (' '||replace(t,' ','  ')||' ') makes adjacent-pair patterns "
+    "non-overlapping, so plain all-occurrence replace IS greedy "
+    "left-to-right BPE merging on both engines. Scale shape per round: "
+    "linear explode + map-side-combined count, a 1-row argmax broadcast "
+    "back (crossJoin), and a per-row rewrite — the corpus is never "
+    "shuffled; per-round frames are cached so the unrolled lineage is not "
+    "re-evaluated (the graph-iteration discipline, operators/graph.py).",
+    oracle=f"""
+        WITH r0 AS (
+            SELECT doc_id, text AS t FROM documents
+        ), {_bpe_pair_counts_sql("r0", "p1")},
+        t1 AS (SELECT gram, cnt FROM p1 ORDER BY cnt DESC, gram LIMIT 1),
+        {_bpe_merge_round_sql("r0", "t1", "r1")},
+        {_bpe_pair_counts_sql("r1", "p2")},
+        t2 AS (SELECT gram, cnt FROM p2 ORDER BY cnt DESC, gram LIMIT 1),
+        {_bpe_merge_round_sql("r1", "t2", "r2")},
+        {_bpe_pair_counts_sql("r2", "p3")},
+        t3 AS (SELECT gram, cnt FROM p3 ORDER BY cnt DESC, gram LIMIT 1),
+        {_bpe_merge_round_sql("r2", "t3", "r3")}
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round,
+                   (SELECT gram FROM t1) AS merged_pair,
+                   (SELECT cnt FROM t1) AS pair_count,
+                   (SELECT CAST(SUM({_wc_sql("t")}) AS BIGINT) FROM r1)
+                       AS corpus_tokens_after
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), (SELECT gram FROM t2), (SELECT cnt FROM t2),
+                   (SELECT CAST(SUM({_wc_sql("t")}) AS BIGINT) FROM r2)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), (SELECT gram FROM t3), (SELECT cnt FROM t3),
+                   (SELECT CAST(SUM({_wc_sql("t")}) AS BIGINT) FROM r3)
+        )
+        ORDER BY round
+    """,
+)
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", F.col("text").alias("t"))
+    rounds = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        cur = cur.cache()
+        top1 = (
+            cur.select(F.explode(word_ngrams(F.col("t"), 2)).alias("gram"))
+            .filter(F.col("gram").contains(" "))
+            .groupBy("gram")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "gram")
+            .limit(1)
+        )
+        pat = F.concat(F.lit(" "), F.replace(F.col("gram"), F.lit(" "), F.lit("  ")), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.replace(F.col("gram"), F.lit(" "), F.lit("_")), F.lit(" "))
+        wrapped = F.concat(F.lit(" "), F.replace(F.col("t"), F.lit(" "), F.lit("  ")), F.lit(" "))
+        cur = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(
+                "doc_id",
+                F.trim(F.replace(F.replace(wrapped, pat, rep), F.lit("  "), F.lit(" "))).alias(
+                    "t"
+                ),
+            )
+            .cache()
+        )
+        wc = F.length("t") - F.length(F.replace(F.col("t"), F.lit(" "), F.lit(""))) + 1
+        rounds.append(
+            cur.crossJoin(F.broadcast(top1)).agg(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.first("gram").alias("merged_pair"),
+                F.first("cnt").alias("pair_count"),
+                F.sum(wc).cast("bigint").alias("corpus_tokens_after"),
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")

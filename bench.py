@@ -91,6 +91,8 @@ HEADLINE = (
     "dedup_cluster_components",
     "text_repetition_filter",
     "quality_filter_funnel",
+    "token_frequency_vocab",
+    "bpe_merge_train",
 )
 
 
