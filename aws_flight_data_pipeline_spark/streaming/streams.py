@@ -314,3 +314,52 @@ def stream_attribution_join(
         & (c["click_time"] <= p["purchase_time"])
     )
     return p.join(c, cond, "inner").drop(c["user_id"])
+
+
+def streaming_quality_gate(docs: DataFrame) -> DataFrame:
+    """Per-document quality gate on the corpus ingestion stream — the
+    streaming twin of the batch ``quality_filter_funnel`` (stateless, append
+    mode: every rule is a per-row expression, so the gate streams with zero
+    state and zero shuffle, the same batch/streaming one-code-path discipline
+    as ``micro_batch_pipeline``).
+
+    Rules 1-4 (length bounds, word shape, stopword containment, lexical
+    diversity) are the batch funnel's expressions verbatim. Rule 5
+    (repetition) uses the within-row OCCURRENCE-fraction form — duplicate
+    2-gram occurrences / total, via ``size(grams) - size(array_distinct)``
+    — because the batch form's per-(doc, gram) combine shuffle has no
+    stateless streaming equivalent; linear per row, so a 100k-token document
+    costs O(tokens). Emits every document with its per-rule flags and the
+    conjunctive ``passed`` — the quarantine-split shape: the consumer routes
+    admit/reject without re-scoring.
+    """
+    from aws_flight_data_pipeline_spark.functions.text import (
+        distinct_token_count,
+        word_count,
+        word_ngrams,
+    )
+
+    text = F.col("text")
+    wc = word_count(text)
+    nchars = F.length(text) - (wc - 1)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    g2 = word_ngrams(text, 2)
+    n2 = F.size(g2)
+    dup2 = n2 - F.size(F.array_distinct(g2))
+    p1 = wc.between(25, 90)
+    p2 = (4 * wc <= nchars) & (nchars <= 6 * wc)
+    p3 = padded.contains(" the ") & padded.contains(" a ")
+    p4 = 5 * distinct_token_count(text) >= 2 * wc
+    p5 = 10 * dup2 < n2
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        wc.alias("wc"),
+        p1.alias("pass_length"),
+        p2.alias("pass_word_shape"),
+        p3.alias("pass_stopword"),
+        p4.alias("pass_diversity"),
+        p5.alias("pass_repetition"),
+        (p1 & p2 & p3 & p4 & p5).alias("passed"),
+    )

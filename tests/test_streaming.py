@@ -218,3 +218,43 @@ def test_stream_attribution_interval_join(spark, tmp_path):
         "SELECT purchase_s, click_s FROM attr_out ORDER BY purchase_s"
     ).collect()
     assert [(r.purchase_s, r.click_s) for r in rows] == [(base + 600, base + 100)]
+
+
+def test_streaming_quality_gate_matches_batch_rules(spark, tmp_path):
+    """The stateless gate must reproduce the batch rule outcomes row-for-row
+    (rules 1-4 identical; rule 5 in its within-row occurrence form)."""
+    from aws_flight_data_pipeline_spark.streaming.streams import (
+        stream_documents,
+        streaming_quality_gate,
+    )
+
+    src = str(tmp_path / "corpus")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+
+    q = (
+        streaming_quality_gate(stream_documents(spark, src))
+        .writeStream.format("memory")
+        .queryName("quality_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM quality_gate").collect()
+    assert len(out) == docs.count()
+
+    # batch recomputation of the same rules on the static frame
+    batch = {r["doc_id"]: r for r in streaming_quality_gate(docs).collect()}
+    n_passed = 0
+    for r in out:
+        b = batch[r["doc_id"]]
+        for c in ("pass_length", "pass_word_shape", "pass_stopword",
+                  "pass_diversity", "pass_repetition", "passed"):
+            assert r[c] == b[c], (r["doc_id"], c)
+        assert r["passed"] == all(
+            r[c] for c in ("pass_length", "pass_word_shape", "pass_stopword",
+                           "pass_diversity", "pass_repetition")
+        )
+        n_passed += r["passed"]
+    assert 0 < n_passed < len(out)  # the gate splits the corpus non-trivially
