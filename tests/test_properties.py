@@ -200,3 +200,56 @@ def test_simhash_codegen_frame_matches_hof_fold(spark):
     joined = got.join(ref, "doc_id")
     assert joined.count() == n_docs  # no docs dropped by the explode
     assert joined.where(F.col("sh") != F.col("ref_sh")).count() == 0
+
+
+_tok = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+_doc = st.lists(_tok, min_size=1, max_size=12)
+
+
+def _greedy_merge(toks: list[str], pair: tuple[str, str]) -> list[str]:
+    """Reference greedy left-to-right non-overlapping BPE merge."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and (toks[i], toks[i + 1]) == pair:
+            out.append(toks[i] + "_" + toks[i + 1])
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+@SLOW
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_word_ngrams_laws(spark, docs):
+    from aws_flight_data_pipeline_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame([(" ".join(d),) for d in docs], "t string")
+    for k in (2, 3):
+        rows = df.select(word_ngrams(F.col("t"), k).alias("g")).collect()
+        for d, r in zip(docs, rows):
+            grams = r["g"]
+            assert len(grams) == max(len(d) - k + 1, 1)  # count law
+            if len(d) >= k:
+                for i, g in enumerate(grams):
+                    assert g == " ".join(d[i : i + k])  # content + order law
+
+
+@SLOW
+@given(st.data())
+def test_bpe_rewrite_equals_greedy_reference(spark, data):
+    docs = data.draw(st.lists(_doc, min_size=1, max_size=6))
+    # pick a pair that actually occurs somewhere when possible
+    cand = [(d[i], d[i + 1]) for d in docs for i in range(len(d) - 1)]
+    pair = data.draw(st.sampled_from(cand)) if cand else ("a", "b")
+    ptxt = " ".join(pair)
+
+    df = spark.createDataFrame([(" ".join(d),) for d in docs], "t string")
+    pat = F.lit(" " + ptxt.replace(" ", "  ") + " ")
+    rep = F.lit(" " + ptxt.replace(" ", "_") + " ")
+    wrapped = F.concat(F.lit(" "), F.replace(F.col("t"), F.lit(" "), F.lit("  ")), F.lit(" "))
+    rows = df.select(
+        F.trim(F.replace(F.replace(wrapped, pat, rep), F.lit("  "), F.lit(" "))).alias("m")
+    ).collect()
+    for d, r in zip(docs, rows):
+        assert r["m"] == " ".join(_greedy_merge(d, pair))
