@@ -763,3 +763,81 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_e6"), "vec_id")
         .limit(10)
     )
+
+
+@builder(
+    "ann_pq_train_encode",
+    tags=("vector", "ann", "pq", "quantization", "iterative"),
+    doc="Product quantization — the codebook format large-scale ANN actually "
+    "stores: each 64-dim vector splits into M=8 subspaces of 8 dims; per "
+    "subspace a K=16-centroid codebook is Lloyd-trained (2 unrolled "
+    "iterations, init = first K vectors — the ann_kmeans_train discipline) "
+    "and every sub-vector encodes as its nearest code. 64 float32 (256 B) "
+    "become 8 uint8 codes (8 B) — 32x compression vs the int8 scalar "
+    "quantizer's 4x (vector_storage_profile), at the cost of codebook "
+    "reconstruction error, which is reported exactly. Scale shape: the "
+    "subspace explode is linear (M rows per vector); every assign step is a "
+    "BROADCAST join against the M*K codebook (tiny by construction); "
+    "assignments never leave the executors — only the codebook and the "
+    "per-subspace report reach the driver. Iterative float means are not "
+    "bit-portable across engines, so this registers rows-only (the "
+    "ann_kmeans_train class); invariants are pinned in tests/test_pq.py.",
+)
+def ann_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    M, SUB, K, ITERS = 8, 8, 16, 2
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sub = e.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("v", m * SUB + 1, SUB) for m in range(M)])).alias(
+            "m", "sv"
+        ),
+    ).cache()
+    cents = sub.filter(F.col("vec_id") < K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+    assigned = None
+    for _ in range(ITERS):
+        sq = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            sub.join(F.broadcast(cents), "m")
+            .select("vec_id", "m", "sv", "cid", sq.alias("err"))
+            .groupBy("vec_id", "m")
+            .agg(F.min_by(F.struct("cid", "sv", "err"), F.struct("err", "cid")).alias("b"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("b.cid").alias("cid"),
+                F.col("b.sv").alias("sv"),
+                F.col("b.err").alias("err"),
+            )
+            .cache()
+        )
+        cents = (
+            assigned.select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+                ).alias("c")
+            )
+        )
+    return (
+        assigned.groupBy("m")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("cid").cast("bigint").alias("codes_used"),
+            F.round(F.sum("err"), 4).alias("sq_err_total"),
+            F.round(F.avg("err"), 6).alias("sq_err_mean"),
+        )
+        .withColumn("bytes_per_vector_raw", F.lit(4 * M * SUB).cast("bigint"))
+        .withColumn("bytes_per_vector_pq", F.lit(M).cast("bigint"))
+        .orderBy("m")
+    )

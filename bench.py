@@ -93,6 +93,7 @@ HEADLINE = (
     "quality_filter_funnel",
     "token_frequency_vocab",
     "bpe_merge_train",
+    "ann_pq_train_encode",
 )
 
 
