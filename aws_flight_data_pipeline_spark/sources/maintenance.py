@@ -118,3 +118,50 @@ def compact(
         .parquet(dst_path)
     )
     return n
+
+
+def schema_drift_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file schema drift report for a parquet lake written over time.
+
+    Schema evolution (a writer adding/dropping/retyping columns) is invisible
+    to a plain scan until ``mergeSchema`` blows up a query or silently nulls
+    a column; the audit makes it explicit: one row per (file, field) with the
+    field's parquet type, so drift shows up as fields whose file-count
+    differs from the lake's file total (added/dropped) or whose type set has
+    more than one member (retyped).
+
+    Scale shape: footers are read on EXECUTORS — the driver only lists file
+    paths (catalog-sized); ``mapInPandas`` fans the footer reads out in Arrow
+    batches, so a million-file lake costs a million footer reads spread
+    across the cluster, never a driver loop. The summary is one hash
+    aggregate over (field, type).
+    """
+    from pyspark.sql.types import StructType
+
+    files = [f for f, _ in _list_files(spark, path) if f.endswith(".parquet")]
+    n_files = len(files)
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(max(n_files // 64, 1), 256)
+    )
+
+    def _read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                schema = pq.read_schema(f)
+                for name, typ in zip(schema.names, schema.types):
+                    rows.append((f, name, str(typ)))
+            yield pd.DataFrame(rows, columns=["file", "field", "ptype"])
+
+    out_schema = StructType.fromDDL("file string, field string, ptype string")
+    per_file = fdf.mapInPandas(_read_footers, out_schema)
+    return (
+        per_file.groupBy("field", "ptype")
+        .agg(F.countDistinct("file").cast("bigint").alias("files_with_field"))
+        .withColumn("lake_files", F.lit(n_files).cast("bigint"))
+        .withColumn("drift", F.col("files_with_field") != F.col("lake_files"))
+        .orderBy("field", "ptype")
+    )

@@ -84,3 +84,21 @@ def test_compact_preserves_rows_and_collapses_files(spark, small_file_lake, tmp_
     # the round trip is lossless, not just row-count equal
     src_df = spark.read.parquet(src)
     assert spark.read.parquet(dst).exceptAll(src_df).count() == 0
+
+
+def test_schema_drift_audit_flags_added_column(spark, tmp_path):
+    from aws_flight_data_pipeline_spark.sources.maintenance import schema_drift_audit
+
+    lake = str(tmp_path / "lake")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(lake)
+    # a later writer adds a column (classic drift)
+    spark.range(5).selectExpr(
+        "id + 100 AS id", "id * 2 AS v", "'x' AS added"
+    ).write.mode("append").parquet(lake)
+
+    rows = {(r["field"], r["ptype"]): r for r in schema_drift_audit(spark, lake).collect()}
+    stable = [r for (f, _), r in rows.items() if f in ("id", "v")]
+    assert stable and all(not r["drift"] for r in stable)
+    drifted = [r for (f, _), r in rows.items() if f == "added"]
+    assert len(drifted) == 1 and drifted[0]["drift"]
+    assert drifted[0]["files_with_field"] < drifted[0]["lake_files"]
