@@ -636,3 +636,154 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rounds[1:]:
         out = out.unionAll(r)
     return out.orderBy("round")
+
+
+@builder(
+    "text_normalization_sweep",
+    tags=("curation", "normalize", "text"),
+    doc="Canonicalization sweep — the normalization pass that runs before "
+    "any fingerprint/dedup stage (lowercase, trim, whitespace collapse, "
+    "strip terminal punctuation runs), with per-source accounting of docs "
+    "changed and exact characters removed. The synthetic corpus is already "
+    "canonical, so deterministic noise is planted first (doc_id-derived "
+    "casing/padding/punctuation — identical on both engines), giving the "
+    "sweep known ground truth: every planted doc must change, no clean doc "
+    "may. Pure per-row string expressions: zero shuffle before the rollup.",
+    oracle="""
+        WITH noisy AS (
+            SELECT source,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN '  ' || upper(substring(text, 1, 5)) || substring(text, 6)
+                             || ' !!! '
+                        ELSE text END AS raw,
+                   (doc_id % 4 = 0) AS planted
+            FROM documents
+        ), norm AS (
+            SELECT source, planted, raw,
+                   trim(regexp_replace(regexp_replace(lower(raw),
+                        '[!?.]+( |$)', ' ', 'g'),
+                        ' +', ' ', 'g')) AS clean
+            FROM noisy
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS planted_docs,
+               CAST(SUM(CASE WHEN clean <> raw THEN 1 ELSE 0 END) AS BIGINT)
+                   AS changed_docs,
+               CAST(SUM(LENGTH(raw) - LENGTH(clean)) AS BIGINT) AS chars_removed
+        FROM norm
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def text_normalization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.col("doc_id") % 4 == 0
+    raw = F.when(
+        planted,
+        F.concat(
+            F.lit("  "),
+            F.upper(F.substring(F.col("text"), 1, 5)),
+            F.expr("substring(text, 6)"),
+            F.lit(" !!! "),
+        ),
+    ).otherwise(F.col("text"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"[!?.]+( |$)", " "), " +", " "
+        )
+    )
+    n = d.select(
+        "source",
+        planted.alias("planted"),
+        raw.alias("raw"),
+        clean.alias("clean"),
+    )
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("planted"), 1).otherwise(0)).cast("bigint").alias("planted_docs"),
+            F.sum(F.when(F.col("clean") != F.col("raw"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("changed_docs"),
+            F.sum(F.length("raw") - F.length("clean")).cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@builder(
+    "corpus_health_report",
+    tags=("curation", "dashboard", "serving"),
+    doc="One-row corpus health payload — the serving_snapshot_stats shape "
+    "for the documents table: corpus size (docs / sources / langs / exact "
+    "token total), exact-duplicate pressure (distinct content fingerprints "
+    "vs docs), and per-row quality-rule pass count (funnel rules 1-4; the "
+    "shuffle-needing repetition rule is reported by quality_filter_funnel). "
+    "Two aggregates over one scan (plain + distinct-fingerprint), combined "
+    "by a 1-row crossJoin — the dashboard query a curation operator polls, "
+    "cheap enough to run per ingestion batch at any corpus size.",
+    oracle=f"""
+        WITH base AS (
+            SELECT source, lang,
+                   md5(lower(trim(text))) AS fp,
+                   {_WORD_COUNT_SQL} AS wc,
+                   LENGTH(text) - ({_WORD_COUNT_SQL} - 1) AS nchars,
+                   len(list_distinct(string_split(text, ' '))) AS dt,
+                   (contains(' ' || text || ' ', ' the ')
+                    AND contains(' ' || text || ' ', ' a ')) AS has_stop
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+               CAST(SUM(wc) AS BIGINT) AS token_total,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fingerprints,
+               CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+               CAST(SUM(CASE WHEN wc BETWEEN 25 AND 90
+                              AND 4 * wc <= nchars AND nchars <= 6 * wc
+                              AND has_stop
+                              AND 5 * dt >= 2 * wc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS quality_pass_docs
+        FROM base
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.text import (
+        distinct_token_count,
+        fingerprint,
+        word_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    wc = word_count(text)
+    nchars = F.length(text) - (wc - 1)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    base = d.select(
+        "source",
+        "lang",
+        fingerprint(text).alias("fp"),
+        wc.alias("wc"),
+        nchars.alias("nchars"),
+        distinct_token_count(text).alias("dt"),
+        (padded.contains(" the ") & padded.contains(" a ")).alias("has_stop"),
+    )
+    rule_pass = (
+        F.col("wc").between(25, 90)
+        & (4 * F.col("wc") <= F.col("nchars"))
+        & (F.col("nchars") <= 6 * F.col("wc"))
+        & F.col("has_stop")
+        & (5 * F.col("dt") >= 2 * F.col("wc"))
+    )
+    return base.agg(
+        F.count("*").alias("docs"),
+        F.countDistinct("source").cast("bigint").alias("sources"),
+        F.countDistinct("lang").cast("bigint").alias("langs"),
+        F.sum("wc").cast("bigint").alias("token_total"),
+        F.countDistinct("fp").cast("bigint").alias("distinct_fingerprints"),
+        (F.count("*") - F.countDistinct("fp")).cast("bigint").alias("exact_dup_docs"),
+        F.sum(F.when(rule_pass, 1).otherwise(0)).cast("bigint").alias("quality_pass_docs"),
+    )

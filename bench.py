@@ -94,6 +94,8 @@ HEADLINE = (
     "token_frequency_vocab",
     "bpe_merge_train",
     "ann_pq_train_encode",
+    "text_normalization_sweep",
+    "corpus_health_report",
 )
 
 
