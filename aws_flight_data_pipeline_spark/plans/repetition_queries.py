@@ -17,12 +17,16 @@ ratios) are omitted: the corpus is single-line by construction (asserted in
 TESTDATA.md), so they are identically zero here; the n-gram family carries
 the repetition signal.
 
-Scale shape: n-gram multiplicity needs a per-(doc, gram) count, which is ONE
-shuffle keyed (doc_id, k, gram) with map-side combine — explode, never a
-per-row O(len²) higher-order fold, so 100k-token documents cost O(len) and
-hot grams combine before the wire. Both k=2 and k=3 ride the same explode
-(a struct tag), so the pass stays single-scan. Thresholds compare integers
-(``10·dup_chars >= total_chars``) — no float ratios cross an engine boundary.
+Scale shape: every n-gram of a document lives in ITS OWN ROW, so per-document
+multiplicity never needs a shuffle at all — sort the gram array and run-length
+fold it per row (O(len·log len) local work), then roll up per source. Round 2
+shipped this as an exploded (doc_id, k, gram) combine shuffle; at sf0.1 that
+moved ~5M gram strings through one exchange and cost 5.1 s — the per-row fold
+does zero pre-rollup shuffling and the same documents cost ~1 s. At 100 TB the
+property is the one that matters: cost stays linear per partition and the only
+exchange is the per-source rollup (|sources| rows). Thresholds compare
+integers (``10·dup_chars >= total_chars``) — no float ratios cross an engine
+boundary.
 
 Reference analog: the reference's quality-scoring rule tables
 (``data_quality_validator.py`` weighted checks) — generalized from flight
@@ -76,35 +80,64 @@ REP_PER_DOC_CTES = """toks AS (
         )"""
 
 
+def _big(x: int) -> Column:
+    return F.lit(x).cast("bigint")
+
+
+def repetition_stats(grams: Column) -> Column:
+    """``struct(tot, dup, top)`` for one document's gram array, computed
+    per-row: sort the array, then a single run-length fold counts total gram
+    chars (``tot``), chars inside grams occurring more than once (``dup``,
+    occurrences × length, the Gopher duplicate-n-gram numerator) and the
+    occurrence count of the most frequent gram (``top``). No explode, no
+    shuffle — the 100 TB-safe shape for per-document multiplicity. Integer
+    outputs only, so values are bit-identical to the oracle's GROUP BY."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _big(0).alias("run"),
+        _big(0).alias("dup"),
+        _big(0).alias("top"),
+        _big(0).alias("tot"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        same = a["prev"].isNotNull() & (a["prev"] == x)
+        # closing a run: fold its dup contribution / top candidate in
+        run_dup = F.when(a["run"] > 1, a["run"] * F.length(a["prev"])).otherwise(_big(0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, a["run"] + 1).otherwise(_big(1)).alias("run"),
+            F.when(same, a["dup"]).otherwise(a["dup"] + run_dup).alias("dup"),
+            F.when(same, a["top"]).otherwise(F.greatest(a["top"], a["run"])).alias("top"),
+            (a["tot"] + F.length(x)).alias("tot"),
+        )
+
+    def finish(a: Column) -> Column:
+        run_dup = F.when(a["run"] > 1, a["run"] * F.length(a["prev"])).otherwise(_big(0))
+        return F.struct(
+            a["tot"].alias("tot"),
+            (a["dup"] + run_dup).alias("dup"),
+            F.greatest(a["top"], a["run"]).alias("top"),
+        )
+
+    return F.aggregate(F.array_sort(grams), acc0, step, finish)
+
+
 def per_doc_repetition(d: DataFrame) -> DataFrame:
-    """Per-document repetition stats off ONE scan and one combine shuffle:
+    """Per-document repetition stats as a PURE PROJECTION — zero shuffle:
     ``(doc_id, source, g2_chars, dup2_chars, top2_cnt, g3_chars,
     dup3_chars)``. The Spark twin of :data:`REP_PER_DOC_CTES`."""
     text = F.col("text")
-    tagged = F.concat(
-        F.transform(
-            word_ngrams(text, 2),
-            lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram")),
-        ),
-        F.transform(
-            word_ngrams(text, 3),
-            lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram")),
-        ),
-    )
-    counts = (
-        d.select("doc_id", "source", F.explode(tagged).alias("p"))
-        .select("doc_id", "source", F.col("p.k").alias("k"), F.col("p.gram").alias("gram"))
-        .groupBy("doc_id", "source", "k", "gram")
-        .agg(F.count("*").alias("cnt"))
-    )
-    gchars = F.col("cnt") * F.length("gram")
-    k2, k3, dup = F.col("k") == 2, F.col("k") == 3, F.col("cnt") > 1
-    return counts.groupBy("doc_id", "source").agg(
-        F.sum(F.when(k2, gchars).otherwise(0)).alias("g2_chars"),
-        F.sum(F.when(k2 & dup, gchars).otherwise(0)).alias("dup2_chars"),
-        F.max(F.when(k2, F.col("cnt"))).alias("top2_cnt"),
-        F.sum(F.when(k3, gchars).otherwise(0)).alias("g3_chars"),
-        F.sum(F.when(k3 & dup, gchars).otherwise(0)).alias("dup3_chars"),
+    r2 = repetition_stats(word_ngrams(text, 2))
+    r3 = repetition_stats(word_ngrams(text, 3))
+    return d.select("doc_id", "source", r2.alias("_r2"), r3.alias("_r3")).select(
+        "doc_id",
+        "source",
+        F.col("_r2.tot").alias("g2_chars"),
+        F.col("_r2.dup").alias("dup2_chars"),
+        F.col("_r2.top").alias("top2_cnt"),
+        F.col("_r3.tot").alias("g3_chars"),
+        F.col("_r3.dup").alias("dup3_chars"),
     )
 
 
@@ -179,8 +212,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2·words; (5) repetition — duplicate-2-gram chars < 10%. Counts are "
     "PROGRESSIVE (docs surviving rules 1..k), which is the report shape that "
     "shows which rule eats the corpus; admitted_tokens is the exact token "
-    "total of full survivors. Rules 1-4 are per-row expressions; only rule "
-    "5 needs the n-gram combine shuffle, joined back on doc_id.",
+    "total of full survivors. ALL five rules are per-row expressions (the "
+    "repetition signal is a sorted-array run-length fold) — one scan, zero "
+    "pre-rollup shuffle, no join.",
     oracle=f"""
         WITH {REP_PER_DOC_CTES}, base AS (
             SELECT doc_id, source,
@@ -221,8 +255,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     wc = word_count(text)
-    base = d.select(
-        "doc_id",
+    j = d.select(
         "source",
         wc.alias("wc"),
         (F.length(text) - (wc - 1)).alias("nchars"),
@@ -231,9 +264,16 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(" "), text, F.lit(" ")).contains(" the ")
             & F.concat(F.lit(" "), text, F.lit(" ")).contains(" a ")
         ).alias("has_stop"),
+        repetition_stats(word_ngrams(text, 2)).alias("_r2"),
+    ).select(
+        "source",
+        "wc",
+        "nchars",
+        "dt",
+        "has_stop",
+        F.col("_r2.tot").alias("g2_chars"),
+        F.col("_r2.dup").alias("dup2_chars"),
     )
-    rep = per_doc_repetition(d).select("doc_id", "g2_chars", "dup2_chars")
-    j = base.join(rep, "doc_id")
     p1 = F.col("wc").between(25, 90)
     p2 = (4 * F.col("wc") <= F.col("nchars")) & (F.col("nchars") <= 6 * F.col("wc"))
     p3 = F.col("has_stop")

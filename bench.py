@@ -3,6 +3,15 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The consumer of that line keeps only the LAST 2000 CHARACTERS of stdout and
+parses the final line — round 2's line carried all 68 per-query timings,
+overflowed the window, and was recorded unparsed. Discipline now: the printed
+line is compact-serialized, carries per-query timings for the driver-registered
+queries only (the 50-query correctness surface), and is hard-capped below the
+window with a trim loop. The FULL per-query table (every headline entry, 3 dp)
+is written to BENCH_FULL.json next to this script every run, so
+round-over-round per-query comparison never loses entries.
+
 One shared SparkSession for the whole run (per-query session startup would
 dwarf sf0.1 query time — the fixed-overhead risk flagged in SURVEY §6). Each
 query does a warm-up execution (JVM JIT + parquet footer cache) then a timed
@@ -17,8 +26,12 @@ import json
 import os
 import time
 
-from aws_flight_data_pipeline_spark.plans.registry import _ensure_loaded, resolve
+from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded, resolve
 from aws_flight_data_pipeline_spark.session import get_spark
+
+# The parser keeps the last 2000 chars of stdout; leave headroom for the
+# trailing newline and any stray progress-bar bytes.
+MAX_LINE_CHARS = 1800
 
 HEADLINE = (
     "pricing_summary",
@@ -96,6 +109,21 @@ HEADLINE = (
     "ann_pq_train_encode",
     "text_normalization_sweep",
     "corpus_health_report",
+    # round 3 appends: the registered queries that hadn't made the headline
+    # list yet — every driver-verified query is now also bench-tracked
+    "ann_kmeans_train",
+    "anomaly_geo_zones",
+    "centroid_assignment_outliers",
+    "datetime_function_suite",
+    "event_time_tumbling_window",
+    "left_join_missing_dim",
+    "multimodal_feature_extract",
+    "peak_hour_per_day",
+    "rollup_subtotals",
+    "salted_skew_aggregate",
+    "seq_dedup_keep_best",
+    "seq_impute_bfill_mode_mean",
+    "text_stopword_punct_ratios",
 )
 
 
@@ -116,18 +144,49 @@ def main() -> None:
         run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # Full table (all headline entries, 3 dp) — sidecar, never truncated.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_query_suite_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "n_queries": len(timings),
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
         )
-    )
+
+    # Printed line: driver-registered queries only, 2 dp, compact separators,
+    # hard length cap (trim loop drops trailing entries if a future round
+    # somehow overflows anyway — a parseable subset beats an unparseable all).
+    printed = {n: round(t, 2) for n, t in timings.items() if n in REGISTRY}
+    omitted = 0
+
+    def encode() -> str:
+        payload = {
+            "metric": "headline_query_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": printed,
+            "n_queries": len(timings),
+            "sf": sf_val,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = encode()
+    while len(line) > MAX_LINE_CHARS and printed:
+        printed.pop(next(reversed(printed)))
+        omitted += 1
+        line = encode()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -16,8 +16,20 @@ import re
 import pytest
 
 from aws_flight_data_pipeline_spark.plans.registry import _ensure_loaded, resolve
+from aws_flight_data_pipeline_spark.sources import testdata
 
 _ensure_loaded()
+
+
+@pytest.fixture(autouse=True)
+def _lake_layout_plans():
+    """Pin the shapes a multi-split lake produces: the single-split fan-out
+    exchange (a local-testdata compensation, absent at scale) would otherwise
+    show up in every documents/embeddings plan and mask real shuffle
+    regressions behind a fixed +1."""
+    testdata.FAN_OUT_ENABLED = False
+    yield
+    testdata.FAN_OUT_ENABLED = True
 
 
 def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
@@ -196,17 +208,20 @@ def test_pii_sweep_is_single_scan_no_shuffle_before_agg(spark, sf_dir):
     assert plan.count("hashpartitioning(") == 1  # the final rollup only
 
 
-def test_repetition_filter_combines_map_side_and_never_joins(spark, sf_dir):
-    # the per-(doc, k, gram) count must combine before the wire (hot grams
-    # collapse map-side — the property that bounds shuffle traffic on
-    # repetitive documents), and the whole signal pass is join-free
-    plan = _plan(spark, sf_dir, "text_repetition_filter")
+def test_repetition_filter_zero_preagg_shuffle(spark, sf_dir):
+    # per-doc multiplicity is a per-row run-length fold over the sorted gram
+    # array — no explode, no join, and the ONLY exchange is the per-source
+    # rollup (round 2's exploded (doc, k, gram) combine moved ~5M gram
+    # strings through a shuffle; this shape moves |sources| rows)
+    plan = _plan(spark, sf_dir, "text_repetition_filter", mode="simple")
     assert "Join" not in plan
-    assert "partial_count" in plan
+    assert "Generate" not in plan  # no explode
+    assert plan.count("Exchange") <= 2  # source rollup (+ orderBy range)
 
 
-def test_quality_funnel_single_doc_join(spark, sf_dir):
-    # rules 1-4 are per-row; only the repetition signal joins back, on doc_id
-    plan = _plan(spark, sf_dir, "quality_filter_funnel")
-    assert plan.count("Join") >= 1
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+def test_quality_funnel_joinless_single_scan(spark, sf_dir):
+    # ALL five rules (incl. repetition) are per-row expressions off one scan
+    plan = _plan(spark, sf_dir, "quality_filter_funnel", mode="simple")
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange") <= 2

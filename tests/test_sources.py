@@ -78,3 +78,24 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     vals = [r["_salt"] for r in s.select("_salt").collect()]
     assert all(0 <= v < 8 for v in vals)
     assert s.unionByName(s).select("_salt").distinct().count() == len(set(vals))
+
+
+def test_single_split_scan_fans_out_to_all_cores(spark, sf_dir):
+    # the driver writes each testdata table as ONE single-row-group parquet
+    # file — an unsplittable scan. load_table compensates with a hash
+    # repartition on the table key so compute-dense per-row work (hash
+    # signatures, n-gram folds, vector math) uses every core; on a multi-split
+    # lake the condition is false and no exchange is added.
+    from aws_flight_data_pipeline_spark.sources import testdata
+
+    assert testdata.FAN_OUT_ENABLED
+    d = testdata.load_table(spark, sf_dir, "documents")
+    assert d.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    try:
+        testdata.FAN_OUT_ENABLED = False
+        raw = testdata.load_table(spark, sf_dir, "documents")
+        assert raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    finally:
+        testdata.FAN_OUT_ENABLED = True
+    # row content identical either way
+    assert d.count() == raw.count()
