@@ -1036,3 +1036,154 @@ def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_value",
         (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("micros_since_click"),
     )
+
+
+@builder(
+    "set_operation_suite",
+    tags=("relational", "set-ops"),
+    doc="The ANSI set-operation surface over two order-derived custkey "
+    "multisets (A = custkeys with a finished 'F' order, B = custkeys with an "
+    "order above 150k): UNION / UNION ALL / INTERSECT / INTERSECT ALL / "
+    "EXCEPT / EXCEPT ALL, each reported as (count, min key, max key). The "
+    "reference's SQL corpus never uses set operators (SURVEY §2.3) — this is "
+    "parity-plus surface a switching user expects an engine to have. Spark "
+    "plans the DISTINCT variants as hash aggregates over a union and the ALL "
+    "variants as left-anti-style multiset joins; every shape is "
+    "shuffle-bounded by the key cardinality.",
+    oracle="""
+        WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        u  AS (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b),
+        ua AS (SELECT o_custkey FROM a UNION ALL SELECT o_custkey FROM b),
+        i  AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+        ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+        x  AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b),
+        xa AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+        SELECT 'union_distinct' AS section, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+               CAST(MAX(o_custkey) AS BIGINT) AS max_custkey FROM u
+        UNION ALL
+        SELECT 'union_all', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT) FROM ua
+        UNION ALL
+        SELECT 'intersect_distinct', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT) FROM i
+        UNION ALL
+        SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT) FROM ia
+        UNION ALL
+        SELECT 'except_distinct', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT) FROM x
+        UNION ALL
+        SELECT 'except_all', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT) FROM xa
+        ORDER BY section
+    """,
+)
+def set_operation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    parts = {
+        "union_distinct": a.union(b).distinct(),
+        "union_all": a.unionAll(b),
+        "intersect_distinct": a.intersect(b),
+        "intersect_all": a.intersectAll(b),
+        "except_distinct": a.distinct().subtract(b.distinct()),
+        "except_all": a.exceptAll(b),
+    }
+    out = None
+    for name, df in parts.items():
+        s = df.agg(
+            F.count("*").alias("cnt"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+        ).select(F.lit(name).alias("section"), "cnt", "min_custkey", "max_custkey")
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("section")
+
+
+@builder(
+    "subquery_suite",
+    tags=("relational", "subquery", "semi-join", "anti-join"),
+    doc="The correlated/uncorrelated-subquery surface, rewritten the way the "
+    "engine executes it: EXISTS -> LEFT SEMI join (customers with a finished "
+    "order), NOT EXISTS -> LEFT ANTI join (customers with no orders at all), "
+    "IN <subquery> -> semi join on a filtered key set (orders whose customer "
+    "is in the AUTOMOBILE segment), scalar subquery -> 1-row aggregate "
+    "broadcast (orders above the global average total). The reference has "
+    "no semi/anti joins anywhere (SURVEY §2.3) — parity-plus surface; each "
+    "section reports row count plus an exact cents total so the join "
+    "semantics (no duplication, no loss) are value-verified, not just "
+    "counted.",
+    oracle="""
+        WITH sections AS (
+            SELECT 'exists_semi' AS section,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS cents_total
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+            UNION ALL
+            SELECT 'not_exists_anti',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'in_subquery',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'AUTOMOBILE')
+            UNION ALL
+            SELECT 'scalar_subquery',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM orders
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        )
+        SELECT section, cnt, cents_total FROM sections ORDER BY section
+    """,
+)
+def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def _cents(col: str):
+        return F.sum(F.round(F.col(col) * 100).cast("bigint")).cast("bigint")
+
+    exists_semi = c.join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        c["c_custkey"] == o["o_custkey"],
+        "left_semi",
+    ).agg(F.count("*").alias("cnt"), _cents("c_acctbal").alias("cents_total"))
+    not_exists = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.count("*").alias("cnt"), _cents("c_acctbal").alias("cents_total")
+    )
+    in_sub = o.join(
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey"),
+        o["o_custkey"] == F.col("c_custkey"),
+        "left_semi",
+    ).agg(F.count("*").alias("cnt"), _cents("o_totalprice").alias("cents_total"))
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg"))
+    scalar = (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .agg(F.count("*").alias("cnt"), _cents("o_totalprice").alias("cents_total"))
+    )
+    sections = {
+        "exists_semi": exists_semi,
+        "not_exists_anti": not_exists,
+        "in_subquery": in_sub,
+        "scalar_subquery": scalar,
+    }
+    out = None
+    for name, df in sections.items():
+        s = df.select(F.lit(name).alias("section"), "cnt", "cents_total")
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("section")

@@ -1,0 +1,188 @@
+"""Mergeable-sketch operators: HyperLogLog distinct sketches and Count-Min
+frequency sketches, contract-verified against exact answers.
+
+THE 100 TB pattern this module demonstrates: expensive global statistics as
+RE-AGGREGATABLE summaries. A per-partition/per-source sketch is kilobytes; a
+coordinator (or a later query) merges sketches WITHOUT rescanning raw data —
+the shape behind every production distinct-count dashboard and heavy-hitter
+monitor. The reference reaches for the same tool class with Presto's
+``approx_distinct`` (``07_optimization_guide.sql:117-185``, "approximate
+aggregations cut compute 50-70%"); here the sketches are first-class values
+(binary columns) that survive union/rollup, not just scalar estimates.
+
+Cross-engine verification follows the contract pattern proven by
+``order_status_profile``'s approx-distinct check: DuckDB cannot reproduce
+Spark's sketch internals, so the ORACLE verifies the exact columns plus
+deterministic CONTRACT FLAGS — error-bound assertions that must evaluate to 1
+given the fixed seed/configuration (HLL lgK=12 ≈ 1.6% relative error vs a 5%
+gate; Count-Min with eps=0.001 never underestimates and overestimates by at
+most ceil(eps·N) at the verified scales). The flags are computed from the
+sketch on the Spark side and hard-coded 1 in the SQL — a real divergence
+flips the value hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+_FP_SQL = "md5(lower(trim(text)))"
+
+
+def _fp() -> "F.Column":
+    """Normalized-content fingerprint (same as dedup_exact_fingerprint).
+    Built lazily: Column construction needs an active SparkContext."""
+    return F.md5(F.lower(F.trim(F.col("text"))))
+
+#: HLL sketch precision: 2^12 registers ≈ 1.6% standard error — comfortably
+#: inside the 5% contract gate at every verified scale.
+_HLL_LGK = 12
+
+#: Count-Min geometry: eps controls the additive overestimate bound
+#: (≤ ceil(eps·total_items) with confidence 1-delta), seed pins determinism.
+_CMS_EPS = 0.001
+_CMS_CONFIDENCE = 0.99
+_CMS_SEED = 42
+
+
+@builder(
+    "sketch_distinct_rollup",
+    tags=("sketch", "hll", "approx", "rollup"),
+    doc="Distinct-document accounting via HyperLogLog sketches, two levels: "
+    "(1) per-source — each source aggregates an HLL sketch (lgK=12) of the "
+    "normalized-content fingerprint alongside the exact distinct count; "
+    "(2) GLOBAL — the per-source SKETCHES are merged with hll_union_agg and "
+    "estimated, never rescanning documents (cross-source duplicates exist, "
+    "so the global row is NOT the sum of per-source counts — the sketch "
+    "union handles overlap exactly like the exact COUNT(DISTINCT) does). "
+    "Oracled columns are the exact counts plus a deterministic 5% contract "
+    "flag on every estimate (20·|est−exact| <= exact). At 100 TB the exact "
+    "countDistinct column is the one you drop; the sketch path's cost is a "
+    "4 KB binary per group.",
+    oracle=f"""
+        SELECT source AS scope,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {_FP_SQL}) AS BIGINT) AS distinct_exact,
+               CAST(1 AS BIGINT) AS hll_within_5pct
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT 'GLOBAL',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT {_FP_SQL}) AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM documents
+        ORDER BY scope
+    """,
+)
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def _flag(est, exact):
+        return (
+            F.when(20 * F.abs(est - exact) <= exact, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint")
+
+    per = d.groupBy(F.col("source").alias("scope")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(_fp()).alias("distinct_exact"),
+        F.hll_sketch_agg(_fp(), F.lit(_HLL_LGK)).alias("sk"),
+    )
+    per_rows = per.select(
+        "scope",
+        "n_rows",
+        "distinct_exact",
+        _flag(F.hll_sketch_estimate("sk"), F.col("distinct_exact")).alias("hll_within_5pct"),
+    )
+    # GLOBAL: merge the per-source sketches (re-aggregation — documents is
+    # not rescanned for the estimate); exact global distinct for the contract.
+    merged = per.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("est"),
+    )
+    exact_glob = d.agg(F.countDistinct(_fp()).alias("distinct_exact"))
+    glob_row = merged.crossJoin(exact_glob).select(
+        F.lit("GLOBAL").alias("scope"),
+        "n_rows",
+        "distinct_exact",
+        _flag(F.col("est"), F.col("distinct_exact")).alias("hll_within_5pct"),
+    )
+    return per_rows.unionByName(glob_row).orderBy("scope")
+
+
+@builder(
+    "sketch_heavy_hitters",
+    tags=("sketch", "count_min", "approx", "heavy-hitters"),
+    doc="Heavy-hitter monitoring via a Count-Min sketch: ONE fixed-size "
+    "sketch (eps=0.001, conf=0.99, seed=42) summarizes the full token "
+    "stream; the top-20 exact tokens are then probed against it. The "
+    "collected state is the sketch (kilobytes) and 20 probe rows — raw "
+    "tokens never reach the driver. Contract flags, deterministic given the "
+    "seed: cms_ge_exact (Count-Min never underestimates) and cms_within_eps "
+    "(estimate <= exact + ceil(eps·total)). Oracle verifies the exact "
+    "counts/ranks and expects both flags to hold on every row.",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        ), cnt AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM tok GROUP BY token
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token)
+                    AS BIGINT) AS rank,
+               token, exact_cnt,
+               tot.n AS total_tokens,
+               CAST(1 AS BIGINT) AS cms_ge_exact,
+               CAST(1 AS BIGINT) AS cms_within_eps
+        FROM cnt, tot
+        ORDER BY exact_cnt DESC, token
+        LIMIT 20
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    # Job 1: the sketch + stream length — ONE small row to the driver.
+    agg = tok.agg(
+        F.count_min_sketch(
+            "token", F.lit(_CMS_EPS), F.lit(_CMS_CONFIDENCE), F.lit(_CMS_SEED)
+        ).alias("cms"),
+        F.count("*").alias("n_tok"),
+    ).first()
+    n_tok = agg["n_tok"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(agg["cms"]))
+    bound = math.ceil(_CMS_EPS * n_tok)
+
+    # Job 2: exact top-20 (TakeOrderedAndProject — bounded driver rows).
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+        .collect()
+    )
+    rows = []
+    for rank, r in enumerate(top, start=1):
+        est = cms.estimateCount(r["token"])
+        rows.append(
+            (
+                rank,
+                r["token"],
+                r["exact_cnt"],
+                n_tok,
+                1 if est >= r["exact_cnt"] else 0,
+                1 if est <= r["exact_cnt"] + bound else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rank bigint, token string, exact_cnt bigint, total_tokens bigint, "
+        "cms_ge_exact bigint, cms_within_eps bigint",
+    )

@@ -841,3 +841,114 @@ def ann_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bytes_per_vector_pq", F.lit(M).cast("bigint"))
         .orderBy("m")
     )
+
+
+#: DuckDB twin of one min-label propagation round over `dup_edges`
+#: (same unrolling as dedup_cluster_components — curation_queries.py).
+def _vec_label_round_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+            SELECT l.node, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+            FROM {prev} l
+            LEFT JOIN dup_edges e ON e.u = l.node
+            LEFT JOIN {prev} n ON n.node = e.v
+            GROUP BY l.node, l.label
+        )"""
+
+
+@builder(
+    "embedding_dedup_pipeline",
+    tags=("vector", "dedup", "lsh", "graph", "pipeline"),
+    doc="SEMANTIC dedup end-to-end — the embedding twin of the text "
+    "dedup_pipeline_end_to_end + dedup_cluster_components pair, composed "
+    "from the same stages: sign-LSH bucketed candidate join (never "
+    "all-pairs) -> unit_dot cosine verify (> 0.9, integer micro-units) -> "
+    "verified pairs become an undirected graph -> 3 rounds of distributed "
+    "min-label propagation assign every vector a cluster -> cluster-size "
+    "histogram plus survivor accounting (one survivor per cluster, so "
+    "surviving = n_clusters; singleton clusters are unique vectors). Both "
+    "engines run the identical 3-round unrolling, so parity holds "
+    "independent of convergence. Scale shape: every stage is a bounded "
+    "bucket join, a linear map, or a |V|-sized label table — the corpus "
+    "embedding set is never pair-exploded.",
+    oracle=f"""
+        WITH elems AS ({_ELEMS_SQL}),
+        norms AS (
+            SELECT vec_id, SQRT(SUM(val * val)) AS vnorm FROM elems GROUP BY vec_id
+        ),
+        unitv AS (
+            SELECT e.vec_id, e.pos, e.val / n.vnorm AS uval
+            FROM elems e JOIN norms n ON e.vec_id = n.vec_id
+            WHERE n.vnorm > 0
+        ),
+        buckets AS (
+            SELECT vec_id, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+        ),
+        cands AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        dots AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(ROUND(SUM(ua.uval * ub.uval) * 1e6) AS BIGINT) AS cos_e6
+            FROM cands c
+            JOIN unitv ua ON ua.vec_id = c.id_a
+            JOIN unitv ub ON ub.vec_id = c.id_b AND ub.pos = ua.pos
+            GROUP BY c.id_a, c.id_b
+        ),
+        dup_edges AS (
+            SELECT id_a AS u, id_b AS v FROM dots WHERE cos_e6 > 900000
+            UNION ALL
+            SELECT id_b, id_a FROM dots WHERE cos_e6 > 900000
+        ),
+        lab0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
+        {_vec_label_round_sql("lab0", "lab1")},
+        {_vec_label_round_sql("lab1", "lab2")},
+        {_vec_label_round_sql("lab2", "lab3")},
+        comp AS (
+            SELECT label, COUNT(*) AS cluster_size FROM lab3 GROUP BY label
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS vecs_in_bucket
+        FROM comp
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+)
+def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.operators.graph import (
+        propagate_min_labels,
+        symmetrize,
+    )
+
+    e = with_unit_embedding(load_table(spark, sf_dir, "embeddings"))
+    e = e.withColumn("bucket", sign_bucket(F.col("embedding"), 6))
+    a = e.select("vec_id", "bucket", "unit").alias("a")
+    b = e.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("unit").alias("b_unit"),
+    )
+    cos_e6 = F.round(unit_dot(F.col("a.unit"), F.col("b_unit")) * 1e6).cast("long")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b_bucket")) & (F.col("a.vec_id") < F.col("b_vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("u"), F.col("b_vec_id").alias("v"), cos_e6.alias("cos_e6"))
+        .filter(F.col("cos_e6") > 900000)
+        .select("u", "v")
+    )
+    edges = symmetrize(pairs).cache()
+    nodes = e.select(F.col("vec_id").alias("node"))
+    labels = propagate_min_labels(nodes, edges, 3)
+    comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("vecs_in_bucket"),
+        )
+        .orderBy("cluster_size")
+    )

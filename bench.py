@@ -124,6 +124,13 @@ HEADLINE = (
     "seq_dedup_keep_best",
     "seq_impute_bfill_mode_mean",
     "text_stopword_punct_ratios",
+    # round-3 additions: mergeable sketches, semantic dedup end-to-end,
+    # ANSI set-operation / subquery surface
+    "sketch_distinct_rollup",
+    "sketch_heavy_hitters",
+    "embedding_dedup_pipeline",
+    "set_operation_suite",
+    "subquery_suite",
 )
 
 

@@ -225,3 +225,28 @@ def test_quality_funnel_joinless_single_scan(spark, sf_dir):
     assert "Join" not in plan
     assert "Generate" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_subquery_suite_plans_semi_and_anti_joins(spark, sf_dir):
+    # EXISTS/IN rewrite to LEFT SEMI, NOT EXISTS to LEFT ANTI — never a
+    # pair-exploding join; the scalar subquery broadcasts one row
+    plan = _plan(spark, sf_dir, "subquery_suite", mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_pipeline_never_all_pairs(spark, sf_dir):
+    # candidate generation is the sign-bucket equi-join; label propagation is
+    # equi-joins over the (node, label) table — no cartesian anywhere
+    plan = _plan(spark, sf_dir, "embedding_dedup_pipeline", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_rollup_reaggregates_sketches(spark, sf_dir):
+    # the GLOBAL row merges per-source HLL sketches (hll_union_agg over the
+    # grouped sketches) — documents must not be rescanned for the estimate
+    plan = _plan(spark, sf_dir, "sketch_distinct_rollup", mode="simple")
+    assert "hll_union_agg" in plan
+    assert "hll_sketch_agg" in plan
