@@ -175,7 +175,7 @@ def per_doc_repetition(d: DataFrame) -> DataFrame:
     """,
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rep = per_doc_repetition(load_table(spark, sf_dir, "documents"))
+    rep = per_doc_repetition(load_table(spark, sf_dir, "documents", fan_out=True))
     rep2 = 10 * F.col("dup2_chars") >= F.col("g2_chars")
     rep3 = 20 * F.col("dup3_chars") >= F.col("g3_chars")
     topg = F.col("top2_cnt") >= 3
@@ -252,7 +252,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     text = F.col("text")
     wc = word_count(text)
     j = d.select(

@@ -136,7 +136,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_signal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     wc = word_count(F.col("text"))
     n = F.length("text")
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
@@ -275,7 +275,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = F.array_distinct(tokens(F.col("text")))
     d = d.withColumn("sig", minhash_signature(toks, 8))
     bands = d.select(
@@ -369,7 +369,7 @@ def _ngram_jaccard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     # substr with a column start position needs the SQL form; the whole sweep
     # is one codegen'd projection (sequence → transform → array_min).
     rolling_fp = F.expr(
@@ -460,7 +460,7 @@ def _simhash_frame(d: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone per-language SimHash collision profile (round-1 name) —
     the registered surface is dedup_simhash_suite."""
-    d = _simhash_frame(load_table(spark, sf_dir, "documents")).withColumnRenamed("sh", "simhash")
+    d = _simhash_frame(load_table(spark, sf_dir, "documents", fan_out=True)).withColumnRenamed("sh", "simhash")
     return (
         d.groupBy("lang")
         .agg(
@@ -489,7 +489,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collision profile and the hamming-distance histogram of candidates.",
 )
 def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     # the 32-vote signature is the expensive subtree and feeds the profile AND
     # both sides of the band self-join — cache the tiny (doc_id, lang, sh)
     # frame so it is computed once, not three times
@@ -716,7 +716,7 @@ def text_rolling_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of md5 (~10x cheaper per position; md5 exists only so the oracle
     can reproduce signature values). Same plan shape — one codegen'd
     higher-order projection, one hash-agg — rows-only verification."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     rolling_fp = F.expr(
         "array_min(transform(sequence(1, greatest(length(text) - 6, 2) - 1),"
         " i -> xxhash64(substr(text, i, 8))))"

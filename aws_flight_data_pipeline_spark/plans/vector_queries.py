@@ -86,7 +86,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, bounded pair sets). Pre-normalize ONCE per row, then each
     pair is a single zip_with sweep (unit_dot) — vs cosine() per pair, which
     re-walks both norms for every pair (~2.5× measured at sf0.1)."""
-    e = with_unit_embedding(load_table(spark, sf_dir, "embeddings"))
+    e = with_unit_embedding(load_table(spark, sf_dir, "embeddings", fan_out=True))
     a = e.select("vec_id", "label", "unit").alias("a")
     b = e.select(
         F.col("vec_id").alias("b_vec_id"),
@@ -164,7 +164,7 @@ _SIGN_BUCKET_SQL = "CONCAT(" + ", ".join(
     """,
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = with_unit_embedding(load_table(spark, sf_dir, "embeddings"))
+    e = with_unit_embedding(load_table(spark, sf_dir, "embeddings", fan_out=True))
     e = e.withColumn("bucket", sign_bucket(F.col("embedding"), 6))
     a = e.select("vec_id", "label", "bucket", "unit").alias("a")
     b = e.select(

@@ -29,20 +29,23 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Tables whose queries are COMPUTE-dense per row (hash signatures, n-gram
-# folds, vector arithmetic) rather than scan/agg-dense. The driver writes each
+# Fan-out keys for tables whose queries can be COMPUTE-dense per row (hash
+# signatures, n-gram folds, vector arithmetic). The driver writes each
 # testdata table as ONE single-row-group parquet file — an unsplittable scan,
-# so every downstream map stage would run on one core no matter how many the
-# session has. For these tables we fan out with a key-hash repartition WHEN
-# (and only when) the source yields fewer input splits than the session has
-# cores. On a real multi-file/multi-row-group lake the condition is false and
-# the scan stays exchange-free — this is single-split compensation, not a
-# standing shuffle (the data moved here is the compressed corpus itself,
-# megabytes, while the compute it parallelizes is the expensive part).
-# Only the compute-dense corpora fan out. Measured (sf0.1, local[32]): the
-# scan/agg-dense fact tables (lineitem, orders, events) LOSE from fan-out —
-# their single-split scan + partial agg is already fast and the extra exchange
-# costs more than the parallelism returns (+2.3 s over a 16-query slice).
+# so every downstream map stage runs on one core no matter how many the
+# session has. A query that declares ``fan_out=True`` gets a key-hash
+# repartition WHEN (and only when) the source yields fewer input splits than
+# the session has cores. On a real multi-file/multi-row-group lake the
+# condition is false and the scan stays exchange-free — this is single-split
+# compensation, not a standing shuffle.
+#
+# OPT-IN by measurement (sf0.1, local[32]): the exchange costs a fixed
+# ~0.1-0.6 s, so scan/agg-dense queries lose (doc_pack 0.24→0.70,
+# ivf_topk 0.34→0.99, exact_fingerprint 0.37→0.69) while hash/fold-dense
+# queries win 3-5× (funnel 2.5→0.7, rolling fingerprint 2.1→0.8, signal
+# suite 1.9→0.4). Multi-stage pipelines lose too — their cost is their own
+# shuffles. Fact tables (lineitem/orders/events) never fan out: +2.3 s over a
+# 16-query slice when tried.
 _FAN_OUT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 #: Module toggle: the plan-shape tests disable fan-out to pin the shapes a
@@ -82,9 +85,15 @@ def _fan_out(df: DataFrame, sf_dir: str, name: str, key_col: str) -> DataFrame:
 _NANO_TS_COLS = {"events": ("ts",)}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Scan one table. Timezone is pinned to UTC first so event-time fields
-    (``events.ts``, ``orders.o_orderdate``) extract identically everywhere."""
+    (``events.ts``, ``orders.o_orderdate``) extract identically everywhere.
+
+    ``fan_out=True`` requests the single-split compensation repartition —
+    opt in ONLY for queries whose per-row compute dominates the scan (see
+    the measurement table above)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -97,7 +106,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # normalize to session-local TIMESTAMP (UTC pinned above) so epoch
             # arithmetic (cast to double/long) keeps working identically.
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    if FAN_OUT_ENABLED and name in _FAN_OUT_TABLES:
+    if FAN_OUT_ENABLED and fan_out and name in _FAN_OUT_TABLES:
         df = _fan_out(df, sf_dir, name, _FAN_OUT_TABLES[name])
     return df
 

@@ -363,3 +363,39 @@ def streaming_quality_gate(docs: DataFrame) -> DataFrame:
         p5.alias("pass_repetition"),
         (p1 & p2 & p3 & p4 & p5).alias("passed"),
     )
+
+
+def streaming_sessionization(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization: ``session_window(ts, gap)`` per
+    user — the streaming twin of the batch ``seq_sessionization`` operator
+    (lag-flag + running sum, plans/sequences.py). The session state store
+    holds only open sessions inside the watermark horizon; a session closes
+    (and emits exactly once, append mode) when the watermark passes its end.
+    Output: one row per closed session with start/end, event count, and an
+    exact value total in cents (micro-batch boundaries must not change
+    results — pinned stream==batch in tests).
+
+    At scale this is the operator that replaces the reference's batch-local
+    per-key dicts (`main_validator.py:108-153`) for session analytics: state
+    is keyed (user, session), partitioned by user, and bounded by watermark
+    cleanup rather than process lifetime.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )

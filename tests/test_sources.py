@@ -82,20 +82,16 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
 
 def test_single_split_scan_fans_out_to_all_cores(spark, sf_dir):
     # the driver writes each testdata table as ONE single-row-group parquet
-    # file — an unsplittable scan. load_table compensates with a hash
-    # repartition on the table key so compute-dense per-row work (hash
-    # signatures, n-gram folds, vector math) uses every core; on a multi-split
-    # lake the condition is false and no exchange is added.
+    # file — an unsplittable scan. Queries whose per-row compute dominates
+    # opt in to a key-hash repartition so hash/fold work uses every core; the
+    # default scan stays exchange-free (cheap queries lose more to the
+    # exchange than they gain — see testdata._FAN_OUT_TABLES).
     from aws_flight_data_pipeline_spark.sources import testdata
 
     assert testdata.FAN_OUT_ENABLED
-    d = testdata.load_table(spark, sf_dir, "documents")
+    d = testdata.load_table(spark, sf_dir, "documents", fan_out=True)
     assert d.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
-    try:
-        testdata.FAN_OUT_ENABLED = False
-        raw = testdata.load_table(spark, sf_dir, "documents")
-        assert raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
-    finally:
-        testdata.FAN_OUT_ENABLED = True
+    raw = testdata.load_table(spark, sf_dir, "documents")
+    assert raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
     # row content identical either way
     assert d.count() == raw.count()

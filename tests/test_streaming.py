@@ -258,3 +258,60 @@ def test_streaming_quality_gate_matches_batch_rules(spark, tmp_path):
         )
         n_passed += r["passed"]
     assert 0 < n_passed < len(out)  # the gate splits the corpus non-trivially
+
+
+def test_streaming_sessionization_matches_batch_session_windows(spark, tmp_path):
+    """session_window sessions must be micro-batch-invariant: every session
+    the final watermark has passed is emitted exactly once and matches the
+    batch session_window aggregation row-for-row; nothing outside the batch
+    result ever appears."""
+    from aws_flight_data_pipeline_spark.streaming.streams import streaming_sessionization
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # two micro-batch files (split by event parity) + per-file triggering
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(str(src))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_sessionization(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("SELECT * FROM sess_out")
+
+    batch = (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+    # nothing streamed that batch doesn't have (exact row match, no dupes)
+    assert streamed.count() == streamed.distinct().count()
+    assert streamed.exceptAll(batch).count() == 0
+    # everything safely behind the final watermark must have been emitted
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS 1 MINUTE")
+    required = batch.filter(F.col("session_end") < horizon)
+    assert required.exceptAll(streamed).count() == 0
+    assert required.count() > 0  # the assertion above actually bites
