@@ -1,0 +1,46 @@
+"""Session-lifetime cache discipline for query builders.
+
+``DataFrame.cache()`` registers an InMemoryRelation in Spark's CacheManager,
+which holds a STRONG reference until ``unpersist()``/``clearCache()`` — unlike
+RDD-level persistence it is never garbage-collected by the ContextCleaner. A
+builder that caches an intermediate (iterative label propagation, reused edge
+frames, exploded token tables) therefore leaks storage blocks into every
+long-lived shared session: an 86-query bench run or the driver's 50-query
+correctness sweep accumulates every round's cached frames.
+
+Discipline: builders call :func:`tracked_cache` instead of ``.cache()``; every
+harness entry point (``__spark_entry__.queries()``, ``bench.py``, the parity
+tests) calls :func:`release_tracked` before building the NEXT query, so a
+query's caches live exactly as long as its own materialization can use them.
+Intra-query semantics are identical to ``.cache()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` plus registration for later bulk release."""
+    df = df.cache()
+    _LIVE.append(df)
+    return df
+
+
+def release_tracked(blocking: bool = False) -> int:
+    """Unpersist every tracked cache; returns how many were released.
+
+    Safe against already-stopped sessions (each unpersist is best-effort —
+    a dead SparkContext just means the blocks are gone anyway).
+    """
+    released = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist(blocking)
+            released += 1
+        except Exception:
+            pass
+    return released

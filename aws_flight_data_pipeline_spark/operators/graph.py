@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
 
 
 def symmetrize(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
@@ -42,7 +43,7 @@ def propagate_min_labels(
     """
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     for _ in range(iterations):
-        labels = labels.cache()
+        labels = labels.transform(tracked_cache)
         neighbor_min = (
             edges.join(
                 labels.select(F.col("node").alias("v"), F.col("label").alias("nb_label")),

@@ -37,6 +37,7 @@ from aws_flight_data_pipeline_spark.plans.text_queries import (
     scored_pair_frame,
 )
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
+from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
 
 
 def _md5_bucket(col: Column, mod: int | None = None) -> Column:
@@ -264,7 +265,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # one explode feeds both the eval set and the training side
-    toks = d.select("doc_id", "source", F.explode(shingles(F.col("text"), 3)).alias("tok")).cache()
+    toks = d.select("doc_id", "source", F.explode(shingles(F.col("text"), 3)).alias("tok")).transform(tracked_cache)
     eval_toks = toks.filter(F.col("doc_id") % 97 == 0).select("tok").distinct()
     train = toks.filter(F.col("doc_id") % 97 != 0)
     sizes = train.groupBy("doc_id", "source").agg(F.count("*").alias("n_tok"))
@@ -417,7 +418,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("j") >= 0.5).select(
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
         )
-    ).cache()
+    ).transform(tracked_cache)
     nodes = d.select(F.col("doc_id").alias("node"))
     labels = propagate_min_labels(nodes, edges, _CC_ITERATIONS)
     comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
@@ -601,7 +602,7 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = d.select("doc_id", F.col("text").alias("t"))
     rounds = []
     for rnd in range(1, _BPE_ROUNDS + 1):
-        cur = cur.cache()
+        cur = cur.transform(tracked_cache)
         top1 = (
             cur.select(F.explode(word_ngrams(F.col("t"), 2)).alias("gram"))
             .filter(F.col("gram").contains(" "))
@@ -621,7 +622,7 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "t"
                 ),
             )
-            .cache()
+            .transform(tracked_cache)
         )
         wc = F.length("t") - F.length(F.replace(F.col("t"), F.lit(" "), F.lit(""))) + 1
         rounds.append(

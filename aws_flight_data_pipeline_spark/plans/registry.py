@@ -81,9 +81,27 @@ def query(name: str, *, oracle: str | None, tags: tuple[str, ...] = (), doc: str
     return deco
 
 
+def _self_cleaning(fn: QueryFn) -> QueryFn:
+    """Release the PREVIOUS query's tracked caches before building this one.
+
+    Query builders cache intermediates via ``tracked_cache`` (iterative label
+    propagation, reused edge/token frames). In a long-lived shared session
+    (the driver's correctness sweep, the bench run) those blocks would
+    otherwise accumulate query-over-query — see ``functions/caching.py``.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_flight_data_pipeline_spark.functions.caching import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _self_cleaning(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

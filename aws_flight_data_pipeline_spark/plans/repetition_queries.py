@@ -51,7 +51,8 @@ from aws_flight_data_pipeline_spark.sources.testdata import load_table
 #: per-doc repetition stats. Ends at ``rep(doc_id, source, g2_chars,
 #: dup2_chars, top2_cnt, g3_chars, dup3_chars)``. No WITH keyword.
 REP_PER_DOC_CTES = """toks AS (
-            SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+            SELECT doc_id, source,
+                   string_split(COALESCE(text, ''), ' ') AS tk FROM documents
         ), grams AS (
             SELECT doc_id, source, 2 AS k,
                    unnest(list_transform(
@@ -126,8 +127,13 @@ def repetition_stats(grams: Column) -> Column:
 def per_doc_repetition(d: DataFrame) -> DataFrame:
     """Per-document repetition stats as a PURE PROJECTION — zero shuffle:
     ``(doc_id, source, g2_chars, dup2_chars, top2_cnt, g3_chars,
-    dup3_chars)``. The Spark twin of :data:`REP_PER_DOC_CTES`."""
-    text = F.col("text")
+    dup3_chars)``. The Spark twin of :data:`REP_PER_DOC_CTES`.
+
+    ``text`` is coalesced to ``''`` on BOTH sides (here and in the oracle's
+    ``toks`` CTE): a projection keeps NULL-text rows while an unnest-based
+    CTE drops them, so without the coalesce the two shapes would diverge the
+    day the corpus grows a NULL document."""
+    text = F.coalesce(F.col("text"), F.lit(""))
     r2 = repetition_stats(word_ngrams(text, 2))
     r3 = repetition_stats(word_ngrams(text, 3))
     return d.select("doc_id", "source", r2.alias("_r2"), r3.alias("_r3")).select(

@@ -33,6 +33,7 @@ from aws_flight_data_pipeline_spark.functions.text import (
 )
 from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
+from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
 
 
 def _r4(c):
@@ -493,7 +494,7 @@ def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 32-vote signature is the expensive subtree and feeds the profile AND
     # both sides of the band self-join — cache the tiny (doc_id, lang, sh)
     # frame so it is computed once, not three times
-    sigs = _simhash_frame(d).cache()
+    sigs = _simhash_frame(d).transform(tracked_cache)
 
     profile = (
         sigs.groupBy("lang")
@@ -806,7 +807,7 @@ def scored_pair_frame(d: DataFrame) -> DataFrame:
         F.posexplode(
             F.array(minhash_band(F.col("sig"), 0, 4), minhash_band(F.col("sig"), 4, 4))
         ).alias("band_id", "band_key"),
-    ).cache()
+    ).transform(tracked_cache)
 
     # stage 2: per-bucket candidate join (shuffle on band key, never all-pairs)
     a = bands.alias("a")
@@ -829,7 +830,7 @@ def scored_pair_frame(d: DataFrame) -> DataFrame:
     # stage 3: Jaccard verification of candidates only. The exploded-shingle
     # frame is cached: sizes + both pair sides read it (4 re-explosions of
     # the corpus otherwise).
-    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).cache()
+    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).transform(tracked_cache)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
@@ -1158,7 +1159,7 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(minhash_band(F.col("sig"), 0, 4), minhash_band(F.col("sig"), 4, 4))
             ).alias("band_id", "band_key"),
         )
-        .cache()
+        .transform(tracked_cache)
     )
     bi = bands.where("is_inc").select(F.col("doc_id").alias("i_doc"), "band_id", "band_key")
     be = bands.where(~F.col("is_inc")).select(
@@ -1166,7 +1167,7 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = bi.join(be, ["band_id", "band_key"]).select("i_doc", "e_doc").distinct()
 
-    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).cache()
+    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).transform(tracked_cache)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     ta = toks.select(F.col("doc_id").alias("i_doc"), "tok")
     tb = toks.select(F.col("doc_id").alias("e_doc"), F.col("tok").alias("tok_b"))

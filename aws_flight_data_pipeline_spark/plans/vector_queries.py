@@ -30,6 +30,7 @@ from aws_flight_data_pipeline_spark.functions.vectors import (
 )
 from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
+from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
 
 
 def _r4(c):
@@ -421,7 +422,7 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-        .cache()
+        .transform(tracked_cache)
     )
     centroids = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
@@ -585,7 +586,7 @@ def ann_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
-        .cache()
+        .transform(tracked_cache)
     )
 
     # stage 1: Lloyd training (same loop as ann_kmeans_train, without reports)
@@ -793,7 +794,7 @@ def ann_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[F.slice("v", m * SUB + 1, SUB) for m in range(M)])).alias(
             "m", "sv"
         ),
-    ).cache()
+    ).transform(tracked_cache)
     cents = sub.filter(F.col("vec_id") < K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
     )
@@ -816,7 +817,7 @@ def ann_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.sv").alias("sv"),
                 F.col("b.err").alias("err"),
             )
-            .cache()
+            .transform(tracked_cache)
         )
         cents = (
             assigned.select("m", "cid", F.posexplode("sv").alias("pos", "val"))
@@ -940,7 +941,7 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_e6") > 900000)
         .select("u", "v")
     )
-    edges = symmetrize(pairs).cache()
+    edges = symmetrize(pairs).transform(tracked_cache)
     nodes = e.select(F.col("vec_id").alias("node"))
     labels = propagate_min_labels(nodes, edges, 3)
     comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))

@@ -26,6 +26,7 @@ import json
 import os
 import time
 
+from aws_flight_data_pipeline_spark.functions.caching import release_tracked
 from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded, resolve
 from aws_flight_data_pipeline_spark.session import get_spark
 
@@ -147,9 +148,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         run(name)  # warm-up: JIT, code cache, FS cache
+        release_tracked()  # warm-up caches must not subsidize the timed run
         t0 = time.perf_counter()
         run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_tracked()  # builder-cached blocks must not accumulate across the suite
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)

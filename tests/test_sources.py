@@ -90,8 +90,13 @@ def test_single_split_scan_fans_out_to_all_cores(spark, sf_dir):
 
     assert testdata.FAN_OUT_ENABLED
     d = testdata.load_table(spark, sf_dir, "documents", fan_out=True)
-    assert d.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     raw = testdata.load_table(spark, sf_dir, "documents")
-    assert raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        # environment property, not code behavior: on a 1-core runner (or if
+        # the testdata file ever grows past one input split) the compensation
+        # is a no-op by design — only the no-op contract is assertable.
+        assert d.rdd.getNumPartitions() == raw.rdd.getNumPartitions()
+    else:
+        assert d.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     # row content identical either way
     assert d.count() == raw.count()
