@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from aws_flight_data_pipeline_spark.functions.text import shingles, word_count
 from aws_flight_data_pipeline_spark.operators.graph import (
-    propagate_min_labels,
+    connected_components,
     symmetrize,
 )
 from aws_flight_data_pipeline_spark.plans.registry import builder
@@ -263,7 +263,8 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: the shingle explode over the full corpus dominates
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     # one explode feeds both the eval set and the training side
     toks = d.select("doc_id", "source", F.explode(shingles(F.col("text"), 3)).alias("tok")).transform(tracked_cache)
     eval_toks = toks.filter(F.col("doc_id") % 97 == 0).select("tok").distinct()
@@ -412,7 +413,8 @@ _CC_ITERATIONS = 3
     """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: stage 1 (MinHash signatures) dominates — see scored_pair_frame
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     scored = scored_pair_frame(d)
     edges = symmetrize(
         scored.filter(F.col("j") >= 0.5).select(
@@ -420,7 +422,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).transform(tracked_cache)
     nodes = d.select(F.col("doc_id").alias("node"))
-    labels = propagate_min_labels(nodes, edges, _CC_ITERATIONS)
+    # adaptive component solve: exact union-find over the (tiny) collected
+    # edge list below the threshold, k-round distributed Hash-Min above it;
+    # isolated docs keep label=doc_id via one anti-join either way
+    labels = connected_components(nodes, edges, _CC_ITERATIONS)
     comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         comp.groupBy("cluster_size")
@@ -598,7 +603,8 @@ def _bpe_merge_round_sql(prev: str, top: str, this: str) -> str:
 def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_flight_data_pipeline_spark.functions.text import word_ngrams
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: each round's bigram explode + per-row rewrite is compute-dense
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     cur = d.select("doc_id", F.col("text").alias("t"))
     rounds = []
     for rnd in range(1, _BPE_ROUNDS + 1):

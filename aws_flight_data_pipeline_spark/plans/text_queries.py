@@ -809,7 +809,9 @@ def scored_pair_frame(d: DataFrame) -> DataFrame:
         ).alias("band_id", "band_key"),
     ).transform(tracked_cache)
 
-    # stage 2: per-bucket candidate join (shuffle on band key, never all-pairs)
+    # stage 2: per-bucket candidate join (shuffle on band key, never all-pairs).
+    # The candidate frame is cached — it feeds the semi-join that scopes
+    # verification AND the verification joins themselves.
     a = bands.alias("a")
     b = bands.select(
         F.col("doc_id").alias("b_doc_id"),
@@ -825,13 +827,28 @@ def scored_pair_frame(d: DataFrame) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
         .distinct()
+        .transform(tracked_cache)
     )
 
-    # stage 3: Jaccard verification of candidates only. The exploded-shingle
-    # frame is cached: sizes + both pair sides read it (4 re-explosions of
-    # the corpus otherwise).
-    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).transform(tracked_cache)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    # stage 3: Jaccard verification of CANDIDATES ONLY. Only documents that
+    # appear in a candidate pair are ever joined, so the corpus is left-semi
+    # pruned to candidate doc-ids BEFORE the shingle explode — the cached
+    # frame is O(candidate docs), not O(corpus tokens) (the latter is a
+    # genuine 100 TB scale-killer: LSH keeps |candidates| << |corpus|).
+    # n_tok is a per-row projection (shingles() already dedupes, so
+    # size(shingles) == exploded-distinct count) — no explode+groupBy.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", toks_arr.alias("toks"))
+        .transform(tracked_cache)
+    )
+    sizes = cand_docs.select("doc_id", F.size("toks").alias("n_tok"))
+    toks = cand_docs.select("doc_id", F.explode("toks").alias("tok"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     inter = (
@@ -909,7 +926,9 @@ def scored_pair_frame(d: DataFrame) -> DataFrame:
     """,
 )
 def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: the MinHash-signature map stage dominates and must not run on
+    # a single input split (measured honest-bench: 12.1 s -> ~1 s at sf0.1)
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     # stages 1-3 (shared with the cluster-components operator)
     scored = scored_pair_frame(d)
 
@@ -1134,7 +1153,8 @@ _INC_SOURCES_SQL = "('src18', 'src19')"
     """,
 )
 def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: signature computation over the full corpus dominates
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     inc_sources = ("src18", "src19")
     is_inc = F.col("source").isin(*inc_sources)
     inc, corpus = d.where(is_inc), d.where(~is_inc)
@@ -1165,10 +1185,28 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     be = bands.where(~F.col("is_inc")).select(
         F.col("doc_id").alias("e_doc"), "band_id", "band_key"
     )
-    cands = bi.join(be, ["band_id", "band_key"]).select("i_doc", "e_doc").distinct()
+    cands = (
+        bi.join(be, ["band_id", "band_key"])
+        .select("i_doc", "e_doc")
+        .distinct()
+        .transform(tracked_cache)
+    )
 
-    toks = d.select("doc_id", F.explode(toks_arr).alias("tok")).transform(tracked_cache)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    # Jaccard verification over CANDIDATE docs only (semi-join prune before
+    # the explode — same O(candidates) discipline as scored_pair_frame);
+    # n_tok as a size(shingles) projection, no explode+groupBy.
+    cand_ids = (
+        cands.select(F.col("i_doc").alias("doc_id"))
+        .unionByName(cands.select(F.col("e_doc").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", toks_arr.alias("toks"))
+        .transform(tracked_cache)
+    )
+    sizes = cand_docs.select("doc_id", F.size("toks").alias("n_tok"))
+    toks = cand_docs.select("doc_id", F.explode("toks").alias("tok"))
     ta = toks.select(F.col("doc_id").alias("i_doc"), "tok")
     tb = toks.select(F.col("doc_id").alias("e_doc"), F.col("tok").alias("tok_b"))
     inter = (

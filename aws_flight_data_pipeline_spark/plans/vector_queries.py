@@ -919,7 +919,7 @@ def _vec_label_round_sql(prev: str, this: str) -> str:
 )
 def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_flight_data_pipeline_spark.operators.graph import (
-        propagate_min_labels,
+        connected_components,
         symmetrize,
     )
 
@@ -943,7 +943,7 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = symmetrize(pairs).transform(tracked_cache)
     nodes = e.select(F.col("vec_id").alias("node"))
-    labels = propagate_min_labels(nodes, edges, 3)
+    labels = connected_components(nodes, edges, 3)
     comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         comp.groupBy("cluster_size")

@@ -39,13 +39,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # condition is false and the scan stays exchange-free — this is single-split
 # compensation, not a standing shuffle.
 #
-# OPT-IN by measurement (sf0.1, local[32]): the exchange costs a fixed
-# ~0.1-0.6 s, so scan/agg-dense queries lose (doc_pack 0.24→0.70,
+# OPT-IN by measurement (sf0.1, local[32], cache-released honest bench —
+# warm-up caches unpersisted before the timed run): the exchange costs a
+# fixed ~0.1-0.6 s, so scan/agg-dense queries lose (doc_pack 0.24→0.70,
 # ivf_topk 0.34→0.99, exact_fingerprint 0.37→0.69) while hash/fold-dense
 # queries win 3-5× (funnel 2.5→0.7, rolling fingerprint 2.1→0.8, signal
-# suite 1.9→0.4). Multi-stage pipelines lose too — their cost is their own
-# shuffles. Fact tables (lineitem/orders/events) never fan out: +2.3 s over a
-# 16-query slice when tried.
+# suite 1.9→0.4). The round-3 claim that multi-stage pipelines lose was an
+# artifact of the cache-subsidized bench hiding their stage-1 compute: with
+# caches released, the MinHash/shingle-dominated pipelines win 3-5× from
+# fan-out (dedup_pipeline_end_to_end 12.1→3.5, dedup_cluster_components
+# 15.0→4.4, corpus_merge_increment 13.2→2.8, bpe_merge_train 6.2→3.3,
+# corpus_decontamination 2.1→1.2 — combined with the candidates-only
+# verification restructure in scored_pair_frame). Fact tables
+# (lineitem/orders/events) never fan out: +2.3 s over a 16-query slice.
 _FAN_OUT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 #: Module toggle: the plan-shape tests disable fan-out to pin the shapes a
