@@ -2,9 +2,11 @@
 
 ``F.count_min_sketch(...)`` aggregates to the serialized form of
 ``org.apache.spark.util.sketch.CountMinSketch`` (format V1: big-endian
-``int version, long totalCount, int depth, int width`` followed by
-``depth × width`` big-endian longs). Probing an item in the JVM uses double
-hashing over Spark's ``Murmur3_x86_32`` variant::
+``int version, long totalCount, int depth, int width``, then the ``hashA``
+array of ``depth`` longs — the long-item hash family, written even when only
+string items were added — then the ``depth × width`` counter table of
+big-endian longs). Probing a STRING/BINARY item in the JVM ignores ``hashA``
+and uses double hashing over Spark's ``Murmur3_x86_32`` variant::
 
     hash1 = murmur3(bytes, seed=0)
     hash2 = murmur3(bytes, seed=hash1)
@@ -17,13 +19,17 @@ probe a sketch column inside an Arrow-batched UDF — no ``spark._jvm`` gateway
 Murmur3_x86_32 differs from reference murmur3 in the tail: remaining bytes
 are mixed ONE at a time, sign-extended, through the full k1/h1 mix (see
 ``Murmur3_x86_32.hashUnsafeBytes``) — that detail is what makes the buckets
-line up with the JVM. Cross-checked against the JVM prober in
-``tests/test_sketches.py``.
+line up with the JVM. Cross-checked against the JVM prober AND against
+``F.count_min_sketch`` ground truth in ``tests/test_sketches.py``.
 """
 
 from __future__ import annotations
 
 import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 
 _MASK32 = 0xFFFFFFFF
 _C1 = 0xCC9E2D51
@@ -85,7 +91,11 @@ class CountMinSketchReader:
         )
         if version != 1:
             raise ValueError(f"unsupported CountMinSketch version: {version}")
-        self._table = struct.unpack_from(f">{self.depth * self.width}q", data, 20)
+        # the counter table starts AFTER the hashA array (depth longs) that
+        # CountMinSketchImpl.writeTo emits between the header and the table
+        self._table = struct.unpack_from(
+            f">{self.depth * self.width}q", data, 20 + 8 * self.depth
+        )
 
     def _buckets(self, item: bytes) -> list[int]:
         h1 = murmur3_x86_32(item, 0)
@@ -107,3 +117,34 @@ class CountMinSketchReader:
             self._table[i * self.width + bucket]
             for i, bucket in enumerate(self._buckets(b))
         )
+
+
+def _cms_estimate_batch(token: pd.Series, sketch: pd.Series) -> pd.Series:
+    """Arrow-batched probe: estimateCount of each token against its sketch
+    blob. The sketch column normally comes from a 1-row crossJoin, so every
+    row in a batch carries identical bytes — the parsed reader is memoized
+    per distinct blob, making the per-row cost two murmur hashes."""
+    readers: dict[bytes, CountMinSketchReader] = {}
+    out = []
+    for t, blob in zip(token, sketch):
+        key = bytes(blob)
+        reader = readers.get(key)
+        if reader is None:
+            reader = readers[key] = CountMinSketchReader(key)
+        out.append(reader.estimate_count(t))
+    return pd.Series(out)
+
+
+#: Built on first use — pandas_udf parses its DDL type against the active
+#: session, so decorating at import time would require one to exist already.
+_CMS_ESTIMATE_PUDF = None
+
+
+def cms_estimate(token: Column, sketch: Column) -> Column:
+    """Lazy Column: JVM-equal Count-Min estimateCount of ``token`` probed
+    against the serialized sketch in ``sketch`` — usable in any plan, no
+    ``spark._jvm`` gateway (Spark-Connect-safe), no driver-side jobs."""
+    global _CMS_ESTIMATE_PUDF
+    if _CMS_ESTIMATE_PUDF is None:
+        _CMS_ESTIMATE_PUDF = F.pandas_udf(_cms_estimate_batch, "long")
+    return _CMS_ESTIMATE_PUDF(token, sketch)

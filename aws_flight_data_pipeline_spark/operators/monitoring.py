@@ -20,11 +20,23 @@ dashboard reads, exactly analogous to the reference's report JSON.
 
 from __future__ import annotations
 
+import contextlib
+import io
 import re
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    """The formatted physical-plan string, Spark-Connect-safe: captured from
+    ``df.explain("formatted")`` (which both classic and Connect sessions
+    implement) instead of the ``spark._jvm`` py4j gateway (classic-only)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 @dataclass
@@ -117,9 +129,7 @@ class WorkloadMonitor:
         self._rows: list[QueryMetrics] = []
 
     def run(self, name: str, df: DataFrame) -> QueryMetrics:
-        plan = self._spark._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = _formatted_plan(df)
         t0 = time.perf_counter()
         n = df.count()
         wall = time.perf_counter() - t0

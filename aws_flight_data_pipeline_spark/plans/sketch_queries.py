@@ -23,11 +23,11 @@ flips the value hash.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from aws_flight_data_pipeline_spark.functions.sketches import cms_estimate
 from aws_flight_data_pipeline_spark.plans.registry import builder
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
@@ -119,10 +119,13 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "count_min", "approx", "heavy-hitters"),
     doc="Heavy-hitter monitoring via a Count-Min sketch: ONE fixed-size "
     "sketch (eps=0.001, conf=0.99, seed=42) summarizes the full token "
-    "stream; the top-20 exact tokens are then probed against it. The "
-    "collected state is the sketch (kilobytes) and 20 probe rows — raw "
-    "tokens never reach the driver. Contract flags, deterministic given the "
-    "seed: cms_ge_exact (Count-Min never underestimates) and cms_within_eps "
+    "stream; the top-20 exact tokens are probed against it INSIDE the plan "
+    "— the 1-row sketch aggregate broadcasts into a crossJoin and an "
+    "Arrow-batched UDF runs the pure-Python JVM-bit-equal prober "
+    "(functions/sketches.py), so the builder stays lazy (explain() runs no "
+    "job), Spark-Connect-safe, and nothing but the final 20 rows ever "
+    "reaches the driver. Contract flags, deterministic given the seed: "
+    "cms_ge_exact (Count-Min never underestimates) and cms_within_eps "
     "(estimate <= exact + ceil(eps·total)). Oracle verifies the exact "
     "counts/ranks and expects both flags to hold on every row.",
     oracle="""
@@ -149,40 +152,40 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
 
-    # Job 1: the sketch + stream length — ONE small row to the driver.
-    agg = tok.agg(
+    # ONE lazy plan, no driver-side jobs at build time: the 1-row sketch
+    # aggregate broadcasts into a crossJoin with the exact top-20, and the
+    # probe runs through the pure-Python CountMinSketchReader inside an
+    # Arrow-batched UDF (functions/sketches.py — JVM-bit-equal, verified in
+    # tests/test_sketches.py; no spark._jvm gateway, Spark-Connect-safe).
+    sketch_row = tok.agg(
         F.count_min_sketch(
             "token", F.lit(_CMS_EPS), F.lit(_CMS_CONFIDENCE), F.lit(_CMS_SEED)
         ).alias("cms"),
-        F.count("*").alias("n_tok"),
-    ).first()
-    n_tok = agg["n_tok"]
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(agg["cms"]))
-    bound = math.ceil(_CMS_EPS * n_tok)
-
-    # Job 2: exact top-20 (TakeOrderedAndProject — bounded driver rows).
+        F.count("*").alias("total_tokens"),
+    )
     top = (
         tok.groupBy("token")
-        .agg(F.count("*").alias("exact_cnt"))
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "token")
         .limit(20)
-        .collect()
     )
-    rows = []
-    for rank, r in enumerate(top, start=1):
-        est = cms.estimateCount(r["token"])
-        rows.append(
-            (
-                rank,
-                r["token"],
-                r["exact_cnt"],
-                n_tok,
-                1 if est >= r["exact_cnt"] else 0,
-                1 if est <= r["exact_cnt"] + bound else 0,
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "rank bigint, token string, exact_cnt bigint, total_tokens bigint, "
-        "cms_ge_exact bigint, cms_within_eps bigint",
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("exact_cnt"), "token"))
+        .cast("bigint"),
     )
+    probed = ranked.crossJoin(F.broadcast(sketch_row)).withColumn(
+        "cms_est", cms_estimate(F.col("token"), F.col("cms"))
+    )
+    # additive error bound: ceil(eps * stream length), exact integer math
+    bound = F.ceil(F.lit(_CMS_EPS) * F.col("total_tokens")).cast("bigint")
+    flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("bigint")  # noqa: E731
+    return probed.select(
+        "rank",
+        "token",
+        "exact_cnt",
+        "total_tokens",
+        flag(F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+        flag(F.col("cms_est") <= F.col("exact_cnt") + bound).alias("cms_within_eps"),
+    ).orderBy("rank")

@@ -26,25 +26,39 @@ recommendation class); here it is a first-class operator triple:
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
-    """Recursive (path, bytes) listing via the Hadoop FileSystem API —
-    scheme-agnostic, driver-side, one tuple per data file."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
+    """Recursive (path, bytes) listing, driver-side, one tuple per data file.
+
+    Contract: uses the Hadoop FileSystem API through the py4j gateway when
+    the session has one (classic PySpark — scheme-agnostic, covers object
+    stores); under Spark Connect (``spark._jvm`` absent) it degrades to a
+    local-filesystem walk, which covers every ``file://`` lake this repo's
+    maintenance tooling targets. Object-store audits require classic mode.
+    """
+    jvm = getattr(spark, "_jvm", None)
     out: list[tuple[str, int]] = []
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().toUri().getPath()
-        if not name.rsplit("/", 1)[-1].startswith("_"):
-            out.append((name, st.getLen()))
+    if jvm is not None:
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().toUri().getPath()
+            if not name.rsplit("/", 1)[-1].startswith("_"):
+                out.append((name, st.getLen()))
+        return out
+    for root, _dirs, files in os.walk(path.removeprefix("file://")):
+        for fn in files:
+            if not fn.startswith("_"):
+                fp = os.path.join(root, fn)
+                out.append((fp, os.path.getsize(fp)))
     return out
 
 
