@@ -8,11 +8,21 @@ frames, exploded token tables) therefore leaks storage blocks into every
 long-lived shared session: an 86-query bench run or the driver's 50-query
 correctness sweep accumulates every round's cached frames.
 
-Discipline: builders call :func:`tracked_cache` instead of ``.cache()``; every
-harness entry point (``__spark_entry__.queries()``, ``bench.py``, the parity
-tests) calls :func:`release_tracked` before building the NEXT query, so a
-query's caches live exactly as long as its own materialization can use them.
-Intra-query semantics are identical to ``.cache()``.
+Discipline: builders call :func:`tracked_cache` instead of ``.cache()``.
+Release points, each covering one harness surface:
+
+- ``__spark_entry__.queries()`` / the driver sweep: the ``_self_cleaning``
+  wrapper (``plans/registry.py``) releases the PREVIOUS query's caches when
+  the next query is BUILT — see ``all_queries()`` for the build-then-
+  materialize contract this implies.
+- ``bench.py``: explicit ``release_tracked()`` between the warm-up and timed
+  runs and after each timed run.
+- the pytest suite: an autouse teardown fixture (``tests/conftest.py``)
+  releases after EVERY test — this is what covers the parity tests, which
+  invoke ``spec.fn`` directly and bypass the ``_self_cleaning`` wrapper.
+
+Intra-query semantics are identical to ``.cache()``; releasing early only
+costs recomputation, never correctness.
 """
 
 from __future__ import annotations

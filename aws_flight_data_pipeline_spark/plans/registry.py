@@ -100,6 +100,17 @@ def _self_cleaning(fn: QueryFn) -> QueryFn:
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """Driver-facing registry, with self-cleaning cache discipline.
+
+    CONTRACT — build, then materialize immediately: calling any returned
+    builder releases every cache tracked by PREVIOUSLY built queries (see
+    ``_self_cleaning``). A consumer that builds several DataFrames before
+    evaluating any still gets CORRECT results from all of them — unpersist
+    only forces recomputation — but only the most recently built query
+    retains its caches, so earlier builds silently lose their intra-query
+    reuse. The driver's and bench's build-then-evaluate loop is the
+    intended calling pattern; pinned by tests/test_caching_semantics.py.
+    """
     _ensure_loaded()
     return {name: _self_cleaning(spec.fn) for name, spec in REGISTRY.items()}
 

@@ -157,6 +157,12 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
 
+    # Cache-discipline accounting: after the release_tracked() sweep, the
+    # suite must leave ZERO persistent blocks behind — a non-zero value here
+    # means some builder cached outside tracked_cache (a storage leak that
+    # would compound over a long-lived session).
+    leaked_caches = spark.sparkContext._jsc.getPersistentRDDs().size()
+
     # Full table (all headline entries, 3 dp) — sidecar, never truncated.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(
@@ -167,6 +173,7 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "leaked_caches": leaked_caches,
             },
             f,
             indent=1,
@@ -186,6 +193,7 @@ def main() -> None:
             "queries": printed,
             "n_queries": len(timings),
             "sf": sf_val,
+            "leaked_caches": leaked_caches,
         }
         if omitted:
             payload["queries_omitted"] = omitted

@@ -18,6 +18,18 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Blanket cache discipline for the whole suite: any builder-tracked
+    cache (functions/caching.py) is unpersisted after every test, so the
+    parity sweep (which calls spec.fn directly, bypassing all_queries()'s
+    self-cleaning wrapper) cannot accumulate storage blocks test-over-test."""
+    yield
+    from aws_flight_data_pipeline_spark.functions.caching import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
