@@ -422,8 +422,16 @@ def _pack_simhash(votes: "F.Column") -> "F.Column":
     return sim
 
 
-def _simhash_frame(d: DataFrame) -> DataFrame:
+def _simhash_frame(d: DataFrame, portable: bool = False) -> DataFrame:
     """(doc_id, lang, sh) SimHash signatures via explode + codegen sums.
+
+    ``portable=False`` (production) hashes tokens with xxhash64 — the cheap
+    engine-native path. ``portable=True`` derives the 32-bit token hash from
+    an md5 prefix (``conv(substr(md5(tok),1,8),16,10)``), bit-identical in
+    DuckDB (``('0x'||substr(md5,1,8))::BIGINT``) so the registered suite is
+    value-verified by the driver oracle — the same md5-parity/xxhash64-
+    production split as text_rolling_fingerprint (~10× cheaper per token in
+    production; signature semantics identical either way).
 
     Value-equivalent to the HOF fold (``_simhash_votes`` + ``_pack_simhash``,
     kept as the reference implementation and pinned equal in
@@ -442,7 +450,11 @@ def _simhash_frame(d: DataFrame) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("tok")
+    )
     votes = toks.groupBy("doc_id", "lang").agg(
         *[
             F.sum(F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)).alias(
@@ -473,15 +485,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_VOTES_SQL = ",\n                   ".join(
+    f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}" for i in range(32)
+)
+_SIMHASH_PACK_SQL = "\n                 + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+)
+
+
 @query(
     "dedup_simhash_suite",
     tags=("dedup", "simhash", "lsh"),
-    # xxhash64 bit manipulation is Spark-specific — no portable oracle; the
-    # driver records the rows-only check (SURVEY §2 non-SQL-expressible class).
-    oracle=None,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ),
+        hashes AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, lang,
+                   {_SIMHASH_VOTES_SQL}
+            FROM hashes
+            GROUP BY doc_id, lang
+        ),
+        sigs AS (
+            SELECT doc_id, lang,
+                   CAST({_SIMHASH_PACK_SQL} AS BIGINT) AS sh
+            FROM votes
+        ),
+        prof AS (
+            SELECT lang, COUNT(*) AS doc_count, COUNT(DISTINCT sh) AS uniq
+            FROM sigs GROUP BY lang
+        ),
+        profile AS (
+            SELECT 'signatures' AS section, lang AS grp,
+                   'doc_count' AS metric, CAST(doc_count AS BIGINT) AS value
+            FROM prof
+            UNION ALL
+            SELECT 'signatures', lang, 'unique_simhashes', CAST(uniq AS BIGINT)
+            FROM prof
+            UNION ALL
+            SELECT 'signatures', lang, 'simhash_collisions',
+                   CAST(doc_count - uniq AS BIGINT)
+            FROM prof
+        ),
+        bands AS (
+            SELECT doc_id, sh, 0 AS band_id, sh & 65535 AS band_val FROM sigs
+            UNION ALL
+            SELECT doc_id, sh, 1, sh >> 16 FROM sigs
+        ),
+        pairs AS (
+            SELECT bit_count(xor(a.sh, b.sh)) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id
+             AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            WHERE a.band_id = 0 OR (a.sh & 65535) != (b.sh & 65535)
+        ),
+        hist AS (SELECT hamming, COUNT(*) AS pair_count FROM pairs GROUP BY hamming),
+        histogram AS (
+            SELECT 'hamming_pairs' AS section, CAST(hamming AS VARCHAR) AS grp,
+                   'pair_count' AS metric, CAST(pair_count AS BIGINT) AS value
+            FROM hist
+            UNION ALL
+            SELECT 'hamming_pairs', CAST(hamming AS VARCHAR), 'is_near_dup',
+                   CAST(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END AS BIGINT)
+            FROM hist
+        )
+        SELECT * FROM (SELECT * FROM profile UNION ALL SELECT * FROM histogram)
+        ORDER BY section, grp, metric
+    """,
     doc="SimHash dedup suite in long (section, grp, metric, value) form, "
     "merging the fingerprint profile and the banded hamming candidate join: "
-    "(1) per-token xxhash64 sign-sum packed to a 32-bit signature, collision "
+    "(1) per-token sign-sum packed to a 32-bit signature (md5-derived parity "
+    "hash here so the driver value-verifies it; xxhash64 in the production "
+    "builder dedup_simhash — same pipeline, ~10× cheaper hash), collision "
     "counts per language; (2) the near-duplicate candidate JOIN — each "
     "signature split into two 16-bit bands (pigeonhole: any pair within "
     "hamming distance 1 shares at least one exact band), bucket-join on band "
@@ -494,7 +577,7 @@ def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 32-vote signature is the expensive subtree and feeds the profile AND
     # both sides of the band self-join — cache the tiny (doc_id, lang, sh)
     # frame so it is computed once, not three times
-    sigs = _simhash_frame(d).transform(tracked_cache)
+    sigs = _simhash_frame(d, portable=True).transform(tracked_cache)
 
     profile = (
         sigs.groupBy("lang")

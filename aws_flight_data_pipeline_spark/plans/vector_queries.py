@@ -54,6 +54,58 @@ _NORM_SQL = f"""
 """
 
 
+def _lloyd_ctes(k: int, iters: int) -> str:
+    """CTE chain mirroring the deterministic Lloyd loop in SQL.
+
+    The Spark loop is iterative only in the Python driver — each iteration is
+    a fixed dataflow (assign via min over k distances, update via per-position
+    mean), so a FIXED iteration count unrolls into ``iters`` chained CTE
+    pairs and the 'iterative algorithm' becomes oracle-checkable after all.
+    ``a{{i}}`` = the assignment after iteration i (ROW_NUMBER over (dist, cid)
+    mirrors Spark's ``min_by(struct, struct(dist, cid))`` tie-break exactly);
+    ``c{{i+1}}`` = the updated centroids. Distances agree across engines to
+    ~1e-12 (identical per-element double math; only summation order differs),
+    absorbed by the 4-dp result rounding.
+    """
+    parts = [
+        f"elems AS ({_ELEMS_SQL})",
+        f"c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM elems WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""d{i} AS (
+            SELECT e.vec_id, c.cid, SQRT(SUM((e.val - c.cval) * (e.val - c.cval))) AS dist
+            FROM elems e JOIN c{i} c ON e.pos = c.pos
+            GROUP BY e.vec_id, c.cid
+        )"""
+        )
+        parts.append(
+            f"""a{i} AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT d.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d{i} d
+            ) WHERE rn = 1
+        )"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+            SELECT a.cid AS cid, e.pos, AVG(e.val) AS cval
+            FROM a{i} a JOIN elems e ON a.vec_id = e.vec_id
+            GROUP BY a.cid, e.pos
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+_KMEANS_REPORT_SQL = "\n            UNION ALL\n".join(
+    f"""            SELECT {it} AS iteration, cid,
+                   COUNT(*) AS cluster_size,
+                   ROUND(AVG(dist), 4) AS mean_distance
+            FROM a{it} GROUP BY cid"""
+    for it in range(3)
+)
+
+
 @builder("cosine_topk_bruteforce")
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a query vector (vec_id 0) — the ANN
@@ -405,9 +457,6 @@ def centroid_assignment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_kmeans_train",
     tags=("vector", "ann", "iterative"),
-    # Iterative algorithm — the non-SQL-expressible class (SURVEY §2 /
-    # driver contract): rows-only check.
-    oracle=None,
     doc="IVF coarse-quantizer TRAINING: k-means via 3 deterministic Lloyd "
     "iterations (k=8, init = first k vectors by vec_id). Each iteration is "
     "pure DataFrame ops — broadcast the k centroids, assign via min_by over "
@@ -415,7 +464,18 @@ def centroid_assignment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centroid table ever reaches the driver; assignments stay distributed, "
     "so the same loop trains on 100 TB of vectors. Returns per-cluster size "
     "+ mean within-cluster distance per iteration (monotonically "
-    "non-increasing distortion = the convergence witness).",
+    "non-increasing distortion = the convergence witness). The fixed "
+    "iteration count makes the loop oracle-checkable: the SQL oracle unrolls "
+    "the 3 Lloyd rounds into chained CTEs (see _lloyd_ctes).",
+    oracle=f"""
+        WITH {_lloyd_ctes(8, 3)},
+        reports AS (
+{_KMEANS_REPORT_SQL}
+        )
+        SELECT iteration, cid, cluster_size, mean_distance
+        FROM reports
+        ORDER BY iteration, cid
+    """,
 )
 def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, iters = 8, 3
@@ -560,9 +620,58 @@ def vector_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_pipeline_end_to_end",
     tags=("vector", "ann", "ivf", "pipeline", "iterative"),
-    # trained-quantizer search is iterative (Lloyd) — the non-SQL-expressible
-    # class (SURVEY §2 / driver contract): rows-only check.
-    oracle=None,
+    oracle=f"""
+        WITH {_lloyd_ctes(8, 2)},
+        cells AS (
+            SELECT vec_id, label, cid AS cell FROM (
+                SELECT e.vec_id, e.label, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id ORDER BY dist, c.cid
+                       ) AS rn
+                FROM (
+                    SELECT e2.vec_id, c2m.cid,
+                           SQRT(SUM((e2.val - c2m.cval) * (e2.val - c2m.cval))) AS dist
+                    FROM elems e2 JOIN c2 c2m ON e2.pos = c2m.pos
+                    GROUP BY e2.vec_id, c2m.cid
+                ) c
+                JOIN (SELECT DISTINCT vec_id, label FROM elems) e
+                  ON e.vec_id = c.vec_id
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT pos, val AS qval FROM elems WHERE vec_id = 0),
+        cdist AS (
+            SELECT c.cid, SQRT(SUM((c.cval - q.qval) * (c.cval - q.qval))) AS cd
+            FROM c2 c JOIN q ON c.pos = q.pos
+            GROUP BY c.cid
+        ),
+        probed AS (SELECT cid AS cell FROM cdist ORDER BY ROUND(cd, 4), cid LIMIT 2),
+        sims AS (
+            SELECT e.vec_id,
+                   ROUND(SUM(e.val * q.qval)
+                         / (SQRT(SUM(e.val * e.val)) * SQRT(SUM(q.qval * q.qval))),
+                         4) AS sim
+            FROM elems e JOIN q ON e.pos = q.pos
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id
+        ),
+        cand AS (
+            SELECT c.vec_id, c.label, c.cell, s.sim AS cosine_sim
+            FROM cells c
+            JOIN probed p ON c.cell = p.cell
+            JOIN sims s ON c.vec_id = s.vec_id
+            ORDER BY cosine_sim DESC, c.vec_id
+            LIMIT 10
+        ),
+        brute AS (
+            SELECT vec_id AS b_vec_id FROM sims
+            ORDER BY sim DESC, vec_id
+            LIMIT 10
+        )
+        SELECT c.vec_id, c.label, c.cell, c.cosine_sim,
+               (b.b_vec_id IS NOT NULL) AS in_brute_topk
+        FROM cand c LEFT JOIN brute b ON c.vec_id = b.b_vec_id
+        ORDER BY c.cosine_sim DESC, c.vec_id
+    """,
     doc="The composed ANN pipeline — quantizer training, cell assignment, "
     "probed search, and recall measurement as ONE operator (the IVF lifecycle "
     "a vector store runs, composed from the building blocks ann_kmeans_train "
@@ -575,7 +684,9 @@ def vector_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probed cells only (broadcast semi-join ≅ partition pruning); (5) recall "
     "annotation: each hit marked against the brute-force top-10 — the "
     "quality metric that justifies the probe pruning. Deterministic "
-    "tiebreaks (rounded score + vec_id) keep the result stable.",
+    "tiebreaks (rounded score + vec_id) keep the result stable, and the "
+    "fixed Lloyd iteration count lets the oracle unroll training into "
+    "chained CTEs — the whole pipeline is value-verified cross-engine.",
 )
 def ann_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, iters, n_probe, topk = 8, 2, 2, 10

@@ -33,12 +33,10 @@ def test_every_query_has_consistent_oracle_mapping(entry_mod):
     # queries — the whole inventory must fit inside that window
     assert 40 <= len(qs) <= 50
     rows_only = set(qs) - set(osql)
-    # the rows-only set is exactly the documented non-SQL-expressible class
-    assert rows_only == {
-        "dedup_simhash_suite",  # xxhash64 bit manipulation is Spark-specific
-        "ann_kmeans_train",  # iterative algorithm
-        "ann_pipeline_end_to_end",  # iterative (trained-quantizer search)
-    }
+    # every registered query is oracle-verified: the former rows-only class
+    # closed in round 5 (simhash → md5-parity hash; the fixed-iteration
+    # Lloyd loops → unrolled chained-CTE oracles)
+    assert rows_only == set()
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
