@@ -399,3 +399,149 @@ def streaming_sessionization(
             "value_cents",
         )
     )
+
+
+def corpus_admission_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Static admission index for :func:`streaming_corpus_admission`:
+    ``(fp_index, band_buckets)``.
+
+    - ``fp_index`` — the corpus's distinct exact-dedup fingerprints
+      (``md5(lower(trim(text)))``, the batch key from
+      ``dedup_exact_fingerprint``) flagged for a 1:1 left join.
+    - ``band_buckets`` — the MinHash-LSH inverted index: one row per
+      ``(band_id, band_key)`` whose ``bucket`` holds every corpus member of
+      that band as ``struct(e_doc, e_toks)``, ``e_toks`` being the doc's
+      distinct 3-shingles so candidates verify WITHOUT touching the corpus
+      again. Same 8-family fast MinHash + 2×4 banding as the batch
+      ``corpus_merge_increment``, so stream and batch admit identically.
+
+    Pre-grouping by band key is what makes the streaming side stateless:
+    each incoming doc joins at most ONE index row per band (1:1 on the band
+    key), and bucket membership is bounded by LSH design — shingle banding
+    keeps buckets to a handful of docs (measured max 4 at sf0.1; see
+    ``functions/text.shingles``). Index storage is O(corpus shingles) — the
+    inverted-index cost a 100 TB lake pays once, refreshed by the batch
+    merge job, not per micro-batch.
+    """
+    from aws_flight_data_pipeline_spark.functions.text import (
+        fingerprint,
+        minhash_band,
+        minhash_nums,
+        minhash_signature_fast,
+        shingles,
+    )
+
+    toks_arr = shingles(F.col("text"), 3)
+    fp_index = (
+        corpus.select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    bands = (
+        corpus.select("doc_id", toks_arr.alias("toks"), minhash_nums(toks_arr).alias("nums"))
+        .select("doc_id", "toks", minhash_signature_fast(F.col("nums"), 8).alias("sig"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.array(minhash_band(F.col("sig"), 0, 4), minhash_band(F.col("sig"), 4, 4))
+            ).alias("band_id", "band_key"),
+        )
+    )
+    band_buckets = bands.groupBy("band_id", "band_key").agg(
+        F.collect_list(
+            F.struct(F.col("doc_id").alias("e_doc"), F.col("toks").alias("e_toks"))
+        ).alias("bucket")
+    )
+    return fp_index, band_buckets
+
+
+def streaming_corpus_admission(
+    docs: DataFrame, fp_index: DataFrame, band_buckets: DataFrame
+) -> DataFrame:
+    """STATELESS streaming near-dup admission — the streaming twin of the
+    batch ``corpus_merge_increment`` (plans/text_queries.py): every incoming
+    document is admitted/rejected against a static corpus index with zero
+    streaming state, so decisions emit immediately in append mode.
+
+    Per-row stages (all narrow, no streaming aggregation, no watermark
+    needed):
+
+    1. fingerprint + fast-MinHash signature + 2 LSH band keys — pure HOF
+       column math, identical hashes to the batch side;
+    2. exact check: 1:1 left join against ``fp_index``;
+    3. candidate fetch: one 1:1 left join PER BAND against the pre-grouped
+       ``band_buckets`` (stream-static equi joins — Catalyst broadcasts the
+       index or shuffles the batch side; either way no stream state);
+    4. verify: exact integer Jaccard per candidate inside the row via
+       ``array_intersect`` — ``2|∩| >= |A|+|B|-|∩|``  ⇔  J >= 0.5, the batch
+       pipeline's threshold — with ``exists``/``filter``/``transform`` HOFs.
+
+    Output grain = input grain (append mode): doc_id, source, is_exact,
+    is_near, admitted, near_matches (verified corpus doc_ids), best_jaccard.
+    The zero-state property is pinned in tests (empty ``stateOperators`` in
+    the final stream progress).
+    """
+    from aws_flight_data_pipeline_spark.functions.text import (
+        fingerprint,
+        minhash_band,
+        minhash_nums,
+        minhash_signature_fast,
+        shingles,
+    )
+
+    toks_arr = shingles(F.col("text"), 3)
+    enriched = (
+        docs.select(
+            "doc_id",
+            "source",
+            fingerprint(F.col("text")).alias("fp"),
+            toks_arr.alias("toks"),
+        )
+        .withColumn("sig", minhash_signature_fast(minhash_nums(F.col("toks")), 8))
+        .withColumn("b0", minhash_band(F.col("sig"), 0, 4))
+        .withColumn("b1", minhash_band(F.col("sig"), 4, 4))
+    )
+    j = enriched.join(F.broadcast(fp_index), "fp", "left")
+    empty_bucket = F.array().cast(
+        "array<struct<e_doc:bigint,e_toks:array<string>>>"
+    )
+    for band_id in (0, 1):
+        idx = band_buckets.where(F.col("band_id") == band_id).select(
+            F.col("band_key").alias(f"b{band_id}"),
+            F.col("bucket").alias(f"bucket{band_id}"),
+        )
+        j = j.join(idx, f"b{band_id}", "left")
+
+    cands = F.concat(
+        F.coalesce(F.col("bucket0"), empty_bucket),
+        F.coalesce(F.col("bucket1"), empty_bucket),
+    )
+
+    def _inter(c):
+        return F.size(F.array_intersect(F.col("toks"), c.e_toks))
+
+    def _is_dup(c):
+        return (2 * _inter(c)) >= (F.size("toks") + F.size(c.e_toks) - _inter(c))
+
+    matches = F.array_distinct(F.transform(F.filter(cands, _is_dup), lambda c: c.e_doc))
+    best_j = F.array_max(
+        F.transform(
+            cands,
+            lambda c: F.round(
+                _inter(c).cast("double")
+                / (F.size("toks") + F.size(c.e_toks) - _inter(c)),
+                4,
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
+        (F.size(matches) > 0).alias("is_near"),
+        matches.alias("near_matches"),
+        best_j.alias("best_jaccard"),
+    ).withColumn(
+        "admitted", ~F.col("is_exact") & ~F.col("is_near")
+    )

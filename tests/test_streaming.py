@@ -315,3 +315,73 @@ def test_streaming_sessionization_matches_batch_session_windows(spark, tmp_path)
     required = batch.filter(F.col("session_end") < horizon)
     assert required.exceptAll(streamed).count() == 0
     assert required.count() > 0  # the assertion above actually bites
+
+
+def test_streaming_corpus_admission_matches_batch_and_is_stateless(spark, tmp_path):
+    """streaming_corpus_admission must (a) reproduce the batch
+    corpus_merge_increment rollup exactly across micro-batch boundaries and
+    (b) run with ZERO streaming state (pure stream-static joins + per-row
+    HOF verification — the property that makes admission latency independent
+    of corpus size)."""
+    from aws_flight_data_pipeline_spark.plans.registry import resolve
+    from aws_flight_data_pipeline_spark.streaming.streams import (
+        corpus_admission_index,
+        stream_documents,
+        streaming_corpus_admission,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc_sources = ("src18", "src19")
+    corpus = docs.where(~F.col("source").isin(*inc_sources))
+    fp_index, band_buckets = corpus_admission_index(corpus)
+
+    # each increment source lands as its own file => its own micro-batch
+    src = str(tmp_path / "incoming")
+    for s in inc_sources:
+        docs.where(F.col("source") == s).coalesce(1).write.mode("append").parquet(src)
+
+    admitted = streaming_corpus_admission(
+        stream_documents(spark, src), fp_index, band_buckets
+    )
+    q = _run_to_memory(admitted, "corpus_admission")
+    # zero-state pin: no stateful operators anywhere in the streaming plan
+    assert q.lastProgress["stateOperators"] == []
+
+    out = spark.sql("SELECT * FROM corpus_admission")
+    assert out.count() == docs.where(F.col("source").isin(*inc_sources)).count()
+
+    got = {
+        r["source"]: (
+            r["incoming_docs"],
+            r["exact_dup_docs"],
+            r["near_dup_docs"],
+            r["admitted_docs"],
+        )
+        for r in out.groupBy("source")
+        .agg(
+            F.count("*").alias("incoming_docs"),
+            F.sum(F.col("is_exact").cast("long")).alias("exact_dup_docs"),
+            # batch counts near-dups exclusive of exact dups
+            F.sum((F.col("is_near") & ~F.col("is_exact")).cast("long")).alias(
+                "near_dup_docs"
+            ),
+            F.sum(F.col("admitted").cast("long")).alias("admitted_docs"),
+        )
+        .collect()
+    }
+    want = {
+        r["source"]: (
+            r["incoming_docs"],
+            r["exact_dup_docs"],
+            r["near_dup_docs"],
+            r["admitted_docs"],
+        )
+        for r in resolve("corpus_merge_increment")(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # every flagged near-dup carries its verified corpus matches + a jaccard
+    flagged = out.where("is_near").collect()
+    for r in flagged:
+        assert len(r["near_matches"]) > 0 and r["best_jaccard"] >= 0.5
