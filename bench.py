@@ -132,6 +132,8 @@ HEADLINE = (
     "embedding_dedup_pipeline",
     "set_operation_suite",
     "subquery_suite",
+    # round 5: Z-order clustering layout
+    "zorder_locality_profile",
 )
 
 
@@ -145,14 +147,21 @@ def main() -> None:
     def run(name: str) -> None:
         resolve(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Timed value = MIN of two timed runs, caches released between EVERY run
+    # (warm-up included), so each timed run pays the full recompute — the min
+    # filters episodic host stalls (observed: the same query 3.0s/3.0s/9.0s
+    # across back-to-back runs on an otherwise-idle box), not cached work.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         run(name)  # warm-up: JIT, code cache, FS cache
-        release_tracked()  # warm-up caches must not subsidize the timed run
-        t0 = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_tracked()  # builder-cached blocks must not accumulate across the suite
+        release_tracked()  # warm-up caches must not subsidize the timed runs
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(name)
+            best = min(best, time.perf_counter() - t0)
+            release_tracked()  # builder-cached blocks must not accumulate
+        timings[name] = round(best, 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
