@@ -254,12 +254,19 @@ def stateful_stuck_detector(
     )
 
 
-def stream_documents(spark: SparkSession, corpus_path: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession, corpus_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Documents as an unbounded parquet file source — the LLM-corpus
     ingestion stream (new parquet drops under ``corpus_path`` become
-    micro-batches, the same file-source pattern as stream_raw_states)."""
+    micro-batches, the same file-source pattern as stream_raw_states).
+    ``max_files_per_trigger`` caps each micro-batch's file intake (rate
+    limiting in production; deterministic batch boundaries in tests)."""
     schema = spark.read.parquet(corpus_path).schema
-    return spark.readStream.schema(schema).parquet(corpus_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(corpus_path)
 
 
 def streaming_corpus_dedup(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
@@ -545,3 +552,100 @@ def streaming_corpus_admission(
     ).withColumn(
         "admitted", ~F.col("is_exact") & ~F.col("is_near")
     )
+
+
+def streaming_sketch_rollup(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    lgk: int = 12,
+    trigger: dict | None = None,
+):
+    """Incremental distinct-document accounting over a stream: mergeable
+    HyperLogLog sketches maintained in a tiny versioned state table — the
+    streaming twin of the batch ``sketch_distinct_rollup``
+    (plans/sketch_queries.py).
+
+    THE 100 TB streaming pattern: COUNT(DISTINCT) over an unbounded stream
+    either retains every key seen (state O(distinct keys) — the thing that
+    kills long-running streams) or it keeps a SKETCH. HLL registers merge by
+    element-wise max, which is associative, commutative and idempotent, so
+    per-batch sketches fold into running per-source sketches without ever
+    rescanning or retaining raw rows, and the stream's running estimate is
+    BIT-IDENTICAL to a batch sketch over the concatenated input regardless
+    of micro-batch boundaries (pinned in tests/test_streaming.py).
+
+    Each micro-batch: (1) aggregate the batch into one (source, sketch,
+    n_rows) row per source via ``hll_sketch_agg`` over the normalized-content
+    fingerprint; (2) union with the previous state VERSION and re-aggregate
+    with ``hll_union_agg``; (3) write state version ``v{batch_id}`` — a new
+    directory per batch, so the read side never races an overwrite of the
+    files it is lazily reading, and past versions give sketch time-travel
+    for free. State size: one ~4 KB binary per source per version, never
+    corpus rows.
+    """
+    from aws_flight_data_pipeline_spark.functions.text import fingerprint
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_state = batch_df.groupBy("source").agg(
+            F.hll_sketch_agg(fingerprint(F.col("text")), F.lit(lgk)).alias("sk"),
+            F.count("*").alias("n_rows"),
+        )
+        prev = read_sketch_state(spark, state_path)
+        if prev is not None:
+            batch_state = batch_state.unionByName(prev)
+        merged = batch_state.groupBy("source").agg(
+            F.hll_union_agg("sk", F.lit(False)).alias("sk"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/v{batch_id:09d}"
+        )
+
+    writer = docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def read_sketch_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Latest HLL state version under ``state_path`` (None before batch 0).
+
+    Version discovery is a driver-side directory listing — fine for a state
+    table of a few KB per version. On a cluster with object storage, swap
+    the ``os`` calls for the Hadoop FileSystem API (or keep the latest
+    version pointer in a catalog/manifest); the versioned-directory contract
+    itself is storage-agnostic.
+    """
+    import os
+
+    if not os.path.isdir(state_path):
+        return None
+    versions = sorted(v for v in os.listdir(state_path) if v.startswith("v"))
+    if not versions:
+        return None
+    return spark.read.parquet(f"{state_path}/{versions[-1]}")
+
+
+def sketch_rollup_estimate(state: DataFrame) -> DataFrame:
+    """Distinct estimates from a sketch state table: one row per source plus
+    a GLOBAL row whose sketch union handles cross-source duplicates exactly
+    like an exact COUNT(DISTINCT) over the union would — without the state
+    table ever seeing a raw document."""
+    per_source = state.select(
+        F.col("source").alias("scope"),
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("distinct_est"),
+    )
+    global_row = state.agg(
+        F.lit("GLOBAL").alias("scope"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+            "distinct_est"
+        ),
+    )
+    return per_source.unionByName(global_row).orderBy("scope")

@@ -385,3 +385,64 @@ def test_streaming_corpus_admission_matches_batch_and_is_stateless(spark, tmp_pa
     flagged = out.where("is_near").collect()
     for r in flagged:
         assert len(r["near_matches"]) > 0 and r["best_jaccard"] >= 0.5
+
+
+def test_streaming_sketch_rollup_matches_batch_sketch(spark, tmp_path):
+    """HLL register-max merge is order-independent, so the stream's running
+    state after N micro-batches must estimate BIT-identically to one batch
+    sketch over the concatenated input — and land within the 5% contract of
+    the exact distinct count."""
+    from aws_flight_data_pipeline_spark.functions.text import fingerprint
+    from aws_flight_data_pipeline_spark.streaming.streams import (
+        read_sketch_state,
+        sketch_rollup_estimate,
+        stream_documents,
+        streaming_sketch_rollup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "incoming")
+    # three arrival chunks -> three files; max_files_per_trigger=1 makes
+    # each one its own micro-batch
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "sketch_state")
+    q = streaming_sketch_rollup(
+        stream_documents(spark, src, max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    final = read_sketch_state(spark, state)
+    assert final is not None
+    est = {
+        r["scope"]: (r["n_rows"], r["distinct_est"])
+        for r in sketch_rollup_estimate(final).collect()
+    }
+
+    batch = docs.groupBy("source").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(fingerprint(F.col("text")), F.lit(12))
+        ).alias("est"),
+        F.count("*").alias("n"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("exact"),
+    )
+    for r in batch.collect():
+        n_rows, stream_est = est[r["source"]]
+        assert n_rows == r["n"]
+        assert stream_est == r["est"]  # bit-identical to the batch sketch
+        assert abs(stream_est - r["exact"]) <= 0.05 * r["exact"]
+
+    g_exact = docs.select(fingerprint(F.col("text"))).distinct().count()
+    g_rows, g_est = est["GLOBAL"]
+    assert g_rows == docs.count()
+    assert abs(g_est - g_exact) <= 0.05 * g_exact
+
+    # one state version per non-empty micro-batch, each a tiny file set
+    import os
+
+    versions = [v for v in os.listdir(state) if v.startswith("v")]
+    assert len(versions) == 3
