@@ -137,3 +137,87 @@ def upsert_partitions(
         F.lit(kept).cast("bigint").alias("rows_kept"),
         F.lit(inserted).cast("bigint").alias("rows_inserted"),
     )
+
+
+def merge_rollup_increment(
+    increment: DataFrame,
+    rollup_path: str,
+    group_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+) -> DataFrame:
+    """Incrementally maintain a materialized rollup from new raw rows —
+    the missing piece between ``write_summary`` (full rebuild) and
+    ``upsert_partitions`` (row replacement): aggregate MAINTENANCE.
+
+    The reference refreshes its summary views by re-running the full query
+    (``06_create_summary_views.sql`` via the optimization guide's
+    views-as-cache pattern); at 100 TB a daily re-aggregation of the whole
+    fact table is the most expensive recurring job in the lake. This
+    operator keeps the rollup as MERGEABLE PARTIALS (counts, sums, mins,
+    maxes — anything associative+commutative; derived ratios are computed at
+    read time) so each refresh costs O(increment + affected partitions of
+    the ROLLUP), never a fact-table rescan:
+
+    1. aggregate the increment to partials at the rollup grain
+       (``partial_aggs``: raw rows → partial columns);
+    2. find affected rollup partitions from the increment alone (a tiny
+       distinct — the partition grain is coarser than the group grain,
+       e.g. day ⊃ (day, event_type));
+    3. read ONLY those partitions of the existing rollup (partition-pruned
+       scan of a table that is itself orders smaller than the facts), union
+       the increment partials, and re-merge (``merge_aggs``: partial columns
+       → partial columns, e.g. ``SUM(cnt)``, ``MIN(min_v)``);
+    4. dynamic-partition-overwrite exactly the affected partitions.
+
+    ``partition_cols`` must be a subset of ``group_cols``. Returns the same
+    1-row accounting frame shape as :func:`upsert_partitions`.
+    """
+    spark = increment.sparkSession
+    inc_partial = increment.groupBy(*group_cols).agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    parts = [r.asDict() for r in inc_partial.select(*partition_cols).distinct().collect()]
+    if not parts:
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("partitions_touched"),
+            F.lit(0).cast("bigint").alias("groups_written"),
+        )
+    pred = None
+    for p in parts:
+        clause = None
+        for c in partition_cols:
+            eq = F.col(c) == F.lit(p[c])
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+
+    try:
+        existing = spark.read.parquet(rollup_path).filter(pred)
+        combined = existing.unionByName(inc_partial.select(*existing.columns))
+    except Exception:  # first increment: rollup does not exist yet
+        combined = inc_partial
+    merged = combined.groupBy(*group_cols).agg(
+        *[c.alias(n) for n, c in merge_aggs.items()]
+    )
+    # materialize before overwriting the path being read (same barrier as
+    # upsert_partitions) — the affected slice of a rollup is small by design
+    merged = merged.localCheckpoint()
+    groups_written = merged.count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy(*partition_cols)
+            .parquet(rollup_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.range(1).select(
+        F.lit(len(parts)).cast("bigint").alias("partitions_touched"),
+        F.lit(groups_written).cast("bigint").alias("groups_written"),
+    )
