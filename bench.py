@@ -147,20 +147,27 @@ def main() -> None:
     def run(name: str) -> None:
         resolve(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Timed value = MIN of two timed runs, caches released between EVERY run
-    # (warm-up included), so each timed run pays the full recompute — the min
-    # filters episodic host stalls (observed: the same query 3.0s/3.0s/9.0s
-    # across back-to-back runs on an otherwise-idle box), not cached work.
+    # Timed value = MIN of up to two timed runs, caches released between
+    # EVERY run (warm-up included), so each timed run pays the full
+    # recompute — the min filters episodic host stalls (observed: the same
+    # query 3.0s/3.0s/9.0s across back-to-back runs on an otherwise-idle
+    # box), not cached work. The second run only happens when the first
+    # exceeds RETIME_FLOOR: sub-threshold readings are already at the
+    # steady-state floor, and skipping them keeps suite wall time bounded.
+    RETIME_FLOOR = 0.75
     timings: dict[str, float] = {}
     for name in HEADLINE:
         run(name)  # warm-up: JIT, code cache, FS cache
         release_tracked()  # warm-up caches must not subsidize the timed runs
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.perf_counter()
+        run(name)
+        best = time.perf_counter() - t0
+        release_tracked()  # builder-cached blocks must not accumulate
+        if best > RETIME_FLOOR:
             t0 = time.perf_counter()
             run(name)
             best = min(best, time.perf_counter() - t0)
-            release_tracked()  # builder-cached blocks must not accumulate
+            release_tracked()
         timings[name] = round(best, 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
