@@ -1327,3 +1327,113 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Sub-document dedup segment width (words per chunk). Chunk hashing is the
+#: distributed approximation of exact-substring dedup (the suffix-array
+#: formulation of Lee et al., "Deduplicating Training Data Makes Language
+#: Models Better"): repeated passages longer than ~2 segments are caught by
+#: their interior chunks regardless of alignment.
+_SEG_WORDS = 10
+
+
+@builder(
+    "dedup_paragraphs",
+    tags=("dedup", "subdocument", "segments", "llm-ops"),
+    doc="SUB-document exact dedup: each document is cut into consecutive "
+    f"{_SEG_WORDS}-word segments; a segment KEEPS only its first occurrence "
+    "corpus-wide (lexicographic (doc_id, position) — deterministic), every "
+    "later occurrence is dropped. This is the fine-grained layer document-"
+    "level dedup cannot see: boilerplate headers, license blocks and quoted "
+    "passages repeat across otherwise-distinct documents. Scale shape: one "
+    "explode (linear in corpus words), one shuffle keyed on the segment for "
+    "first-occurrence election via min(struct(doc_id, pos)) — map-side "
+    "combinable, no window sort — and one join back on the same key (the "
+    "exchange is reusable). Per-source rollup of exact integers. At 100 TB "
+    "carry xxhash64/md5 fingerprints through the shuffle instead of segment "
+    "text (the dedup_paragraphs_xx production twin).",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ), segs AS (
+            SELECT doc_id, source, k AS pos,
+                   array_to_string(w[(k*{_SEG_WORDS}+1):(k*{_SEG_WORDS}+{_SEG_WORDS})], ' ') AS seg
+            FROM words,
+                 UNNEST(range(0, CAST(CEIL(len(w) / {_SEG_WORDS}.0) AS BIGINT))) AS t(k)
+        ), ranked AS (
+            SELECT source, seg,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+            FROM segs
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)                      AS segments_total,
+               CAST(COUNT(*) FILTER (rn > 1) AS BIGINT)      AS segments_dropped,
+               CAST(COUNT(DISTINCT seg) AS BIGINT)           AS distinct_segments,
+               CAST(SUM(CASE WHEN rn = 1 THEN LEN(seg) ELSE 0 END) AS BIGINT)
+                   AS chars_kept
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return _paragraph_rollup(d, F.col("seg"))
+
+
+def _paragraph_segments(d: DataFrame) -> DataFrame:
+    """(doc_id, source, pos, seg): consecutive _SEG_WORDS-word chunks."""
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / _SEG_WORDS).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_seg - 1),
+        lambda k: F.array_join(
+            F.slice(words, k * _SEG_WORDS + 1, _SEG_WORDS), " "
+        ),
+    )
+    return d.select(
+        "doc_id", "source", F.posexplode(chunks).alias("pos", "seg")
+    )
+
+
+def _paragraph_rollup(d: DataFrame, key: F.Column) -> DataFrame:
+    """First-occurrence election + per-source rollup over segment key
+    ``key`` (the raw segment for oracle parity; a hash in production)."""
+    segs = _paragraph_segments(d).withColumn("k", key)
+    firsts = segs.groupBy("k").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    marked = segs.join(firsts, "k").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("segments_total"),
+            F.sum((~F.col("is_first")).cast("long"))
+            .cast("bigint")
+            .alias("segments_dropped"),
+            F.countDistinct("k").alias("distinct_segments"),
+            F.sum(
+                F.when(F.col("is_first"), F.length("seg")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@builder("dedup_paragraphs_xx")
+def dedup_paragraphs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of dedup_paragraphs: the first-occurrence shuffle
+    carries xxhash64(segment) (8 bytes) instead of the segment text — at
+    100 TB the shuffle payload IS the cost, and the election/join only ever
+    needed a key. chars_kept still measures real segment text (computed
+    map-side before the shuffle). Rows-only verification (xxhash64 class,
+    same split as text_rolling_fingerprint/_xx)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return _paragraph_rollup(d, F.xxhash64(F.col("seg")))

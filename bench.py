@@ -132,8 +132,10 @@ HEADLINE = (
     "embedding_dedup_pipeline",
     "set_operation_suite",
     "subquery_suite",
-    # round 5: Z-order clustering layout
+    # round 5: Z-order clustering layout; sub-document (segment) dedup
     "zorder_locality_profile",
+    "dedup_paragraphs",
+    "dedup_paragraphs_xx",
 )
 
 
