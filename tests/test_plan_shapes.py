@@ -250,3 +250,42 @@ def test_sketch_rollup_reaggregates_sketches(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sketch_distinct_rollup", mode="simple")
     assert "hll_union_agg" in plan
     assert "hll_sketch_agg" in plan
+
+
+def test_paragraph_dedup_election_is_agg_join_not_window(spark, sf_dir):
+    # first-occurrence election must be min(struct) agg + equi-join back —
+    # map-side combinable; a Window(row_number over seg) would sort every
+    # shuffle partition and cannot partial-aggregate
+    plan = _plan(spark, sf_dir, "dedup_paragraphs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_zorder_profile_broadcasts_bounds(spark, sf_dir):
+    # grid normalization bounds are a 1-row aggregate broadcast onto the
+    # scan — never a sort-merge join, never a shuffled cross join
+    plan = _plan(spark, sf_dir, "zorder_locality_profile")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_writer_is_one_range_exchange(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from aws_flight_data_pipeline_spark.operators.layout import zorder_key
+    from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("t_sec")
+    )
+    keyed = zorder_key(e, "user_id", "t_sec").repartitionByRange(16, F.col("_z"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        keyed._jdf.queryExecution(), "formatted"
+    )
+    # exactly one range exchange (the file-assignment shuffle a sorted write
+    # pays anyway) plus the single-partition exchange for the 1-row bounds
+    assert plan.count("rangepartitioning(_z") == 1
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
