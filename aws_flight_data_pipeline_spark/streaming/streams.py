@@ -649,3 +649,117 @@ def sketch_rollup_estimate(state: DataFrame) -> DataFrame:
         ),
     )
     return per_source.unionByName(global_row).orderBy("scope")
+
+
+def streaming_heavy_hitters(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    candidates: int = 40,
+    trigger: dict | None = None,
+):
+    """Streaming heavy-hitter maintenance — the streaming twin of the batch
+    ``sketch_heavy_hitters`` (plans/sketch_queries.py): a Count-Min sketch
+    plus a bounded candidate set, folded per micro-batch.
+
+    CMS cells count hash arrivals, so per-batch tables merge by element-wise
+    ADDITION — exact, associative, commutative. The merged sketch after N
+    micro-batches is byte-IDENTICAL to the one ``F.count_min_sketch`` would
+    build over the concatenated stream (same eps/confidence/seed → same
+    hash family; pinned in tests). The candidate set handles what a sketch
+    alone cannot (CMS answers "how often did X occur", not "which X are
+    frequent"): each batch contributes its exact top-``candidates`` tokens,
+    the union is re-scored against the MERGED sketch, and only the top
+    ``candidates`` survive — state stays O(eps^-1 + candidates) forever.
+    A true heavy hitter is by definition frequent in some batch, so it
+    enters the candidate set and, once in, its merged-sketch estimate keeps
+    it there. Per-batch merging is driver-side pure Python
+    (functions/sketches.py) over a ~KB sketch — no ``spark._jvm``.
+
+    State: ONE row per version — (sketch bytes, total tokens, candidate
+    structs) — versioned directories like :func:`streaming_sketch_rollup`.
+    """
+    from aws_flight_data_pipeline_spark.functions.sketches import (
+        CountMinSketchReader,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tok = batch_df.select(F.explode(F.split("text", " ")).alias("token"))
+        agg = tok.agg(
+            F.count_min_sketch(
+                "token", F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("cms"),
+            F.count("*").alias("n"),
+        ).first()
+        batch_cands = [
+            r["token"]
+            for r in tok.groupBy("token")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "token")
+            .limit(candidates)
+            .collect()
+        ]
+        reader = CountMinSketchReader(bytes(agg["cms"]))
+
+        prev = read_heavy_hitter_state(spark, state_path)
+        cand_set = set(batch_cands)
+        if prev is not None:
+            row = prev.first()
+            reader = reader.merge(CountMinSketchReader(bytes(row["cms"])))
+            cand_set.update(c["token"] for c in row["cands"])
+
+        scored = sorted(
+            ((reader.estimate_count(t), t) for t in cand_set),
+            key=lambda et: (-et[0], et[1]),
+        )[:candidates]
+        state_row = [
+            (
+                bytearray(reader.to_bytes()),
+                reader.total_count,
+                [(t, est) for est, t in scored],
+            )
+        ]
+        spark.createDataFrame(
+            state_row,
+            "cms binary, total_tokens long, "
+            "cands array<struct<token:string,cms_est:long>>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/v{batch_id:09d}"
+        )
+
+    writer = docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def read_heavy_hitter_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Latest heavy-hitter state version (None before batch 0)."""
+    return read_sketch_state(spark, state_path)
+
+
+def heavy_hitter_snapshot(state: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k view of a heavy-hitter state row: (rank, token, cms_est,
+    total_tokens) — candidates are already merged-sketch-scored."""
+    from pyspark.sql.window import Window as W
+
+    return (
+        state.select("total_tokens", F.explode("cands").alias("c"))
+        .select("total_tokens", "c.token", "c.cms_est")
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("cms_est"), "token"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "cms_est", "total_tokens")
+        .orderBy("rank")
+    )

@@ -446,3 +446,55 @@ def test_streaming_sketch_rollup_matches_batch_sketch(spark, tmp_path):
 
     versions = [v for v in os.listdir(state) if v.startswith("v")]
     assert len(versions) == 3
+
+
+def test_streaming_heavy_hitters_matches_batch_sketch(spark, tmp_path):
+    """CMS tables merge by addition, so the stream's merged sketch must be
+    BYTE-identical to one batch sketch over the concatenated input; the
+    maintained candidate set must surface the true heavy hitters with
+    estimates inside the eps bound."""
+    from aws_flight_data_pipeline_spark.streaming.streams import (
+        heavy_hitter_snapshot,
+        read_heavy_hitter_state,
+        stream_documents,
+        streaming_heavy_hitters,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "incoming")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = str(tmp_path / "hh_state")
+    q = streaming_heavy_hitters(
+        stream_documents(spark, src, max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    final = read_heavy_hitter_state(spark, state)
+    assert final is not None
+    row = final.first()
+
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    batch_cms, n_tok = tok.agg(
+        F.count_min_sketch("token", F.lit(0.001), F.lit(0.99), F.lit(42)),
+        F.count("*"),
+    ).first()
+    assert bytes(row["cms"]) == bytes(batch_cms)  # merge == batch, bitwise
+    assert row["total_tokens"] == n_tok
+
+    snap = {r["token"]: r["cms_est"] for r in heavy_hitter_snapshot(final, 20).collect()}
+    exact = {
+        r["token"]: r["c"]
+        for r in tok.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    bound = -(-n_tok // 1000)  # ceil(eps * n)
+    for t, est in snap.items():
+        assert exact[t] <= est <= exact[t] + bound
+    # the true top-10 tokens must all have been caught by the candidate flow
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert {t for t, _ in top10} <= set(snap)
