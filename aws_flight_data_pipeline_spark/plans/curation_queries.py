@@ -421,20 +421,31 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
         )
     ).transform(tracked_cache)
-    nodes = d.select(F.col("doc_id").alias("node"))
-    # adaptive component solve: exact union-find over the (tiny) collected
-    # edge list below the threshold, k-round distributed Hash-Min above it;
-    # isolated docs keep label=doc_id via one anti-join either way
-    labels = connected_components(nodes, edges, _CC_ITERATIONS)
+    # Isolated docs never enter the component solve AND never need per-row
+    # labels for a HISTOGRAM: every symmetric-edge endpoint has a partner,
+    # so active components all have size >= 2 and the size-1 bucket is pure
+    # arithmetic — n_docs minus active endpoints. That replaces the
+    # full-corpus anti-join the generic per-node labeling would pay (at
+    # 100 TB: a count-star vs a corpus-wide shuffle-join).
+    active = edges.select(F.col("u").alias("node")).distinct()
+    labels = connected_components(active, edges, _CC_ITERATIONS)
     comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        comp.groupBy("cluster_size")
-        .agg(
-            F.count("*").alias("n_clusters"),
-            F.sum("cluster_size").cast("bigint").alias("docs_in_bucket"),
-        )
-        .orderBy("cluster_size")
+    hist = comp.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("docs_in_bucket"),
     )
+    # count-star on the plain scan (parquet metadata count — the fan_out
+    # repartition would turn it into a shuffle for no reason)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_singletons = n_docs - active.count()
+    if n_singletons > 0:
+        singles = spark.range(1).select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.lit(n_singletons).cast("bigint").alias("n_clusters"),
+            F.lit(n_singletons).cast("bigint").alias("docs_in_bucket"),
+        )
+        hist = hist.unionByName(singles)
+    return hist.orderBy("cluster_size")
 
 
 @builder(
