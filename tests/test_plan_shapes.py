@@ -289,3 +289,16 @@ def test_zorder_writer_is_one_range_exchange(spark, sf_dir):
     assert plan.count("rangepartitioning(_z") == 1
     assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_heavy_dedup_pipelines_cache_and_never_cartesian(spark, sf_dir):
+    # the composed dedup pipelines must keep their reused subtrees cached
+    # (signature/candidate frames feed multiple consumers — losing the cache
+    # silently multiplies the MinHash stage) and must never degrade to a
+    # cartesian or nested-loop candidate join; equi-joins may plan as SMJ
+    # statically (AQE re-plans small sides to broadcast at runtime)
+    for name in ("dedup_pipeline_end_to_end", "corpus_merge_increment"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "InMemoryTableScan" in plan, f"{name}: tracked caches unwired"
