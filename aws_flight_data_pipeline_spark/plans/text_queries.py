@@ -958,6 +958,32 @@ def scored_pair_frame(d: DataFrame) -> DataFrame:
     )
 
 
+def scored_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED scored-pair table for the corpus snapshot at
+    ``sf_dir`` — ``(doc_a, doc_b, j)``, built once per snapshot and read by
+    every downstream consumer (views-as-cache; see sources/snapshots.py).
+
+    ``dedup_pipeline_end_to_end`` deliberately keeps the full recompute so
+    the end-to-end cost of the pipeline stays measured; clustering and other
+    secondary consumers read this table instead of rebuilding signatures —
+    at 100 TB the signature/pair build is a once-per-snapshot batch job, not
+    a per-query cost."""
+    import os
+
+    from aws_flight_data_pipeline_spark.sources.snapshots import (
+        materialized_snapshot,
+    )
+
+    return materialized_snapshot(
+        spark,
+        "scored_pairs",
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: scored_pair_frame(
+            load_table(spark, sf_dir, "documents", fan_out=True)
+        ),
+    )
+
+
 @query(
     "dedup_pipeline_end_to_end",
     tags=("dedup", "minhash", "lsh", "jaccard", "pipeline"),
@@ -1398,9 +1424,16 @@ def _paragraph_segments(d: DataFrame) -> DataFrame:
 
 
 def _paragraph_rollup(d: DataFrame, key: F.Column) -> DataFrame:
-    """First-occurrence election + per-source rollup over segment key
-    ``key`` (the raw segment for oracle parity; a hash in production)."""
-    segs = _paragraph_segments(d).withColumn("k", key)
+    """First-occurrence election + per-source rollup over aligned chunks."""
+    return _segment_rollup(_paragraph_segments(d), key)
+
+
+def _segment_rollup(segments: DataFrame, key: F.Column) -> DataFrame:
+    """First-occurrence election + per-source rollup over a (doc_id, source,
+    pos, seg) frame, keyed on ``key`` (the raw segment for oracle parity; a
+    hash in production). Shared by the aligned-chunk and content-defined
+    segmenters — the election is segmentation-agnostic."""
+    segs = segments.withColumn("k", key)
     firsts = segs.groupBy("k").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
@@ -1437,3 +1470,126 @@ def dedup_paragraphs_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     same split as text_rolling_fingerprint/_xx)."""
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     return _paragraph_rollup(d, F.xxhash64(F.col("seg")))
+
+
+#: Content-defined chunking parameters: a word position starts a new segment
+#: when the md5 of the _CDC_W-word shingle at that position hits 0 mod
+#: _CDC_D — so expected segment length ≈ _CDC_D words and, crucially,
+#: boundaries depend only on a local content window, never on offsets.
+_CDC_W = 3
+_CDC_D = 8
+
+
+def _cdc_segments(d: DataFrame) -> DataFrame:
+    """(doc_id, source, pos, seg): CONTENT-DEFINED segments.
+
+    Fixed-stride chunking (``_paragraph_segments``) is blind to shifted
+    duplicates: a passage repeated at a 1-word offset lands in different
+    chunks and hashes differently everywhere. Here segment boundaries are
+    chosen by the text itself — position ``i`` (>= 2, with a full
+    ``_CDC_W``-word window) starts a new segment iff the window's md5-prefix
+    value is 0 mod ``_CDC_D`` (the winnowing/rolling-hash breakpoint idea of
+    ``text_rolling_fingerprint`` applied to segmentation; the
+    content-defined-chunking scheme of LBFS/rsync applied to words). A
+    duplicated passage reproduces its interior boundaries AT ANY OFFSET, so
+    its interior segments hash identically and the same first-occurrence
+    election that serves aligned chunks catches shifted duplication.
+
+    Entirely per-row Column HOFs (one codegen projection, zero shuffle
+    before the explode); md5-prefix arithmetic is engine-portable so the
+    oracle reproduces boundaries bit-for-bit.
+    """
+    base = d.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("words")
+    )
+    words = F.col("words")
+    n = F.size(words)
+
+    def is_bp(i: F.Column) -> F.Column:
+        sh = F.array_join(F.slice(words, i, _CDC_W), " ")
+        h = F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+        return h % _CDC_D == 0
+
+    cand_hi = n - (_CDC_W - 1)  # last position with a full boundary window
+    interior = F.when(
+        cand_hi >= 2, F.filter(F.sequence(F.lit(2), cand_hi), is_bp)
+    ).otherwise(F.array().cast("array<int>"))
+    # STAGE the breakpoint array as its own projected column before the
+    # segment transform references it: `get(bps, idx + 1)` inside the
+    # lambda re-evaluates its operand PER ELEMENT, so an inline breakpoint
+    # expression would recompute the full O(words) md5 sweep for every
+    # segment — O(words × segments) digests. As a materialized column the
+    # sweep runs once per document (measured 2.6 s → 1.1 s at sf0.1).
+    staged = base.select(
+        "doc_id",
+        "source",
+        "words",
+        F.concat(F.array(F.lit(1)), interior).alias("bps"),
+    )
+    bps = F.col("bps")
+    segs = F.transform(
+        bps,
+        lambda bp, idx: F.array_join(
+            F.slice(words, bp, F.coalesce(F.get(bps, idx + 1), n + 1) - bp), " "
+        ),
+    )
+    return staged.select("doc_id", "source", F.posexplode(segs).alias("pos", "seg"))
+
+
+@builder(
+    "dedup_segments_cdc",
+    tags=("dedup", "subdocument", "segments", "cdc", "llm-ops"),
+    doc="SHIFT-INVARIANT sub-document dedup: content-defined chunk "
+    "boundaries (md5 shingle breakpoints, expected segment ≈ "
+    f"{_CDC_D} words) + the same corpus-wide first-occurrence election as "
+    "dedup_paragraphs. Fixed-stride chunking misses any duplicated passage "
+    "not aligned to the stride — real boilerplate/license/quote duplication "
+    "never is; content-defined boundaries resynchronize inside the passage "
+    "so interior segments match at any offset (pinned by "
+    "tests/test_flight_operators.py planted-offset test). Scale shape "
+    "identical to dedup_paragraphs: linear explode, one segment-keyed "
+    "shuffle with map-side-combinable min(struct) election, one join back.",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ), bps AS (
+            SELECT doc_id, source, w,
+                   list_prepend(1, list_filter(range(2, len(w) - {_CDC_W - 1} + 1),
+                       i -> ('0x' || substr(md5(array_to_string(w[i:i+{_CDC_W - 1}], ' ')), 1, 8))::BIGINT
+                            % {_CDC_D} = 0)) AS bp
+            FROM words
+        ), segs AS (
+            SELECT doc_id, source, k - 1 AS pos,
+                   array_to_string(
+                       w[bp[k]:(CASE WHEN k < len(bp) THEN bp[k+1] - 1 ELSE len(w) END)],
+                       ' ') AS seg
+            FROM bps, UNNEST(range(1, len(bp) + 1)) AS t(k)
+        ), ranked AS (
+            SELECT source, seg,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+            FROM segs
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)                      AS segments_total,
+               CAST(COUNT(*) FILTER (rn > 1) AS BIGINT)      AS segments_dropped,
+               CAST(COUNT(DISTINCT seg) AS BIGINT)           AS distinct_segments,
+               CAST(SUM(CASE WHEN rn = 1 THEN LEN(seg) ELSE 0 END) AS BIGINT)
+                   AS chars_kept
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def dedup_segments_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return _segment_rollup(_cdc_segments(d), F.col("seg"))
+
+
+@builder("dedup_segments_cdc_xx")
+def dedup_segments_cdc_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of dedup_segments_cdc: xxhash64(segment) through the
+    election shuffle instead of segment text (same 8-byte-key discipline as
+    dedup_paragraphs_xx; rows-only verification, xxhash64 class)."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return _segment_rollup(_cdc_segments(d), F.xxhash64(F.col("seg")))

@@ -1030,12 +1030,27 @@ def _vec_label_round_sql(prev: str, this: str) -> str:
 )
 def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_flight_data_pipeline_spark.operators.graph import (
-        connected_components,
+        component_size_histogram,
         symmetrize,
     )
 
-    e = with_unit_embedding(load_table(spark, sf_dir, "embeddings"))
-    e = e.withColumn("bucket", sign_bucket(F.col("embedding"), 6))
+    pairs = vec_near_dup_pairs_table(spark, sf_dir)
+    edges = symmetrize(pairs).transform(tracked_cache)
+    # metadata count on the plain scan — every vec_id is a node (lab0 in
+    # the oracle), singleton clusters are arithmetic in the histogram op
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    return component_size_histogram(
+        edges, n_vecs, 3, members_col="vecs_in_bucket"
+    ).orderBy("cluster_size")
+
+
+def vec_near_dup_pair_frame(e: DataFrame) -> DataFrame:
+    """Sign-LSH bucketed candidate join + unit-dot cosine verification over
+    an embeddings frame: ``(u, v)`` verified near-dup pairs (u < v,
+    cos_e6 > 900000) — the vector twin of text_queries.scored_pair_frame."""
+    e = with_unit_embedding(e).withColumn(
+        "bucket", sign_bucket(F.col("embedding"), 6)
+    )
     a = e.select("vec_id", "bucket", "unit").alias("a")
     b = e.select(
         F.col("vec_id").alias("b_vec_id"),
@@ -1043,7 +1058,7 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit").alias("b_unit"),
     )
     cos_e6 = F.round(unit_dot(F.col("a.unit"), F.col("b_unit")) * 1e6).cast("long")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b_bucket")) & (F.col("a.vec_id") < F.col("b_vec_id")),
@@ -1052,15 +1067,25 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_e6") > 900000)
         .select("u", "v")
     )
-    edges = symmetrize(pairs).transform(tracked_cache)
-    nodes = e.select(F.col("vec_id").alias("node"))
-    labels = connected_components(nodes, edges, 3)
-    comp = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        comp.groupBy("cluster_size")
-        .agg(
-            F.count("*").alias("n_clusters"),
-            F.sum("cluster_size").cast("bigint").alias("vecs_in_bucket"),
-        )
-        .orderBy("cluster_size")
+
+
+def vec_near_dup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized verified near-dup pair table for the embedding corpus
+    snapshot at ``sf_dir`` — same views-as-cache discipline as
+    text_queries.scored_pairs_table (sources/snapshots.py): the bucket/
+    verify state is built once per snapshot; clustering and any other
+    secondary consumer read the materialization."""
+    import os
+
+    from aws_flight_data_pipeline_spark.sources.snapshots import (
+        materialized_snapshot,
+    )
+
+    return materialized_snapshot(
+        spark,
+        "vec_near_dup_pairs",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        lambda: vec_near_dup_pair_frame(
+            load_table(spark, sf_dir, "embeddings", fan_out=True)
+        ),
     )

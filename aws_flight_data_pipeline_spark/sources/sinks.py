@@ -13,6 +13,7 @@ is computed once if the caller caches or the source is cheap to rescan.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -192,11 +193,17 @@ def merge_rollup_increment(
             clause = eq if clause is None else (clause & eq)
         pred = clause if pred is None else (pred | clause)
 
+    # Only "path does not exist yet" may fall back to the bare increment: a
+    # broad except here would also swallow schema-mismatch (unionByName
+    # resolves eagerly) or transient storage errors, and the dynamic
+    # overwrite below would then silently REPLACE affected rollup partitions
+    # with increment-only partials — losing accumulated aggregates.
     try:
         existing = spark.read.parquet(rollup_path).filter(pred)
-        combined = existing.unionByName(inc_partial.select(*existing.columns))
-    except Exception:  # first increment: rollup does not exist yet
+    except AnalysisException:  # first increment: rollup does not exist yet
         combined = inc_partial
+    else:
+        combined = existing.unionByName(inc_partial.select(*existing.columns))
     merged = combined.groupBy(*group_cols).agg(
         *[c.alias(n) for n, c in merge_aggs.items()]
     )

@@ -594,7 +594,7 @@ def streaming_sketch_rollup(
             F.hll_sketch_agg(fingerprint(F.col("text")), F.lit(lgk)).alias("sk"),
             F.count("*").alias("n_rows"),
         )
-        prev = read_sketch_state(spark, state_path)
+        prev = read_sketch_state(spark, state_path, before_batch=batch_id)
         if prev is not None:
             batch_state = batch_state.unionByName(prev)
         merged = batch_state.groupBy("source").agg(
@@ -612,8 +612,19 @@ def streaming_sketch_rollup(
     return writer.trigger(**trigger).start()
 
 
-def read_sketch_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+def read_sketch_state(
+    spark: SparkSession, state_path: str, before_batch: int | None = None
+) -> DataFrame | None:
     """Latest HLL state version under ``state_path`` (None before batch 0).
+
+    ``before_batch`` restricts discovery to versions with index STRICTLY
+    below it. foreachBatch is at-least-once: on a crash between writing
+    ``v{batch_id}`` and the checkpoint commit, the batch REPLAYS — and a
+    naive "latest version" read would hand the replay a state that already
+    contains this batch, double-merging it (HLL max-merge is idempotent,
+    but n_rows sums and CMS table addition are not). Reading only versions
+    ``< batch_id`` and overwriting ``v{batch_id}`` makes the per-batch
+    merge a pure function of (prior state, batch input) — replay-safe.
 
     Version discovery is a driver-side directory listing — fine for a state
     table of a few KB per version. On a cluster with object storage, swap
@@ -626,6 +637,8 @@ def read_sketch_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     if not os.path.isdir(state_path):
         return None
     versions = sorted(v for v in os.listdir(state_path) if v.startswith("v"))
+    if before_batch is not None:
+        versions = [v for v in versions if int(v[1:]) < before_batch]
     if not versions:
         return None
     return spark.read.parquet(f"{state_path}/{versions[-1]}")
@@ -707,7 +720,7 @@ def streaming_heavy_hitters(
         ]
         reader = CountMinSketchReader(bytes(agg["cms"]))
 
-        prev = read_heavy_hitter_state(spark, state_path)
+        prev = read_heavy_hitter_state(spark, state_path, before_batch=batch_id)
         cand_set = set(batch_cands)
         if prev is not None:
             row = prev.first()
@@ -740,9 +753,12 @@ def streaming_heavy_hitters(
     return writer.trigger(**trigger).start()
 
 
-def read_heavy_hitter_state(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """Latest heavy-hitter state version (None before batch 0)."""
-    return read_sketch_state(spark, state_path)
+def read_heavy_hitter_state(
+    spark: SparkSession, state_path: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Latest heavy-hitter state version (None before batch 0); replay-safe
+    via ``before_batch`` exactly like :func:`read_sketch_state`."""
+    return read_sketch_state(spark, state_path, before_batch=before_batch)
 
 
 def heavy_hitter_snapshot(state: DataFrame, k: int = 20) -> DataFrame:

@@ -136,6 +136,9 @@ HEADLINE = (
     "zorder_locality_profile",
     "dedup_paragraphs",
     "dedup_paragraphs_xx",
+    # round 6: shift-invariant (content-defined chunking) segment dedup
+    "dedup_segments_cdc",
+    "dedup_segments_cdc_xx",
 )
 
 
