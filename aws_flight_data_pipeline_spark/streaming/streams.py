@@ -463,32 +463,21 @@ def corpus_admission_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     return fp_index, band_buckets
 
 
-def streaming_corpus_admission(
-    docs: DataFrame, fp_index: DataFrame, band_buckets: DataFrame
-) -> DataFrame:
-    """STATELESS streaming near-dup admission — the streaming twin of the
-    batch ``corpus_merge_increment`` (plans/text_queries.py): every incoming
-    document is admitted/rejected against a static corpus index with zero
-    streaming state, so decisions emit immediately in append mode.
+_ADMISSION_PUBLIC_COLS = (
+    "doc_id",
+    "source",
+    "is_exact",
+    "is_near",
+    "near_matches",
+    "best_jaccard",
+    "admitted",
+)
 
-    Per-row stages (all narrow, no streaming aggregation, no watermark
-    needed):
 
-    1. fingerprint + fast-MinHash signature + 2 LSH band keys — pure HOF
-       column math, identical hashes to the batch side;
-    2. exact check: 1:1 left join against ``fp_index``;
-    3. candidate fetch: one 1:1 left join PER BAND against the pre-grouped
-       ``band_buckets`` (stream-static equi joins — Catalyst broadcasts the
-       index or shuffles the batch side; either way no stream state);
-    4. verify: exact integer Jaccard per candidate inside the row via
-       ``array_intersect`` — ``2|∩| >= |A|+|B|-|∩|``  ⇔  J >= 0.5, the batch
-       pipeline's threshold — with ``exists``/``filter``/``transform`` HOFs.
-
-    Output grain = input grain (append mode): doc_id, source, is_exact,
-    is_near, admitted, near_matches (verified corpus doc_ids), best_jaccard.
-    The zero-state property is pinned in tests (empty ``stateOperators`` in
-    the final stream progress).
-    """
+def _admission_enrich(docs: DataFrame) -> DataFrame:
+    """Per-document admission keys: fingerprint + distinct 3-shingles +
+    fast-MinHash signature + the 2 LSH band keys — pure HOF column math,
+    hash-identical to the batch ``corpus_merge_increment`` side."""
     from aws_flight_data_pipeline_spark.functions.text import (
         fingerprint,
         minhash_band,
@@ -498,7 +487,7 @@ def streaming_corpus_admission(
     )
 
     toks_arr = shingles(F.col("text"), 3)
-    enriched = (
+    return (
         docs.select(
             "doc_id",
             "source",
@@ -509,6 +498,22 @@ def streaming_corpus_admission(
         .withColumn("b0", minhash_band(F.col("sig"), 0, 4))
         .withColumn("b1", minhash_band(F.col("sig"), 4, 4))
     )
+
+
+def _admission_decide(
+    enriched: DataFrame, fp_index: DataFrame, band_buckets: DataFrame
+) -> DataFrame:
+    """Admission decision against an index: the enriched frame's columns plus
+    is_exact / is_near / near_matches / best_jaccard / admitted.
+
+    1. exact check: 1:1 left join against ``fp_index``;
+    2. candidate fetch: one 1:1 left join PER BAND against the pre-grouped
+       ``band_buckets`` (stream-static equi joins — Catalyst broadcasts the
+       index or shuffles the batch side; either way no stream state);
+    3. verify: exact integer Jaccard per candidate inside the row via
+       ``array_intersect`` — ``2|∩| >= |A|+|B|-|∩|``  ⇔  J >= 0.5, the batch
+       pipeline's threshold — with ``filter``/``transform`` HOFs.
+    """
     j = enriched.join(F.broadcast(fp_index), "fp", "left")
     empty_bucket = F.array().cast(
         "array<struct<e_doc:bigint,e_toks:array<string>>>"
@@ -542,16 +547,197 @@ def streaming_corpus_admission(
             ),
         )
     )
-    return j.select(
-        "doc_id",
-        "source",
-        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
-        (F.size(matches) > 0).alias("is_near"),
-        matches.alias("near_matches"),
-        best_j.alias("best_jaccard"),
-    ).withColumn(
-        "admitted", ~F.col("is_exact") & ~F.col("is_near")
+    return (
+        j.withColumn("is_exact", F.coalesce(F.col("is_exact"), F.lit(False)))
+        .withColumn("is_near", F.size(matches) > 0)
+        .withColumn("near_matches", matches)
+        .withColumn("best_jaccard", best_j)
+        .withColumn("admitted", ~F.col("is_exact") & ~F.col("is_near"))
+        .drop("bucket0", "bucket1")
     )
+
+
+def streaming_corpus_admission(
+    docs: DataFrame, fp_index: DataFrame, band_buckets: DataFrame
+) -> DataFrame:
+    """STATELESS streaming near-dup admission — the streaming twin of the
+    batch ``corpus_merge_increment`` (plans/text_queries.py): every incoming
+    document is admitted/rejected against a static corpus index with zero
+    streaming state, so decisions emit immediately in append mode.
+
+    Per-row stages (all narrow, no streaming aggregation, no watermark
+    needed): see :func:`_admission_enrich` + :func:`_admission_decide`.
+
+    Output grain = input grain (append mode): doc_id, source, is_exact,
+    is_near, admitted, near_matches (verified corpus doc_ids), best_jaccard.
+    The zero-state property is pinned in tests (empty ``stateOperators`` in
+    the final stream progress). The index is FROZEN here — two near-identical
+    docs arriving in different micro-batches are both admitted; the stateful
+    tier that closes that gap is :func:`streaming_corpus_admission_incremental`.
+    """
+    return _admission_decide(
+        _admission_enrich(docs), fp_index, band_buckets
+    ).select(*_ADMISSION_PUBLIC_COLS)
+
+
+def streaming_corpus_admission_incremental(
+    docs: DataFrame,
+    fp_index: DataFrame,
+    band_buckets: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    decisions_path: str,
+    trigger: dict | None = None,
+):
+    """Stateful streaming admission — the index LEARNS: a document admitted
+    in micro-batch N rejects its near-dups in batch N+1 (and later in the
+    SAME batch), closing the frozen-index gap of the stateless tier.
+
+    Per micro-batch (foreachBatch — the decision logic itself is the same
+    pure DataFrame plan as the stateless tier):
+
+    1. read the admitted-doc index DELTAS of every prior batch (versioned
+       parquet, versions strictly ``< batch_id`` — replay-safe exactly like
+       :func:`streaming_sketch_rollup`) and fold them into the base index:
+       fingerprints union into ``fp_index``; band entries regroup into
+       ``band_buckets`` (flatten-merge of bucket arrays on the band key);
+    2. decide each batch doc against the COMBINED index
+       (:func:`_admission_decide`);
+    3. intra-batch keep-first election among the survivors: a survivor is
+       rejected if an EARLIER doc of the same batch (doc_id ascending — the
+       arrival-order stand-in, same convention as the batch
+       ``dedup_pipeline_end_to_end`` keep-first) shares its fingerprint or
+       verifies as a near-dup through a shared LSH band. Banded self-join on
+       the batch's survivors only — O(batch), never O(corpus);
+    4. write the batch's decisions to ``decisions_path/v{batch_id}`` and the
+       FINALLY-admitted docs' index rows (doc_id, fp, toks, b0, b1) as a
+       state DELTA to ``state_path/v{batch_id}`` — both overwrite their own
+       version directory, so an at-least-once replay is idempotent.
+
+    State size: O(admitted docs) index rows, written incrementally (each
+    version holds only its batch's delta). At 100 TB the deltas are exactly
+    the rows a compaction job folds into the materialized corpus index
+    (``corpus_admission_index``) on its own cadence — the streaming tier
+    stays append-only and never rewrites the base index.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fp_comb, buckets_comb = fp_index, band_buckets
+        state = read_admission_state(spark, state_path, before_batch=batch_id)
+        if state is not None:
+            fp_comb = fp_comb.unionByName(
+                state.select("fp").withColumn("is_exact", F.lit(True))
+            ).dropDuplicates(["fp"])
+            state_buckets = (
+                state.select(
+                    "doc_id",
+                    "toks",
+                    F.posexplode(F.array("b0", "b1")).alias("band_id", "band_key"),
+                )
+                .groupBy("band_id", "band_key")
+                .agg(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id").alias("e_doc"),
+                            F.col("toks").alias("e_toks"),
+                        )
+                    ).alias("bucket")
+                )
+            )
+            buckets_comb = (
+                buckets_comb.unionByName(state_buckets)
+                .groupBy("band_id", "band_key")
+                .agg(F.flatten(F.collect_list("bucket")).alias("bucket"))
+            )
+
+        decided = _admission_decide(
+            _admission_enrich(batch_df), fp_comb, buckets_comb
+        )
+        survivors = decided.where("admitted").select(
+            "doc_id", "fp", "toks", "b0", "b1"
+        )
+        # intra-batch keep-first: exact (shared fp) OR banded+verified near
+        # dup of an earlier same-batch survivor. Self-joins on the batch's
+        # survivor set only.
+        earlier_fp = survivors.alias("a").join(
+            survivors.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        bands_long = survivors.select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.array("b0", "b1")).alias("band_id", "band_key"),
+        )
+        inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        earlier_near = (
+            bands_long.alias("a")
+            .join(
+                bands_long.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .where(
+                (2 * inter)
+                >= (F.size("a.toks") + F.size("b.toks") - inter)
+            )
+        )
+        rejected_ids = (
+            earlier_fp.select(F.col("b.doc_id").alias("doc_id"))
+            .unionByName(earlier_near.select(F.col("b.doc_id").alias("doc_id")))
+            .distinct()
+        )
+        final = decided.join(
+            rejected_ids.withColumn("intra_batch_dup", F.lit(True)),
+            "doc_id",
+            "left",
+        ).withColumn(
+            "admitted",
+            F.col("admitted") & ~F.coalesce("intra_batch_dup", F.lit(False)),
+        )
+        final.select(
+            *_ADMISSION_PUBLIC_COLS, F.lit(batch_id).alias("batch_id")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{decisions_path}/v{batch_id:09d}"
+        )
+        final.where("admitted").select(
+            "doc_id", "fp", "toks", "b0", "b1"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/v{batch_id:09d}"
+        )
+
+    writer = docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def read_admission_state(
+    spark: SparkSession, state_path: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Union of ALL admitted-doc index deltas with version strictly below
+    ``before_batch`` (every delta matters, unlike the sketch state where the
+    latest version is cumulative). None before the first admitting batch."""
+    import os
+
+    if not os.path.isdir(state_path):
+        return None
+    versions = sorted(v for v in os.listdir(state_path) if v.startswith("v"))
+    if before_batch is not None:
+        versions = [v for v in versions if int(v[1:]) < before_batch]
+    if not versions:
+        return None
+    return spark.read.parquet(*(f"{state_path}/{v}" for v in versions))
+
+
+def read_admission_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
+    """Every batch's admission decisions (versioned directories unioned)."""
+    return read_admission_state(spark, decisions_path)
 
 
 def streaming_sketch_rollup(

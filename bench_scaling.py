@@ -1,0 +1,251 @@
+"""Scaling-trend sidecar: the three heavy dedup pipelines timed across
+sf0.001 / sf0.01 / sf0.1, with fitted scaling exponents per query.
+
+The design claim everywhere in plans/text_queries.py is "linear in the
+corpus" — banded LSH candidates, semi-join pruning before any explode, no
+all-pairs joins. This sidecar turns that claim into a measured number.
+
+Two timings per (query, sf):
+
+- ``cold``: the corpus-snapshot materialization cache (sources/snapshots.py)
+  is cleared before every run, so the timing covers the FULL pipeline
+  compute — signatures, LSH banding, candidate verification — which is what
+  the linear-in-corpus claim is about. The fitted exponents use cold.
+- ``warm``: the snapshot is in place (bench.py's steady state) — the
+  per-consumer cost once the pair table is materialized for the corpus
+  snapshot; flat-ish in sf by design and reported for completeness.
+
+Exponents (cold):
+
+- ``exponent_raw``: least-squares slope of log(t) on log(sf) over all three
+  scale factors. Fixed per-query overhead (~0.5-1 s of session dispatch,
+  plan compile and tiny-stage scheduling on local[32]) dominates the small
+  sfs and drags this DOWN — it is a conservative sanity bound (a quadratic
+  engine would still show > 1).
+- ``exponent_last_decade``: log10(t(0.1)/t(0.01)) after subtracting the
+  sf0.001 cold reading as the fixed-overhead floor (at sf0.001 the data
+  work is sub-millisecond, so that reading IS the floor). This is the
+  decade where data work actually moves the needle; the bar is <= ~1.2.
+  Null (with a note) if the floor-subtracted deltas are not both positive —
+  i.e. the data work is indistinguishable from scheduling noise.
+
+Because sf0.001-sf0.1 are all small enough that fixed overhead can swamp the
+data work (the "note" fields say when it did), the sidecar ALSO runs a
+large-scale sweep: derived corpora at 10x and 100x the sf0.1 documents table
+(each copy's tokens perturbed with a copy marker so shingle vocabularies are
+disjoint across copies and per-copy dedup rates stay realistic — naive
+copying would plant pathological 10-way exact-dup clusters). At 100x
+(500k docs) the data work dominates the floor and the fitted decade exponent
+is real evidence. Derived data lives under /tmp/afdp_scale (never in
+/root/testdata, which is read-only ground truth).
+
+Measurement isolation: each query's sweep runs in its OWN subprocess (fresh
+JVM). A first pass ran everything in one long session and recorded a 2.4x
+inflated x100 reading for the LAST query measured — accumulated long-session
+JVM state (shuffle-file GC, heap pressure after thousands of stages), not
+the query (a fresh session reproduces the honest number). Per-process
+isolation removes that confound the same way min-of-N removes host stalls.
+
+Run: python bench_scaling.py  -> writes BENCH_SCALING_r{NN}.json and prints
+one JSON line. Min-of-N runs per point to cut scheduler noise.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+from aws_flight_data_pipeline_spark.functions.caching import release_tracked
+from aws_flight_data_pipeline_spark.plans.registry import _ensure_loaded, resolve
+from aws_flight_data_pipeline_spark.session import get_spark
+from aws_flight_data_pipeline_spark.sources.snapshots import _SNAPSHOT_ROOT
+
+HEAVY = (
+    "dedup_pipeline_end_to_end",
+    "dedup_cluster_components",
+    "corpus_merge_increment",
+)
+SFS = (0.001, 0.01, 0.1)
+RUNS = 3
+MULTS = (1, 10, 100)  # large-scale sweep: x the sf0.1 documents table
+LARGE_RUNS = 2
+_SCALE_DIR = "/tmp/afdp_scale"
+
+
+def _ensure_scaled_corpus(spark, mult: int) -> str:
+    """sf_dir holding a documents table ``mult`` x the sf0.1 one. Copy k
+    offsets doc_ids by k*10M and suffixes every token (last excepted) with
+    the copy number, so copies never collide in shingle space and the
+    per-copy duplicate structure matches the base corpus exactly."""
+    base = "/root/testdata/sf0.1"
+    if mult == 1:
+        return base
+    from pyspark.sql import functions as F
+
+    out = os.path.join(_SCALE_DIR, f"x{mult}")
+    marker = os.path.join(out, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(f"{base}/documents.parquet")
+        copies = []
+        for k in range(mult):
+            text = (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace("text", " ", f"{k} ")
+            )
+            copies.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                    text.alias("text"),
+                    "lang",
+                    "source",
+                    F.length(text).cast("long").alias("n_chars"),
+                )
+            )
+        union = copies[0]
+        for c in copies[1:]:
+            union = union.unionByName(c)
+        union.repartition(32).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
+    return out
+
+
+def _fit_slope(points: list[tuple[float, float]]) -> float:
+    xs = [math.log(sf) for sf, _ in points]
+    ys = [math.log(max(t, 1e-6)) for _, t in points]
+    n = len(points)
+    mx, my = sum(xs) / n, sum(ys) / n
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+
+
+def measure_query(name: str) -> dict:
+    """Full sweep for one query — small-sf cold/warm plus the 1x/10x/100x
+    large-scale points — in the calling process's (fresh) session."""
+    _ensure_loaded()
+    spark = get_spark("afdp-spark-bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(sf_dir: str) -> None:
+        resolve(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def clear_snapshots() -> None:
+        shutil.rmtree(_SNAPSHOT_ROOT, ignore_errors=True)
+
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        run(sf_dir)  # JIT/codegen warm-up (snapshot also built)
+        release_tracked()
+        best_cold = math.inf
+        for _ in range(RUNS):
+            clear_snapshots()
+            t0 = time.perf_counter()
+            run(sf_dir)
+            best_cold = min(best_cold, time.perf_counter() - t0)
+            release_tracked()
+        best_warm = math.inf  # snapshot now in place from the last run
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            run(sf_dir)
+            best_warm = min(best_warm, time.perf_counter() - t0)
+            release_tracked()
+        cold[str(sf)] = round(best_cold, 3)
+        warm[str(sf)] = round(best_warm, 3)
+    raw = _fit_slope([(sf, cold[str(sf)]) for sf in SFS])
+    floor = cold[str(SFS[0])]
+    d_mid = cold[str(SFS[1])] - floor
+    d_top = cold[str(SFS[2])] - floor
+    last_decade = (
+        round(math.log10(d_top / d_mid), 3) if d_mid > 0 and d_top > 0 else None
+    )
+    small = {
+        "cold_seconds_by_sf": cold,
+        "warm_seconds_by_sf": warm,
+        "exponent_raw": round(raw, 3),
+        "exponent_last_decade": last_decade,
+    }
+    if last_decade is None:
+        small["note"] = (
+            "data work indistinguishable from fixed overhead at these sfs"
+        )
+
+    secs: dict[str, float] = {}
+    for mult in MULTS:
+        sf_dir = _ensure_scaled_corpus(spark, mult)
+        run(sf_dir)  # warm-up
+        release_tracked()
+        best = math.inf
+        for _ in range(LARGE_RUNS):
+            clear_snapshots()
+            t0 = time.perf_counter()
+            run(sf_dir)
+            best = min(best, time.perf_counter() - t0)
+            release_tracked()
+        secs[f"x{mult}"] = round(best, 3)
+    slope = _fit_slope([(m, secs[f"x{m}"]) for m in MULTS])
+    last = round(math.log10(secs[f"x{MULTS[2]}"] / secs[f"x{MULTS[1]}"]), 3)
+    large = {
+        "cold_seconds_by_mult": secs,
+        "exponent_raw": round(slope, 3),
+        "exponent_last_decade": last,
+    }
+    return {"small_sf": small, "large_scale": large}
+
+
+def main() -> None:
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        # child mode: one query in this fresh process; last stdout line = JSON
+        print(json.dumps(measure_query(sys.argv[2]), separators=(",", ":")))
+        return
+
+    results: dict[str, dict] = {}
+    large: dict[str, dict] = {}
+    for name in HEAVY:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        results[name] = out["small_sf"]
+        large[name] = out["large_scale"]
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior = [
+        int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    round_no = (max(prior) + 1) if prior else 0
+    payload = {
+        "metric": "heavy_pipeline_scaling",
+        "sfs": list(SFS),
+        "runs_per_point": RUNS,
+        "isolation": "one subprocess (fresh JVM) per query",
+        "queries": results,
+        "large_scale": {
+            "base": "sf0.1 documents x {1,10,100} (token-perturbed copies)",
+            "queries": large,
+        },
+        "bar": "exponent_last_decade <= 1.2 (linear-ish); raw is a conservative bound",
+    }
+    with open(
+        os.path.join(repo_dir, f"BENCH_SCALING_r{round_no:02d}.json"), "w"
+    ) as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
