@@ -1089,3 +1089,67 @@ def vec_near_dup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "embeddings", fan_out=True)
         ),
     )
+
+
+@builder(
+    "corpus_diversity_sample",
+    tags=("vector", "sampling", "mixing", "lsh"),
+    doc="Cluster-stratified diversity sampling for training-data mixing: "
+    "stratify the embedding corpus by its 6-dim sign-LSH bucket (the cheap "
+    "deterministic stand-in for a k-means cluster id), then take up to CAP "
+    "documents per stratum in md5-rank order — a deterministic pseudo-random "
+    "draw both engines replay bit-identically. Balanced caps over-represent "
+    "rare strata relative to proportional sampling, which is the point: the "
+    "sample preserves semantic coverage, not volume. One window sort per "
+    "stratum partition (rank state is O(stratum)); because the md5 rank is "
+    "uniform, a 100 TB run can pre-filter each stratum to a hash threshold "
+    "a few times CAP/|stratum| and rank only the survivors — same result, "
+    "sort input shrunk by orders of magnitude.",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT vec_id, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+        ),
+        ranked AS (
+            SELECT vec_id, bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY bucket
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS rnk,
+                   COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+            FROM bucketed
+        )
+        SELECT bucket,
+               MAX(bucket_size) AS bucket_size,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(vec_id) AS BIGINT) AS sampled_id_sum,
+               MIN(vec_id) AS sampled_id_min,
+               MAX(vec_id) AS sampled_id_max
+        FROM ranked
+        WHERE rnk <= 32
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = 32
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    bucketed = e.select("vec_id", sign_bucket(F.col("embedding"), 6).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ranked = bucketed.select(
+        "vec_id",
+        "bucket",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("bucket")).alias("bucket_size"),
+    )
+    return (
+        ranked.where(F.col("rnk") <= cap)
+        .groupBy("bucket")
+        .agg(
+            F.max("bucket_size").alias("bucket_size"),
+            F.count("*").alias("n_sampled"),
+            F.sum("vec_id").cast("bigint").alias("sampled_id_sum"),
+            F.min("vec_id").alias("sampled_id_min"),
+            F.max("vec_id").alias("sampled_id_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -139,6 +139,10 @@ HEADLINE = (
     # round 6: shift-invariant (content-defined chunking) segment dedup
     "dedup_segments_cdc",
     "dedup_segments_cdc_xx",
+    # round 6: BM25 retrieval, unigram-LM quality scoring, stratified sampling
+    "text_bm25_topk",
+    "text_lm_quality_score",
+    "corpus_diversity_sample",
 )
 
 
