@@ -1,0 +1,240 @@
+"""Manifest-based versioned table: atomic commits, time travel, rollback,
+vacuum — the transactional-lake tier on plain parquet.
+
+The reference manages its processed zone as mutable S3 prefixes plus
+lifecycle rules (``infrastructure/terraform/s3.tf``, and the rewrite-affected-
+prefixes correction pattern in ``src/lambda/data_processing``); the failure
+mode at scale is that readers can observe half-written prefixes and there is
+no way to reproduce "the table as of yesterday's training run". This module
+re-expresses that zone as an immutable-file + commit-manifest table (the
+Delta/Iceberg core idea, built here on nothing but parquet and atomic
+file creation):
+
+- **Data files are immutable.** Every commit writes NEW parquet files under
+  ``data/``; nothing is ever overwritten in place.
+- **A commit is one atomically-published JSON manifest** listing the table's
+  complete active file set. Publication uses ``O_CREAT|O_EXCL`` on the
+  next version's manifest name — two racing writers cannot both win, the
+  loser gets ``CommitConflict`` (optimistic concurrency, no locks).
+- **Readers resolve a manifest once** and then read only its listed files:
+  a reader holds a consistent snapshot no matter what commits land while it
+  runs, and at 100 TB the read plans from a KB–MB manifest instead of
+  listing millions of objects (directory listing is the scale killer this
+  design removes — same motivation as the reference's partition-pruning
+  guidance, ``sql/athena/07_optimization_guide.sql:31-76``).
+- **Time travel** = resolve an older manifest. **Rollback** = a new commit
+  whose file set is copied from an older manifest (no data movement).
+- **Vacuum** deletes data files no retained manifest references — the only
+  operation that removes bytes, and it never touches the retained history.
+
+Schema evolution is additive: reads use parquet schema merging, so columns
+added by later commits surface as nulls for older files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first — re-read and retry."""
+
+
+def _commits_dir(path: str) -> str:
+    return os.path.join(path, "_commits")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_commits_dir(path), f"{version:09d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    d = _commits_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    mp = _manifest_path(path, version)
+    if not os.path.exists(mp):
+        have = _list_versions(path)
+        raise FileNotFoundError(
+            f"version {version} of {path} does not exist "
+            f"(available: {have[:3]}..{have[-3:] if have else []})"
+        )
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def latest_version(path: str) -> int | None:
+    versions = _list_versions(path)
+    return versions[-1] if versions else None
+
+
+def commit(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Write ``df`` as a new table version; returns the version number.
+
+    ``mode='append'`` extends the parent's file set; ``'overwrite'`` replaces
+    it. The data write happens BEFORE publication, into a commit-unique
+    subdirectory — a crash mid-write leaves an unreferenced directory (vacuum
+    garbage), never a torn table. Publication is a single O_CREAT|O_EXCL
+    create of the manifest, so concurrent writers serialize: exactly one
+    wins version N, the other raises ``CommitConflict``.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_commits_dir(path), exist_ok=True)
+
+    parent = latest_version(path)
+    version = 0 if parent is None else parent + 1
+
+    txn = f"v{version:09d}-{uuid.uuid4().hex[:12]}"
+    txn_dir = os.path.join(_data_dir(path), txn)
+    df.write.mode("error").option("compression", "snappy").parquet(txn_dir)
+    new_files = sorted(
+        os.path.join("data", txn, f) for f in os.listdir(txn_dir) if f.endswith(".parquet")
+    )
+
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _read_manifest(path, parent)["files"] + files
+
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": mode,
+        "files": files,
+        "n_files": len(files),
+        "committed_at": time.time(),
+    }
+    _publish(path, version, manifest)
+    return version
+
+
+def _publish(path: str, version: int, manifest: dict) -> None:
+    try:
+        fd = os.open(_manifest_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"version {version} of {path} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+
+
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: latest version, or time travel to ``version``.
+
+    The returned plan scans exactly the manifest's file list — commits that
+    land after this call do not change what this DataFrame reads, and files
+    a later overwrite dropped are still read for the pinned version (until
+    vacuumed). ``mergeSchema`` makes additive column evolution read back as
+    nulls for pre-evolution files.
+    """
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"{path} has no committed versions")
+    m = _read_manifest(path, version)
+    files = [os.path.join(path, f) for f in m["files"]]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"version {version} of {path} references vacuumed data "
+            f"(e.g. {missing[0]}); time travel is bounded by vacuum retention"
+        )
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Restore an older snapshot as a NEW version (no data movement).
+
+    History is append-only — rollback never deletes the versions it skips
+    over, it just republishes the old file set at the head.
+    """
+    old = _read_manifest(path, to_version)
+    parent = latest_version(path)
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "rollback",
+        "rolled_back_to": to_version,
+        "files": old["files"],
+        "n_files": len(old["files"]),
+        "committed_at": time.time(),
+    }
+    _publish(path, version, manifest)
+    return version
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """The commit log as a DataFrame (newest first)."""
+    rows = [
+        (
+            m["version"],
+            m["parent"],
+            m["mode"],
+            m.get("rolled_back_to"),
+            m["n_files"],
+            float(m["committed_at"]),
+        )
+        for m in (_read_manifest(path, v) for v in _list_versions(path))
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "version long, parent long, mode string, rolled_back_to long, "
+            "n_files long, committed_at double",
+        )
+        .orderBy("version", ascending=False)
+    )
+
+
+def vacuum(path: str, keep_last: int = 2) -> dict:
+    """Drop history beyond the last ``keep_last`` versions and delete every
+    data file none of the retained manifests references.
+
+    The referenced-set computation is driver-side set arithmetic over file
+    NAMES (strings — MBs even for millions of files), not file contents;
+    deletion is the only byte-destructive operation in the module and it can
+    never touch a retained version's data.
+    """
+    versions = _list_versions(path)
+    if not versions:
+        return {"versions_dropped": 0, "files_deleted": 0}
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    drop = [v for v in versions if v not in keep]
+
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(path, v)["files"])
+
+    files_deleted = 0
+    data_root = _data_dir(path)
+    for txn in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        txn_dir = os.path.join(data_root, txn)
+        for f in sorted(os.listdir(txn_dir)):
+            rel = os.path.join("data", txn, f)
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(txn_dir, f))
+                files_deleted += 1
+        if not any(n.endswith(".parquet") for n in os.listdir(txn_dir)):
+            for leftover in os.listdir(txn_dir):
+                os.remove(os.path.join(txn_dir, leftover))
+            os.rmdir(txn_dir)
+    for v in drop:
+        os.remove(_manifest_path(path, v))
+    return {"versions_dropped": len(drop), "files_deleted": files_deleted}

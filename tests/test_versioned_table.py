@@ -1,0 +1,115 @@
+"""Versioned-table semantics: atomic commits, snapshot isolation, time
+travel, rollback, vacuum retention, additive schema evolution, and the
+optimistic-concurrency conflict path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).selectExpr("id", f"'{tag}' AS tag")
+
+
+def test_append_overwrite_and_time_travel(spark, table):
+    v0 = vt.commit(_df(spark, 0, 10, "a"), table)
+    v1 = vt.commit(_df(spark, 10, 15, "b"), table, mode="append")
+    v2 = vt.commit(_df(spark, 100, 103, "c"), table, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    assert vt.read(spark, table).count() == 3  # latest = overwrite
+    assert vt.read(spark, table, version=0).count() == 10
+    assert vt.read(spark, table, version=1).count() == 15
+    tags = {r["tag"] for r in vt.read(spark, table, version=1).select("tag").distinct().collect()}
+    assert tags == {"a", "b"}
+
+
+def test_readers_hold_a_consistent_snapshot(spark, table):
+    vt.commit(_df(spark, 0, 10, "a"), table)
+    snapshot = vt.read(spark, table)  # resolved against v0
+    vt.commit(_df(spark, 0, 999, "b"), table, mode="overwrite")
+    # the already-resolved plan still reads v0's files
+    assert snapshot.count() == 10
+    assert vt.read(spark, table).count() == 999
+
+
+def test_rollback_restores_without_data_movement(spark, table):
+    vt.commit(_df(spark, 0, 10, "a"), table)
+    vt.commit(_df(spark, 0, 3, "b"), table, mode="overwrite")
+    v = vt.rollback(table, to_version=0)
+    assert v == 2
+    out = vt.read(spark, table)
+    assert out.count() == 10
+    assert {r["tag"] for r in out.select("tag").distinct().collect()} == {"a"}
+    # history keeps every version (append-only log)
+    hist = {r["version"]: r["mode"] for r in vt.history(spark, table).collect()}
+    assert hist == {0: "append", 1: "overwrite", 2: "rollback"}
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, table):
+    vt.commit(_df(spark, 0, 10, "a"), table)
+    vt.commit(_df(spark, 0, 5, "b"), table, mode="overwrite")
+    vt.commit(_df(spark, 0, 7, "c"), table, mode="overwrite")
+    stats = vt.vacuum(table, keep_last=2)
+    assert stats["versions_dropped"] == 1 and stats["files_deleted"] > 0
+    # retained versions still read fine
+    assert vt.read(spark, table, version=1).count() == 5
+    assert vt.read(spark, table, version=2).count() == 7
+    # vacuumed version fails CLEANLY (bounded time travel, not a torn read)
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, table, version=0)
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, table):
+    vt.commit(_df(spark, 0, 10, "a"), table)
+    vt.commit(_df(spark, 10, 15, "b"), table, mode="append")  # shares v0's files
+    vt.commit(_df(spark, 15, 18, "c"), table, mode="append")
+    stats = vt.vacuum(table, keep_last=2)
+    # v0 manifest dropped, but its files are referenced by v1/v2 appends
+    assert stats["versions_dropped"] == 1 and stats["files_deleted"] == 0
+    assert vt.read(spark, table).count() == 18
+
+
+def test_additive_schema_evolution_reads_as_nulls(spark, table):
+    vt.commit(_df(spark, 0, 5, "a"), table)
+    evolved = spark.range(5, 8).selectExpr("id", "'b' AS tag", "id * 2 AS extra")
+    vt.commit(evolved, table, mode="append")
+    out = vt.read(spark, table)
+    assert set(out.columns) == {"id", "tag", "extra"}
+    assert out.where("extra IS NULL").count() == 5
+    assert out.where("extra IS NOT NULL").count() == 3
+
+
+def test_concurrent_commit_conflict(spark, table):
+    vt.commit(_df(spark, 0, 5, "a"), table)
+    # a racing writer wins version 1 between the loser's parent resolution
+    # and its publish: the publish-time O_CREAT|O_EXCL create must lose
+    manifest = {"version": 1, "parent": 0, "mode": "append", "files": [],
+                "n_files": 0, "committed_at": 0}
+    vt._publish(table, 1, manifest)
+    with pytest.raises(vt.CommitConflict):
+        vt._publish(table, 1, manifest)
+    # a crashed/losing writer leaves data with no manifest referencing it —
+    # unreferenced garbage that vacuum collects without touching live data
+    _df(spark, 5, 9, "b").write.parquet(os.path.join(table, "data", "vorphan-dead"))
+    stats = vt.vacuum(table, keep_last=2)
+    assert stats["files_deleted"] > 0
+    assert not os.path.exists(os.path.join(table, "data", "vorphan-dead"))
+    assert vt.read(spark, table, version=0).count() == 5
+
+
+def test_read_missing_version_raises_cleanly(spark, table):
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, table)
+    vt.commit(_df(spark, 0, 2, "a"), table)
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, table, version=7)
