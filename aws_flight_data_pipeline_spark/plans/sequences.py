@@ -495,3 +495,84 @@ def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@builder(
+    "scd2_state_history",
+    tags=("sequence", "scd2", "gaps-and-islands", "window"),
+    doc="Slowly-changing-dimension (type 2) history built from a change "
+    "stream: per user, consecutive events with the same event_type collapse "
+    "into one validity run (gaps-and-islands — LAG change flag, running-sum "
+    "version id, one hash-agg per run), the dimension-table construction "
+    "that turns an append-only event log into point-in-time joinable "
+    "history (the as-of join in operators/asof.py is the consumer). Two "
+    "windows over the same (user, time) partitioning and two hash-aggs — "
+    "one shuffle of the event stream by user_id at any scale, since every "
+    "later stage is partition-local. Timestamps travel as epoch "
+    "microseconds (unix_micros / epoch_us), integer-exact cross-engine.",
+    oracle="""
+        WITH lagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ),
+        vers AS (
+            SELECT user_id, ts, event_type,
+                   CAST(SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS ver
+            FROM lagged
+        ),
+        runs AS (
+            SELECT user_id, ver, MAX(event_type) AS state,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS from_us,
+                   CAST(COUNT(*) AS BIGINT) AS run_events
+            FROM vers GROUP BY user_id, ver
+        )
+        SELECT user_id,
+               CAST(MAX(ver) AS BIGINT) AS n_versions,
+               CAST(SUM(run_events) AS BIGINT) AS n_events,
+               CAST(MAX(run_events) AS BIGINT) AS longest_run_events,
+               max_by(state, ver) AS current_state,
+               CAST(max_by(from_us, ver) AS BIGINT) AS current_since_us
+        FROM runs
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+    ).otherwise(0)
+    vers = (
+        e.select("user_id", "event_id", "ts", "event_type",
+                 F.lag("event_type").over(w).alias("prev"))
+        .withColumn(
+            "ver",
+            F.sum(chg)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+    )
+    runs = vers.groupBy("user_id", "ver").agg(
+        F.max("event_type").alias("state"),  # constant within a run
+        F.unix_micros(F.min("ts")).alias("from_us"),
+        F.count("*").alias("run_events"),
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("ver").alias("n_versions"),
+            F.sum("run_events").cast("bigint").alias("n_events"),
+            F.max("run_events").alias("longest_run_events"),
+            F.max_by("state", "ver").alias("current_state"),
+            F.max_by("from_us", "ver").cast("bigint").alias("current_since_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -189,3 +189,161 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
         flag(F.col("cms_est") <= F.col("exact_cnt") + bound).alias("cms_within_eps"),
     ).orderBy("rank")
+
+
+#: DDSketch geometry (Masson/Rim/Lee, VLDB 2019): relative-error-bounded
+#: quantiles from a log-binned histogram. gamma = (1+alpha)/(1-alpha); bucket
+#: j = ceil(ln(x)/ln(gamma)); midpoint estimate 2*gamma^j/(gamma+1) is within
+#: alpha relative error of any value in the bucket. Buckets are INTEGER
+#: counts — deterministic, exactly mergeable by addition, and cross-engine
+#: verifiable (unlike a sampling-based quantile sketch).
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
+
+_DD_QS = ((50, 0.5), (95, 0.95), (99, 0.99))
+
+
+@builder(
+    "sketch_quantile_profile",
+    tags=("sketch", "quantile", "ddsketch", "mergeable", "rollup"),
+    doc="Relative-error quantile sketching (DDSketch geometry, alpha=1%): "
+    "o_totalprice is log-binned per order status — the per-status sketch is "
+    "a few hundred (bucket, count) integer pairs — and the GLOBAL sketch is "
+    "the per-status sketches summed bucket-wise (re-aggregation; orders is "
+    "NOT rescanned for the global histogram). p50/p95/p99 are read off each "
+    "sketch by a cumulative-count walk (one window over the tiny bucket "
+    "frame); every estimate is proven within alpha of the exact rank "
+    "statistic by a contract flag. The exact columns cost a per-scope sort "
+    "and are the ones you drop at 100 TB — the sketch path is one linear "
+    "pass + KB-scale state, and sketches from different days/partitions "
+    "merge by integer addition. DuckDB replays the identical binning, walk, "
+    "and flags (bucket indexes and counts are exact integers; the midpoint "
+    "estimate is rounded to 4 dp on both sides).",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderstatus AS scope, o_totalprice AS x FROM orders
+        ),
+        bstat AS (
+            SELECT scope, CAST(CEIL(ln(x) / ln({_DD_GAMMA!r})) AS BIGINT) AS j,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY scope, 2
+        ),
+        buckets AS (
+            SELECT * FROM bstat
+            UNION ALL
+            SELECT 'GLOBAL', j, CAST(SUM(c) AS BIGINT) FROM bstat GROUP BY j
+        ),
+        walk AS (
+            SELECT scope, j, c,
+                   SUM(c) OVER (PARTITION BY scope ORDER BY j) AS cum,
+                   SUM(c) OVER (PARTITION BY scope) AS n
+            FROM buckets
+        ),
+        qb AS (
+            SELECT scope, CAST(MAX(n) AS BIGINT) AS n_rows, COUNT(*) AS n_buckets,
+                   {", ".join(
+                       f"MIN(CASE WHEN cum >= CEIL({q} * n) THEN j END) AS q{p}_bucket"
+                       for p, q in _DD_QS
+                   )}
+            FROM walk GROUP BY scope
+        ),
+        scoped AS (
+            SELECT scope, x FROM base
+            UNION ALL
+            SELECT 'GLOBAL', x FROM base
+        ),
+        ranked AS (
+            SELECT scope, x,
+                   ROW_NUMBER() OVER (PARTITION BY scope ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY scope) AS n
+            FROM scoped
+        ),
+        ex AS (
+            SELECT scope,
+                   {", ".join(
+                       f"ROUND(MIN(CASE WHEN rn = CEIL({q} * n) THEN x END), 4)"
+                       f" AS q{p}_exact"
+                       for p, q in _DD_QS
+                   )}
+            FROM ranked GROUP BY scope
+        )
+        SELECT qb.scope, qb.n_rows, qb.n_buckets,
+               {", ".join(
+                   f"qb.q{p}_bucket, "
+                   f"ROUND(2 * POWER({_DD_GAMMA!r}, qb.q{p}_bucket)"
+                   f" / ({_DD_GAMMA!r} + 1), 4) AS q{p}_est, ex.q{p}_exact"
+                   for p, _ in _DD_QS
+               )},
+               CAST(1 AS BIGINT) AS within_alpha_all
+        FROM qb JOIN ex ON qb.scope = ex.scope
+        ORDER BY qb.scope
+    """,
+)
+def sketch_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders", fan_out=True)
+    base = o.select(F.col("o_orderstatus").alias("scope"), F.col("o_totalprice").alias("x"))
+    g = F.lit(_DD_GAMMA)
+
+    # per-status sketches: integer (bucket, count) pairs
+    bstat = (
+        base.withColumn("j", F.ceil(F.log("x") / F.log(g)).cast("bigint"))
+        .groupBy("scope", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    # GLOBAL = bucket-wise SUM of the per-status sketches — pure re-agg,
+    # the orders scan is not repeated for the global histogram
+    bglob = (
+        bstat.groupBy("j")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .select(F.lit("GLOBAL").alias("scope"), "j", "c")
+    )
+    buckets = bstat.unionByName(bglob)
+
+    wcum = Window.partitionBy("scope").orderBy("j")
+    wall = Window.partitionBy("scope")
+    walk = buckets.select(
+        "scope", "j", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qb = walk.groupBy("scope").agg(
+        F.max("n").alias("n_rows"),
+        F.count("*").alias("n_buckets"),
+        *[
+            F.min(F.when(F.col("cum") >= F.ceil(q * F.col("n")), F.col("j"))).alias(
+                f"q{p}_bucket"
+            )
+            for p, q in _DD_QS
+        ],
+    )
+
+    # exact rank statistics (contract reference — the droppable column)
+    scoped = base.unionByName(base.select(F.lit("GLOBAL").alias("scope"), "x"))
+    wrank = Window.partitionBy("scope").orderBy("x")
+    ranked = scoped.select(
+        "scope", "x",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(Window.partitionBy("scope")).alias("n"),
+    )
+    ex = ranked.groupBy("scope").agg(
+        *[
+            F.round(
+                F.min(F.when(F.col("rn") == F.ceil(q * F.col("n")), F.col("x"))), 4
+            ).alias(f"q{p}_exact")
+            for p, q in _DD_QS
+        ]
+    )
+
+    est = {p: F.round(2 * F.pow(g, F.col(f"q{p}_bucket")) / (g + 1), 4) for p, _ in _DD_QS}
+    within = None
+    for p, _ in _DD_QS:
+        ok = F.abs(est[p] - F.col(f"q{p}_exact")) <= _DD_ALPHA * F.col(f"q{p}_exact")
+        within = ok if within is None else (within & ok)
+    cols = ["scope", "n_rows", "n_buckets"]
+    for p, _ in _DD_QS:
+        cols += [f"q{p}_bucket", est[p].alias(f"q{p}_est"), f"q{p}_exact"]
+    return (
+        qb.join(ex, "scope")
+        .select(*cols, F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("within_alpha_all"))
+        .orderBy("scope")
+    )

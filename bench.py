@@ -143,6 +143,8 @@ HEADLINE = (
     "text_bm25_topk",
     "text_lm_quality_score",
     "corpus_diversity_sample",
+    "sketch_quantile_profile",
+    "scd2_state_history",
 )
 
 
