@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from aws_flight_data_pipeline_spark.functions.quantiles import dd_histogram, dd_profile
 from aws_flight_data_pipeline_spark.functions.sketches import cms_estimate
 from aws_flight_data_pipeline_spark.plans.registry import builder
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
@@ -282,40 +283,12 @@ _DD_QS = ((50, 0.5), (95, 0.95), (99, 0.99))
 def sketch_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders", fan_out=True)
     base = o.select(F.col("o_orderstatus").alias("scope"), F.col("o_totalprice").alias("x"))
-    g = F.lit(_DD_GAMMA)
 
-    # per-status sketches: integer (bucket, count) pairs
-    bstat = (
-        base.withColumn("j", F.ceil(F.log("x") / F.log(g)).cast("bigint"))
-        .groupBy("scope", "j")
-        .agg(F.count("*").alias("c"))
-    )
-    # GLOBAL = bucket-wise SUM of the per-status sketches — pure re-agg,
-    # the orders scan is not repeated for the global histogram
-    bglob = (
-        bstat.groupBy("j")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-        .select(F.lit("GLOBAL").alias("scope"), "j", "c")
-    )
-    buckets = bstat.unionByName(bglob)
-
-    wcum = Window.partitionBy("scope").orderBy("j")
-    wall = Window.partitionBy("scope")
-    walk = buckets.select(
-        "scope", "j", "c",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("n"),
-    )
-    qb = walk.groupBy("scope").agg(
-        F.max("n").alias("n_rows"),
-        F.count("*").alias("n_buckets"),
-        *[
-            F.min(F.when(F.col("cum") >= F.ceil(q * F.col("n")), F.col("j"))).alias(
-                f"q{p}_bucket"
-            )
-            for p, q in _DD_QS
-        ],
-    )
+    # per-status sketches (integer bucket counts); dd_profile adds the
+    # GLOBAL scope by re-aggregating them — the orders scan is not repeated
+    # for the global histogram. Shared geometry: functions/quantiles.py
+    # (the streaming rollup maintains the identical state).
+    qb = dd_profile(dd_histogram(base, "scope", "x", _DD_ALPHA), _DD_ALPHA, _DD_QS)
 
     # exact rank statistics (contract reference — the droppable column)
     scoped = base.unionByName(base.select(F.lit("GLOBAL").alias("scope"), "x"))
@@ -334,14 +307,15 @@ def sketch_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    est = {p: F.round(2 * F.pow(g, F.col(f"q{p}_bucket")) / (g + 1), 4) for p, _ in _DD_QS}
     within = None
     for p, _ in _DD_QS:
-        ok = F.abs(est[p] - F.col(f"q{p}_exact")) <= _DD_ALPHA * F.col(f"q{p}_exact")
+        ok = F.abs(F.col(f"q{p}_est") - F.col(f"q{p}_exact")) <= _DD_ALPHA * F.col(
+            f"q{p}_exact"
+        )
         within = ok if within is None else (within & ok)
     cols = ["scope", "n_rows", "n_buckets"]
     for p, _ in _DD_QS:
-        cols += [f"q{p}_bucket", est[p].alias(f"q{p}_est"), f"q{p}_exact"]
+        cols += [f"q{p}_bucket", f"q{p}_est", f"q{p}_exact"]
     return (
         qb.join(ex, "scope")
         .select(*cols, F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("within_alpha_all"))

@@ -965,3 +965,69 @@ def heavy_hitter_snapshot(state: DataFrame, k: int = 20) -> DataFrame:
         .select("rank", "token", "cms_est", "total_tokens")
         .orderBy("rank")
     )
+
+
+def streaming_quantile_rollup(
+    values: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    alpha: float = 0.01,
+    trigger: dict | None = None,
+):
+    """Incremental quantile monitoring over a stream: DDSketch log-bucket
+    histograms maintained in a tiny versioned state table — the streaming
+    twin of the batch ``sketch_quantile_profile`` (plans/sketch_queries.py),
+    completing the mergeable-sketch state family (HLL distinct, Count-Min
+    heavy hitters, DDSketch quantiles).
+
+    ``values`` is a streaming frame with columns (scope string, x double).
+    Each micro-batch: (1) log-bin the batch into integer (scope, bucket,
+    count) rows (functions/quantiles.py — the IDENTICAL geometry the batch
+    profile uses); (2) union with the previous state version and merge by
+    bucket-wise integer addition; (3) write version ``v{batch_id}``
+    (replay-safe ``< batch_id`` reads, same contract as
+    :func:`read_sketch_state`).
+
+    Integer addition is associative and commutative, so the stream's state
+    after N micro-batches is EXACTLY equal — not approximately, not
+    bit-identical-by-luck — to the batch histogram over the concatenated
+    input, regardless of batch boundaries (pinned in
+    tests/test_streaming_quantiles.py). State size: O(buckets spanned) per
+    scope (~115 buckets per decade at alpha=1%), never O(rows) — p99-style
+    latency/price monitoring over an unbounded stream with KB state.
+    """
+    from aws_flight_data_pipeline_spark.functions.quantiles import dd_histogram, dd_merge
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hist = dd_histogram(batch_df, "scope", "x", alpha)
+        prev = read_quantile_state(spark, state_path, before_batch=batch_id)
+        merged = hist if prev is None else dd_merge(hist, prev)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/v{batch_id:09d}"
+        )
+
+    writer = values.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def read_quantile_state(
+    spark: SparkSession, state_path: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Latest quantile state version (None before batch 0); replay-safe via
+    ``before_batch`` exactly like :func:`read_sketch_state`."""
+    return read_sketch_state(spark, state_path, before_batch=before_batch)
+
+
+def quantile_rollup_snapshot(state: DataFrame, alpha: float = 0.01) -> DataFrame:
+    """Quantile estimates from a state table: one row per scope plus a
+    GLOBAL row re-aggregated from the per-scope sketches — p50/p95/p99
+    without the state ever retaining a raw value."""
+    from aws_flight_data_pipeline_spark.functions.quantiles import dd_profile
+
+    return dd_profile(state, alpha).orderBy("scope")
