@@ -39,6 +39,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -83,7 +84,9 @@ def latest_version(path: str) -> int | None:
     return versions[-1] if versions else None
 
 
-def commit(df: DataFrame, path: str, mode: str = "append") -> int:
+def commit(
+    df: DataFrame, path: str, mode: str = "append", stats_cols: tuple[str, ...] = ()
+) -> int:
     """Write ``df`` as a new table version; returns the version number.
 
     ``mode='append'`` extends the parent's file set; ``'overwrite'`` replaces
@@ -92,6 +95,14 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
     garbage), never a torn table. Publication is a single O_CREAT|O_EXCL
     create of the manifest, so concurrent writers serialize: exactly one
     wins version N, the other raises ``CommitConflict``.
+
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (read from the parquet FOOTERS of the commit's new files —
+    no data scan), enabling manifest-level file skipping at read time
+    (``read(..., where=...)``). Cluster the data on the stats columns
+    first (``repartitionByRange`` / the Z-order writer in
+    ``operators/layout.py``) so per-file ranges are tight — stats on
+    randomly-scattered data prune nothing, exactly like Z-order locality.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -107,9 +118,13 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
         os.path.join("data", txn, f) for f in os.listdir(txn_dir) if f.endswith(".parquet")
     )
 
+    stats = {f: _footer_stats(os.path.join(path, f), stats_cols) for f in new_files} if stats_cols else {}
+
     files = list(new_files)
     if mode == "append" and parent is not None:
-        files = _read_manifest(path, parent)["files"] + files
+        parent_manifest = _read_manifest(path, parent)
+        files = parent_manifest["files"] + files
+        stats = {**parent_manifest.get("stats", {}), **stats}
 
     manifest = {
         "version": version,
@@ -117,10 +132,72 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
         "mode": mode,
         "files": files,
         "n_files": len(files),
+        "stats": stats,
         "committed_at": time.time(),
     }
     _publish(path, version, manifest)
     return version
+
+
+def _footer_stats(file_path: str, cols: tuple[str, ...]) -> dict:
+    """Per-file min/max from parquet footer metadata — no data pages read.
+    Only JSON-portable scalar types are recorded; anything else is skipped
+    (absent stats make pruning conservative, never wrong)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for col in cols:
+        idx = names.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+            out[col] = [lo, hi]
+    return out
+
+
+def plan_files(
+    path: str, version: int | None = None, where: dict | None = None
+) -> tuple[list[str], int]:
+    """The file list a read would scan: (kept relative paths, n_skipped).
+
+    ``where`` maps column -> (lo, hi) inclusive ranges; a file is skipped
+    only when its recorded [min, max] for that column is provably disjoint
+    from the requested range. Files without recorded stats for a predicate
+    column are always kept (conservative). This is driver-side arithmetic
+    over the KB-scale manifest — at 100 TB it removes whole files before
+    Spark ever plans the scan, the manifest-level complement of the parquet
+    reader's row-group pruning.
+    """
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"{path} has no committed versions")
+    m = _read_manifest(path, version)
+    stats = m.get("stats", {})
+    kept, skipped = [], 0
+    for f in m["files"]:
+        fs = stats.get(f, {})
+        drop = False
+        for col, (lo, hi) in (where or {}).items():
+            rng = fs.get(col)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                drop = True
+                break
+        if drop:
+            skipped += 1
+        else:
+            kept.append(f)
+    return kept, skipped
 
 
 def _publish(path: str, version: int, manifest: dict) -> None:
@@ -134,7 +211,12 @@ def _publish(path: str, version: int, manifest: dict) -> None:
         json.dump(manifest, fh, indent=1)
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: dict | None = None,
+) -> DataFrame:
     """Snapshot read: latest version, or time travel to ``version``.
 
     The returned plan scans exactly the manifest's file list — commits that
@@ -142,20 +224,37 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     a later overwrite dropped are still read for the pinned version (until
     vacuumed). ``mergeSchema`` makes additive column evolution read back as
     nulls for pre-evolution files.
+
+    ``where`` = {col: (lo, hi)} inclusive ranges: files whose manifest
+    stats are provably outside the range are dropped from the scan
+    (``plan_files``), and the equivalent row filter is applied so the
+    result is exactly the filtered table — manifest file skipping plus
+    parquet predicate pushdown for whatever survives.
     """
     if version is None:
         version = latest_version(path)
         if version is None:
             raise FileNotFoundError(f"{path} has no committed versions")
-    m = _read_manifest(path, version)
-    files = [os.path.join(path, f) for f in m["files"]]
+    kept, _ = plan_files(path, version, where)
+    if not kept:
+        # every file pruned: preserve result semantics with an empty frame
+        # over the version's schema
+        all_files, _ = plan_files(path, version)
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in all_files]
+        )
+        return base.where(F.lit(False))
+    files = [os.path.join(path, f) for f in kept]
     missing = [f for f in files if not os.path.exists(f)]
     if missing:
         raise FileNotFoundError(
             f"version {version} of {path} references vacuumed data "
             f"(e.g. {missing[0]}); time travel is bounded by vacuum retention"
         )
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    for col, (lo, hi) in (where or {}).items():
+        df = df.where(F.col(col).between(lo, hi))
+    return df
 
 
 def rollback(path: str, to_version: int) -> int:
@@ -174,6 +273,7 @@ def rollback(path: str, to_version: int) -> int:
         "rolled_back_to": to_version,
         "files": old["files"],
         "n_files": len(old["files"]),
+        "stats": old.get("stats", {}),
         "committed_at": time.time(),
     }
     _publish(path, version, manifest)

@@ -113,3 +113,34 @@ def test_read_missing_version_raises_cleanly(spark, table):
     vt.commit(_df(spark, 0, 2, "a"), table)
     with pytest.raises(FileNotFoundError):
         vt.read(spark, table, version=7)
+
+
+def test_manifest_stats_file_skipping(spark, table):
+    # range-clustered write -> disjoint per-file id ranges -> skippable
+    df = spark.range(0, 4000).selectExpr("id", "id % 7 AS v").repartitionByRange(8, "id")
+    vt.commit(df, table, stats_cols=("id",))
+    kept, skipped = vt.plan_files(table, where={"id": (100, 150)})
+    assert skipped > 0 and len(kept) < 8, (kept, skipped)
+    # pruned read == plain filtered read, exactly
+    out = vt.read(spark, table, where={"id": (100, 150)})
+    assert sorted(r["id"] for r in out.collect()) == list(range(100, 151))
+
+
+def test_stats_survive_append_and_rollback(spark, table):
+    a = spark.range(0, 100).selectExpr("id").repartitionByRange(2, "id")
+    b = spark.range(1000, 1100).selectExpr("id").repartitionByRange(2, "id")
+    vt.commit(a, table, stats_cols=("id",))
+    vt.commit(b, table, mode="append", stats_cols=("id",))
+    kept, skipped = vt.plan_files(table, where={"id": (1050, 1060)})
+    assert skipped >= 2  # both of a's files are provably out of range
+    vt.rollback(table, to_version=0)
+    kept0, skipped0 = vt.plan_files(table, where={"id": (1050, 1060)})
+    assert kept0 == [] and skipped0 == 2  # rollback carried v0's stats
+    assert vt.read(spark, table, where={"id": (1050, 1060)}).count() == 0
+
+
+def test_missing_stats_are_conservative(spark, table):
+    vt.commit(spark.range(0, 50).selectExpr("id"), table)  # no stats recorded
+    kept, skipped = vt.plan_files(table, where={"id": (9999, 10000)})
+    assert skipped == 0 and len(kept) >= 1  # cannot prove disjoint -> keep
+    assert vt.read(spark, table, where={"id": (10, 12)}).count() == 3
