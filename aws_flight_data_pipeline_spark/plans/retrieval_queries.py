@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
 from aws_flight_data_pipeline_spark.functions.text import tokens, word_count
 from aws_flight_data_pipeline_spark.plans.registry import builder
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
@@ -202,7 +203,12 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", word_count(F.col("text")).alias("wc"),
         F.explode(tokens(F.col("text"))).alias("tok"),
     )
-    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # cache the trained model: without it the vocab hash-agg subtree is
+    # REBUILT for each of its two consumers (the broadcast model and the
+    # total/V row) — a second full pass over the corpus token stream at
+    # scale. Cached state is O(vocabulary), released by the registry's
+    # self-cleaning wrapper (functions/caching.py).
+    counts = tracked_cache(tok.groupBy("tok").agg(F.count("*").alias("cnt")))
     tot = counts.agg(F.sum("cnt").alias("total"), F.count("*").alias("v"))
 
     nll = -F.log((F.col("cnt") + LM_ALPHA) / (F.col("total") + LM_ALPHA * F.col("v")))

@@ -302,3 +302,45 @@ def test_heavy_dedup_pipelines_cache_and_never_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "InMemoryTableScan" in plan, f"{name}: tracked caches unwired"
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    # df + corpus-stats frames broadcast; top-k never globally sorts
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_scoring_trains_vocab_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_lm_quality_score")
+    # the cached vocab model means the corpus token stream is exploded at
+    # most twice (train + score) — a third explode is the recompute bug
+    assert plan.count("explode") <= 2, plan.count("explode")
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_shares_one_event_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scd2_state_history")
+    # LAG window, version window, run agg, and user rollup all ride ONE
+    # user_id hash exchange (hashpartitioning(user_id) satisfies the
+    # (user_id, ver) clustering); the only other exchange is the
+    # presentation orderBy
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert len(re.findall(r"rangepartitioning", plan)) == 1
+
+
+def test_quantile_profile_sketch_path_reaggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sketch_quantile_profile")
+    # the GLOBAL histogram re-aggregates per-status sketches: the orders
+    # scan feeds the bucket path once, never twice (the exact-stat contract
+    # path accounts for the other scans)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_diversity_sample_is_one_bucket_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_diversity_sample")
+    # rank + stratum-size windows and the final rollup share one bucket
+    # exchange (plus the presentation orderBy)
+    assert len(re.findall(r"hashpartitioning\(bucket", plan)) == 1
+    assert "SortMergeJoin" not in plan
