@@ -85,7 +85,11 @@ def latest_version(path: str) -> int | None:
 
 
 def commit(
-    df: DataFrame, path: str, mode: str = "append", stats_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
 
@@ -134,6 +138,7 @@ def commit(
         "n_files": len(files),
         "stats": stats,
         "committed_at": time.time(),
+        **(meta or {}),
     }
     _publish(path, version, manifest)
     return version
@@ -338,3 +343,102 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
     for v in drop:
         os.remove(_manifest_path(path, v))
     return {"versions_dropped": len(drop), "files_deleted": files_deleted}
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    cluster_by: tuple[str, ...] = (),
+    n_files: int = 16,
+    bits: int = 8,
+    stats_cols: tuple[str, ...] | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the latest snapshot compacted (and optionally
+    clustered) as a new overwrite commit — content-identical, atomically
+    published, with prior versions still time-travelable.
+
+    ``cluster_by=()`` compacts to ``n_files``; one column range-clusters
+    (tight per-file min/max on that column); two columns Z-order
+    (operators/layout.py — per-file ranges tighten on BOTH dimensions).
+    ``stats_cols`` defaults to ``cluster_by``, so the rewrite feeds the
+    manifest exactly the stats its layout makes prunable: this is the
+    OPTIMIZE ZORDER + collect-stats pairing on the transactional tier.
+    Readers racing the optimize keep their snapshot (immutable files +
+    pinned manifest); the swap is the manifest publication.
+    """
+    cur = read(spark, path)
+    if stats_cols is None:
+        stats_cols = tuple(cluster_by)
+    if len(cluster_by) >= 2:
+        from aws_flight_data_pipeline_spark.operators.layout import zorder_key
+
+        out = (
+            zorder_key(cur, cluster_by[0], cluster_by[1], bits)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif len(cluster_by) == 1:
+        out = cur.repartitionByRange(n_files, F.col(cluster_by[0])).sortWithinPartitions(
+            cluster_by[0]
+        )
+    else:
+        out = cur.repartition(n_files)
+    return commit(out, path, mode="overwrite", stats_cols=stats_cols)
+
+
+def _batch_versions(path: str) -> set[int]:
+    """batch_ids already committed by the streaming sink (manifest-stamped)."""
+    out = set()
+    for v in _list_versions(path):
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
+
+
+def commit_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    stats_cols: tuple[str, ...] = (),
+) -> int | None:
+    """Idempotent per-micro-batch append: the manifest is stamped with
+    ``batch_id``, and a replay of an already-committed batch is a no-op —
+    foreachBatch's at-least-once delivery becomes an EXACTLY-ONCE visible
+    table. A crash after the data write but before publication leaves only
+    unreferenced files (vacuum garbage), never duplicate rows."""
+    if batch_id in _batch_versions(path):
+        return None
+    return commit(
+        batch_df,
+        path,
+        mode="append",
+        stats_cols=stats_cols,
+        meta={"batch_id": int(batch_id)},
+    )
+
+
+def streaming_versioned_sink(
+    values: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    stats_cols: tuple[str, ...] = (),
+    trigger: dict | None = None,
+):
+    """Stream into a versioned table: one append commit per micro-batch,
+    manifest-stamped with the batch id so at-least-once replays are
+    skipped (exactly-once visibility on plain parquet). Each commit is a
+    consistent snapshot — downstream batch readers time-travel across
+    micro-batch boundaries, and vacuum retention bounds history growth."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commit_stream_batch(batch_df, batch_id, path, stats_cols=stats_cols)
+
+    writer = values.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()

@@ -144,3 +144,60 @@ def test_missing_stats_are_conservative(spark, table):
     kept, skipped = vt.plan_files(table, where={"id": (9999, 10000)})
     assert skipped == 0 and len(kept) >= 1  # cannot prove disjoint -> keep
     assert vt.read(spark, table, where={"id": (10, 12)}).count() == 3
+
+
+def test_optimize_compacts_and_enables_skipping(spark, table):
+    # three scattered appends -> many unclustered files
+    for lo in (0, 1000, 2000):
+        vt.commit(
+            spark.range(lo, lo + 1000).selectExpr("id", "id % 5 AS v").repartition(4),
+            table, mode="append",
+        )
+    before, _ = vt.plan_files(table)
+    v = vt.optimize(spark, table, cluster_by=("id",), n_files=6)
+    after, _ = vt.plan_files(table)
+    assert len(after) <= 6 < len(before)
+    # content-identical, and prior versions still time-travel
+    assert sorted(r["id"] for r in vt.read(spark, table).collect()) == list(range(3000))
+    assert vt.read(spark, table, version=0).count() == 1000
+    # the clustered rewrite recorded prunable stats
+    kept, skipped = vt.plan_files(table, where={"id": (100, 120)})
+    assert skipped > 0 and len(kept) < len(after)
+    hist = {r["version"]: r["mode"] for r in vt.history(spark, table).collect()}
+    assert hist[v] == "overwrite"
+
+
+def test_optimize_zorder_two_columns(spark, table):
+    df = spark.range(0, 2000).selectExpr("id AS a", "(id * 37) % 2000 AS b")
+    vt.commit(df.repartition(8), table)
+    vt.optimize(spark, table, cluster_by=("a", "b"), n_files=8)
+    out = vt.read(spark, table)
+    assert out.count() == 2000
+    assert sorted(r["a"] for r in out.collect()) == list(range(2000))
+    # both clustered dims carry manifest stats
+    m = vt._read_manifest(table, vt.latest_version(table))
+    some = next(iter(m["stats"].values()))
+    assert set(some) == {"a", "b"}
+
+
+def test_streaming_sink_is_exactly_once(spark, table, tmp_path):
+    src = str(tmp_path / "incoming")
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 100).selectExpr("id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("id long").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = vt.streaming_versioned_sink(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert vt.read(spark, table).count() == 300
+    assert len(vt._list_versions(table)) == 3
+    # at-least-once replay of an already-committed batch is a no-op
+    replay = spark.range(0, 100).selectExpr("id")
+    assert vt.commit_stream_batch(replay, 1, table) is None
+    assert vt.read(spark, table).count() == 300
+    # a NEW batch id commits
+    assert vt.commit_stream_batch(spark.range(300, 310).selectExpr("id"), 77, table) == 3
+    assert vt.read(spark, table).count() == 310
