@@ -794,3 +794,159 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.countDistinct("fp")).cast("bigint").alias("exact_dup_docs"),
         F.sum(F.when(rule_pass, 1).otherwise(0)).cast("bigint").alias("quality_pass_docs"),
     )
+
+
+#: Temperature-mix parameters: tau < 1 flattens the source distribution
+#: (LLaMA/T5-style mixture reweighting); the token budget is sf-independent
+#: so small sources saturate and large ones are subsampled at every scale.
+_MIX_TAU = 0.7
+_MIX_TOTAL_TOKENS = 5_000
+
+
+@builder(
+    "corpus_temperature_mix",
+    tags=("curation", "sampling", "mixing", "window"),
+    doc="Temperature-weighted source mixing (the data recipe primitive "
+    "behind T5/LLaMA-style mixtures): per-source weights n_s^tau / sum "
+    "n_t^tau flatten the natural source distribution (tau=0.7), each "
+    "source gets floor(weight * total_budget) tokens, and documents are "
+    "admitted per source in frozen md5-hash order while the running token "
+    "total fits the budget. Weights are integer-micro-scaled before the "
+    "budget multiply (the transcendental pow never touches a comparison "
+    "raw), budgets are exact integers, the admission walk is exact BIGINT "
+    "running sums — one KB-scale stats frame broadcast onto one "
+    "window-per-source pass; the corpus is scanned once at any scale. "
+    "Small sources gain share (weight_e6 > natural share), big sources "
+    "are subsampled — the flattening is observable in the output.",
+    oracle=f"""
+        WITH wc AS (
+            SELECT source, doc_id, {_WORD_COUNT_SQL} AS toks,
+                   {_md5_bucket_sql("doc_id")} AS h
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS total_docs,
+                   CAST(SUM(toks) AS BIGINT) AS n_s
+            FROM wc GROUP BY source
+        ),
+        z AS (SELECT SUM(POWER(n_s, {_MIX_TAU})) AS z FROM per_src),
+        budgets AS (
+            SELECT source, total_docs, n_s,
+                   CAST(ROUND(1e6 * POWER(n_s, {_MIX_TAU}) / z.z) AS BIGINT)
+                       AS weight_e6,
+                   CAST(FLOOR(CAST(ROUND(1e6 * POWER(n_s, {_MIX_TAU}) / z.z)
+                                   AS BIGINT) * {_MIX_TOTAL_TOKENS} / 1e6)
+                        AS BIGINT) AS budget_tokens
+            FROM per_src CROSS JOIN z
+        ),
+        cum AS (
+            SELECT source, toks,
+                   SUM(toks) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_toks
+            FROM wc
+        )
+        SELECT b.source, b.total_docs, b.n_s AS total_tokens, b.weight_e6,
+               b.budget_tokens,
+               CAST(SUM(CASE WHEN c.cum_toks <= b.budget_tokens THEN 1 ELSE 0 END)
+                    AS BIGINT) AS admitted_docs,
+               CAST(SUM(CASE WHEN c.cum_toks <= b.budget_tokens THEN c.toks ELSE 0 END)
+                    AS BIGINT) AS admitted_tokens
+        FROM cum c JOIN budgets b ON c.source = b.source
+        GROUP BY b.source, b.total_docs, b.n_s, b.weight_e6, b.budget_tokens
+        ORDER BY b.source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = d.select(
+        "source", "doc_id",
+        word_count(F.col("text")).alias("toks"),
+        _md5_bucket(F.col("doc_id")).alias("h"),
+    )
+    per_src = wc.groupBy("source").agg(
+        F.count("*").alias("total_docs"), F.sum("toks").cast("bigint").alias("n_s")
+    )
+    z = per_src.agg(F.sum(F.pow("n_s", F.lit(_MIX_TAU))).alias("z"))
+    w_e6 = F.round(1e6 * F.pow("n_s", F.lit(_MIX_TAU)) / F.col("z")).cast("bigint")
+    budgets = per_src.crossJoin(F.broadcast(z)).select(
+        "source", "total_docs", "n_s",
+        w_e6.alias("weight_e6"),
+        F.floor(w_e6 * _MIX_TOTAL_TOKENS / 1e6).cast("bigint").alias("budget_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wc.withColumn("cum_toks", F.sum("toks").over(w))
+    admitted = F.col("cum_toks") <= F.col("budget_tokens")
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .groupBy("source", "total_docs", "n_s", "weight_e6", "budget_tokens")
+        .agg(
+            F.sum(F.when(admitted, 1).otherwise(0)).cast("bigint").alias("admitted_docs"),
+            F.sum(F.when(admitted, F.col("toks")).otherwise(0))
+            .cast("bigint")
+            .alias("admitted_tokens"),
+        )
+        .withColumnRenamed("n_s", "total_tokens")
+        .orderBy("source")
+    )
+
+
+_N_SHARDS = 8
+
+
+@builder(
+    "corpus_shard_assignment",
+    tags=("curation", "sharding", "window"),
+    doc="Deterministic training-shard assignment: documents are ordered by "
+    "the frozen md5 hash (a reproducible global shuffle — training order "
+    "must not correlate with crawl order) and cut into 8 equal-cardinality "
+    "shards with NTILE. Per-shard doc/token counts plus an id checksum pin "
+    "the exact membership cross-engine. The global sort is the verifiable "
+    "small-scale form; at 100 TB the same cut is range boundaries on the "
+    "uniform hash (approx quantiles of h), which shards without a total "
+    "sort — same assignment up to boundary ties.",
+    oracle=f"""
+        WITH wc AS (
+            SELECT doc_id, {_WORD_COUNT_SQL} AS toks,
+                   {_md5_bucket_sql("doc_id")} AS h
+            FROM documents
+        ),
+        sharded AS (
+            SELECT doc_id, toks,
+                   CAST(NTILE({_N_SHARDS}) OVER (ORDER BY h, doc_id) AS BIGINT)
+                       AS shard
+            FROM wc
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM sharded
+        GROUP BY shard
+        ORDER BY shard
+    """,
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("toks"),
+        _md5_bucket(F.col("doc_id")).alias("h"),
+    )
+    sharded = wc.withColumn(
+        "shard", F.ntile(_N_SHARDS).over(Window.orderBy("h", "doc_id")).cast("bigint")
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )

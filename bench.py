@@ -145,6 +145,8 @@ HEADLINE = (
     "corpus_diversity_sample",
     "sketch_quantile_profile",
     "scd2_state_history",
+    "corpus_temperature_mix",
+    "corpus_shard_assignment",
 )
 
 
