@@ -950,3 +950,96 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@builder(
+    "dedup_cluster_representatives",
+    tags=("curation", "dedup", "graph", "quality"),
+    doc="Quality-aware cluster representative selection — the upgrade of "
+    "keep-FIRST dedup to keep-BEST: near-dup components (same shared "
+    "scored-pair snapshot + connected-components operator as "
+    "dedup_cluster_components) are joined with the per-document composite "
+    "quality score (the text_signal_suite formula, integer-micro-scaled), "
+    "and each multi-doc cluster elects max_by(doc, quality) with a "
+    "lowest-doc-id tiebreak folded into one BIGINT sort key. Output: one "
+    "row per duplicate cluster with the kept doc, its quality, the "
+    "intra-cluster quality spread, and the removal count. One extra "
+    "broadcast-sized join over the clustering pipeline — the quality frame "
+    "is per-doc signals, the election is a hash-agg. Both engines run the "
+    "identical 3-round Hash-Min unrolling (parity under the separately "
+    "asserted convergence, same contract as dedup_cluster_components).",
+    oracle=f"""
+        WITH {SCORED_PAIRS_CTES}, dup_edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM scored WHERE j >= 0.5
+            UNION ALL
+            SELECT doc_b, doc_a FROM scored WHERE j >= 0.5
+        ), lab0 AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+        ), {_label_iteration_sql("lab0", "lab1")},
+        {_label_iteration_sql("lab1", "lab2")},
+        {_label_iteration_sql("lab2", "lab3")},
+        q AS (
+            SELECT doc_id,
+                   CAST(ROUND((
+                       0.5 * LEAST(CAST({_WORD_COUNT_SQL} AS DOUBLE) / 50.0, 1.0)
+                       + 0.5 * (CAST(len(list_distinct(string_split(text, ' ')))
+                                     AS DOUBLE) / {_WORD_COUNT_SQL})
+                   ) * 1e6) AS BIGINT) AS q_e6
+            FROM documents
+        ),
+        memb AS (
+            SELECT l.node AS doc_id, l.label, q.q_e6
+            FROM lab{_CC_ITERATIONS} l JOIN q ON q.doc_id = l.node
+        )
+        SELECT label AS cluster_label,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               max_by(doc_id, q_e6 * 10000000000 - doc_id) AS rep_doc,
+               CAST(MAX(q_e6) AS BIGINT) AS rep_q_e6,
+               CAST(MAX(q_e6) - MIN(q_e6) AS BIGINT) AS q_spread_e6,
+               CAST(COUNT(*) - 1 AS BIGINT) AS docs_removed
+        FROM memb
+        GROUP BY label
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster_label
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.text import token_type_ratio
+    from aws_flight_data_pipeline_spark.operators.graph import connected_components
+
+    scored = scored_pairs_table(spark, sf_dir)
+    edges = symmetrize(
+        scored.filter(F.col("j") >= 0.5).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    ).transform(tracked_cache)
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(
+        d.select(F.col("doc_id").alias("node")), edges, _CC_ITERATIONS
+    )
+    wc = word_count(F.col("text"))
+    ls = F.least(wc.cast("double") / 50.0, F.lit(1.0))
+    q = d.select(
+        "doc_id",
+        F.round((0.5 * ls + 0.5 * token_type_ratio(F.col("text"))) * 1e6)
+        .cast("bigint")
+        .alias("q_e6"),
+    )
+    memb = labels.join(q, labels["node"] == q["doc_id"]).select(
+        "doc_id", "label", "q_e6"
+    )
+    # keep-best election: quality then lowest-doc-id, folded into one
+    # BIGINT key (q_e6 <= 1e6, doc ids < 1e10 — exact by construction)
+    key = F.col("q_e6") * F.lit(10_000_000_000) - F.col("doc_id")
+    return (
+        memb.groupBy(F.col("label").alias("cluster_label"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max_by("doc_id", key).alias("rep_doc"),
+            F.max("q_e6").alias("rep_q_e6"),
+            (F.max("q_e6") - F.min("q_e6")).cast("bigint").alias("q_spread_e6"),
+            (F.count("*") - 1).cast("bigint").alias("docs_removed"),
+        )
+        .where(F.col("cluster_size") >= 2)
+        .orderBy("cluster_label")
+    )

@@ -147,6 +147,7 @@ HEADLINE = (
     "scd2_state_history",
     "corpus_temperature_mix",
     "corpus_shard_assignment",
+    "dedup_cluster_representatives",
 )
 
 
