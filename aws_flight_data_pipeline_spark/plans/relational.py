@@ -1191,3 +1191,105 @@ def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = df.select(F.lit(name).alias("section"), "cnt", "cents_total")
         out = s if out is None else out.unionByName(s)
     return out.orderBy("section")
+
+
+@builder(
+    "multiway_join_revenue",
+    tags=("join", "multiway", "broadcast", "agg"),
+    doc="TPC-H Q5-shaped six-table join — local-supplier revenue by nation "
+    "and order year for one region: region→nation→supplier chain and the "
+    "customer dim broadcast (all KB–MB frames), ONE shuffle join between "
+    "the two fact tables (lineitem ⋈ orders on orderkey — the join that "
+    "must stay a shuffled equi-join at 100 TB, co-locatable by bucketing "
+    "both facts on orderkey per tests/test_bucketed_join.py), and the "
+    "local-supplier predicate c_nationkey = s_nationkey applied as a "
+    "post-broadcast filter. Revenue follows the cents-exact discipline: "
+    "price cents × (100 − discount%) summed as exact BIGINT, divided once "
+    "at the end — no float summation order anywhere.",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name, 2
+        ORDER BY nation, order_year
+    """,
+)
+def multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    # dim chain resolved first — everything here is broadcast-sized
+    local_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])  # fact ⋈ fact: the one shuffle
+        .join(F.broadcast(local_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            (F.sum(cents * (100 - disc)).cast("bigint") / 10000.0).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+@builder(
+    "pivot_unpivot_roundtrip",
+    tags=("pivot", "unpivot", "agg"),
+    doc="Pivot/unpivot as first-class reshape operators: order totals pivot "
+    "to a wide (year × status) matrix with an EXPLICIT pivot-value list "
+    "(never the two-pass value-discovery scan — at 100 TB the distinct "
+    "probe is a full extra pass; declared values keep it one aggregation), "
+    "then unpivot back to long form via the stack expression. The oracle "
+    "is the DIRECT long-form aggregation, so parity proves the roundtrip "
+    "is lossless — absent (year, status) cells surface as nulls and are "
+    "dropped, exactly like the direct group-by never emits them. Totals "
+    "ride as exact integer cents.",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderstatus AS status,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY order_year, status
+    """,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    wide = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(cents))
+    )
+    return (
+        wide.unpivot(["order_year"], ["F", "O", "P"], "status", "total_cents")
+        .where(F.col("total_cents").isNotNull())
+        .orderBy("order_year", "status")
+    )

@@ -148,6 +148,8 @@ HEADLINE = (
     "corpus_temperature_mix",
     "corpus_shard_assignment",
     "dedup_cluster_representatives",
+    "multiway_join_revenue",
+    "pivot_unpivot_roundtrip",
 )
 
 

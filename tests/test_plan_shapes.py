@@ -344,3 +344,20 @@ def test_diversity_sample_is_one_bucket_shuffle(spark, sf_dir):
     # exchange (plus the presentation orderBy)
     assert len(re.findall(r"hashpartitioning\(bucket", plan)) == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multiway_join_revenue")
+    # region/nation/supplier/customer resolve as broadcast joins; the only
+    # non-broadcast join is lineitem ⋈ orders on orderkey
+    assert plan.count("BroadcastHashJoin") >= 3
+    non_broadcast = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert non_broadcast <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_declares_values_one_pass(spark, sf_dir):
+    # explicit pivot values -> ONE scan of orders (value discovery would scan twice)
+    plan = _plan(spark, sf_dir, "pivot_unpivot_roundtrip")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan  # the unpivot stack expression
