@@ -210,3 +210,47 @@ def default_quality_score(df: DataFrame) -> Column:
         (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in critical), start=F.lit(0)
     ) / F.lit(max(len(critical), 1))
     return 0.7 * overall + 0.3 * crit
+
+
+def state_runs(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands state runs over a change stream: ``(user_id, ver,
+    state, from_us, run_events)`` — consecutive events with the same
+    ``event_type`` (ordered by ``ts`` then ``event_id``) collapse into one
+    run. Shared by the batch SCD2 history query
+    (plans/sequences.py:scd2_state_history) and the streaming dimension
+    maintainer (streaming/streams.py:streaming_scd2_dimension); one
+    ``user_id`` shuffle, every later stage partition-local."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+    ).otherwise(0)
+    # normalize TIMESTAMP_NTZ (raw streaming parquet reads) to session-tz
+    # TIMESTAMP so unix_micros resolves; UTC is pinned by load_table
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    vers = (
+        events.select(
+            "user_id", "event_id", "ts", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .withColumn(
+            "ver",
+            F.sum(chg)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+    )
+    return vers.groupBy("user_id", "ver").agg(
+        F.max("event_type").alias("state"),  # constant within a run
+        F.unix_micros(F.min("ts")).alias("from_us"),
+        F.count("*").alias("run_events"),
+    )
+
+
+def runs_to_intervals(runs: DataFrame) -> DataFrame:
+    """SCD2 validity intervals from state runs: ``(user_id, state, from_us,
+    to_us)`` where ``to_us`` is the next run's start (NULL = current/open
+    row). One window over the tiny per-user run frame."""
+    w = Window.partitionBy("user_id").orderBy("ver")
+    return runs.select(
+        "user_id", "state", "from_us", F.lead("from_us").over(w).alias("to_us")
+    )

@@ -545,26 +545,10 @@ def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.operators.sequence import state_runs
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
-    ).otherwise(0)
-    vers = (
-        e.select("user_id", "event_id", "ts", "event_type",
-                 F.lag("event_type").over(w).alias("prev"))
-        .withColumn(
-            "ver",
-            F.sum(chg)
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("bigint"),
-        )
-    )
-    runs = vers.groupBy("user_id", "ver").agg(
-        F.max("event_type").alias("state"),  # constant within a run
-        F.unix_micros(F.min("ts")).alias("from_us"),
-        F.count("*").alias("run_events"),
-    )
+    runs = state_runs(e.select("user_id", "event_id", "ts", "event_type"))
     return (
         runs.groupBy("user_id")
         .agg(
