@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pytest
 
-from aws_flight_data_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from aws_flight_data_pipeline_spark.plans.registry import BUILDER_SPECS, REGISTRY, _ensure_loaded
 from aws_flight_data_pipeline_spark.sources.testdata import load_tables
 
 _ensure_loaded()
@@ -44,6 +44,9 @@ PORTABLE = (
     "doc_pack_sequences",
     # vector_lsh_sign_buckets parses on Spark SQL but DuckDB's 1-based list
     # slicing reads different signature elements — dialect-divergent, excluded
+    # round-6 builders whose oracles stay in the portable subset:
+    "multiway_join_revenue",
+    "pivot_unpivot_roundtrip",
 )
 
 
@@ -59,7 +62,7 @@ def _norm(v):
 
 @pytest.mark.parametrize("name", PORTABLE)
 def test_oracle_sql_runs_on_spark_and_matches_dataframe_plan(spark, sf_dir, name):
-    spec = REGISTRY[name]
+    spec = REGISTRY.get(name) or BUILDER_SPECS[name]
     load_tables(spark, sf_dir)
     via_sql = spark.sql(spec.oracle)
     via_df = spec.fn(spark, sf_dir)
