@@ -442,3 +442,81 @@ def streaming_versioned_sink(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
+    """Row-level DELETE via copy-on-write, scoped by manifest stats: only
+    files whose recorded [min, max] can CONTAIN matching rows are rewritten
+    (the same pruning arithmetic as ``plan_files`` — on a range-clustered
+    table a narrow delete rewrites a handful of files out of millions);
+    every other file is carried into the new manifest untouched. Returns
+    accounting ``{version, files_rewritten, files_carried, rows_deleted}``.
+
+    ``where`` = {col: (lo, hi)} inclusive ranges ANDed together — a row is
+    deleted when EVERY predicate column falls inside its range. Prior
+    versions still read the pre-delete snapshot (copy-on-write never
+    touches their files); vacuum reclaims the rewritten originals once
+    retention passes.
+    """
+    version = latest_version(path)
+    if version is None:
+        raise FileNotFoundError(f"{path} has no committed versions")
+    m = _read_manifest(path, version)
+    affected, _ = plan_files(path, version, where)
+    carried = [f for f in m["files"] if f not in set(affected)]
+    if not affected:
+        return {
+            "version": version,
+            "files_rewritten": 0,
+            "files_carried": len(carried),
+            "rows_deleted": 0,
+        }
+
+    cond = None
+    for col, (lo, hi) in where.items():
+        c = F.col(col).between(lo, hi)
+        cond = c if cond is None else (cond & c)
+    src = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in affected]
+    )
+    survivors = src.where(~cond)
+    n_before = src.count()
+    n_after = survivors.count()
+
+    # stats for the rewritten files: the union of columns the affected
+    # files carried stats for (keeps the table's pruning power intact)
+    stats_cols = tuple(
+        sorted({c for f in affected for c in m.get("stats", {}).get(f, {})})
+    )
+
+    new_version = version + 1
+    txn = f"v{new_version:09d}-{uuid.uuid4().hex[:12]}"
+    txn_dir = os.path.join(_data_dir(path), txn)
+    survivors.write.mode("error").option("compression", "snappy").parquet(txn_dir)
+    new_files = sorted(
+        os.path.join("data", txn, f)
+        for f in os.listdir(txn_dir)
+        if f.endswith(".parquet")
+    )
+    stats = {f: s for f, s in m.get("stats", {}).items() if f in set(carried)}
+    if stats_cols:
+        stats.update(
+            {f: _footer_stats(os.path.join(path, f), stats_cols) for f in new_files}
+        )
+    manifest = {
+        "version": new_version,
+        "parent": version,
+        "mode": "delete",
+        "files": carried + new_files,
+        "n_files": len(carried) + len(new_files),
+        "stats": stats,
+        "rows_deleted": n_before - n_after,
+        "committed_at": time.time(),
+    }
+    _publish(path, new_version, manifest)
+    return {
+        "version": new_version,
+        "files_rewritten": len(affected),
+        "files_carried": len(carried),
+        "rows_deleted": n_before - n_after,
+    }

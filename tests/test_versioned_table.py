@@ -201,3 +201,32 @@ def test_streaming_sink_is_exactly_once(spark, table, tmp_path):
     # a NEW batch id commits
     assert vt.commit_stream_batch(spark.range(300, 310).selectExpr("id"), 77, table) == 3
     assert vt.read(spark, table).count() == 310
+
+
+def test_delete_where_rewrites_only_overlapping_files(spark, table):
+    df = spark.range(0, 4000).selectExpr("id", "id % 3 AS v").repartitionByRange(8, "id")
+    vt.commit(df, table, stats_cols=("id",))
+    out = vt.delete_where(spark, table, {"id": (100, 150)})
+    assert out["rows_deleted"] == 51
+    # stat-pruned copy-on-write: most of the 8 range-clustered files carry
+    assert out["files_rewritten"] <= 2 and out["files_carried"] >= 6
+    ids = sorted(r["id"] for r in vt.read(spark, table).collect())
+    assert len(ids) == 4000 - 51 and 100 not in ids and 151 in ids
+    # time travel still shows the pre-delete snapshot
+    assert vt.read(spark, table, version=0).count() == 4000
+    # pruning still works on the rewritten table
+    kept, skipped = vt.plan_files(table, where={"id": (3900, 3950)})
+    assert skipped > 0
+
+
+def test_delete_where_no_match_is_metadata_only(spark, table):
+    vt.commit(
+        spark.range(0, 100).selectExpr("id").repartitionByRange(2, "id"),
+        table, stats_cols=("id",),
+    )
+    before = vt.latest_version(table)
+    out = vt.delete_where(spark, table, {"id": (5000, 6000)})
+    assert out == {
+        "version": before, "files_rewritten": 0, "files_carried": 2, "rows_deleted": 0,
+    }
+    assert vt.latest_version(table) == before  # no new version published
