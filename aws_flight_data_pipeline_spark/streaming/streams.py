@@ -1119,3 +1119,87 @@ def streaming_scd2_dimension(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+_SCD2_OOO_OUTPUT_SCHEMA = "user_id long, state string, from_us long, to_us long"
+#: buffered pending events (serialized), plus the current open run head
+_SCD2_OOO_STATE_SCHEMA = "buf string, open_state string, open_from long"
+
+
+def _scd2_ooo_fn(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Per-user fold: buffer events until the watermark passes them, then
+    replay the ripe prefix in (ts, event_id) order through the run machine.
+    State = events inside the lateness window + the open run head — bounded
+    by the watermark delay, never by stream length."""
+    (user_id,) = key
+    buf: list[tuple[int, int, str]] = []
+    open_state, open_from = None, None
+    if state.exists:
+        buf_s, open_state, open_from = state.get
+        for item in buf_s.split(";"):
+            if item:
+                us, eid, typ = item.split(":", 2)
+                buf.append((int(us), int(eid), typ))
+
+    for pdf in pdfs:
+        for r in pdf.itertuples():
+            buf.append((int(r.ts.value // 1000), int(r.event_id), str(r.event_type)))
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    ripe = [e for e in buf if e[0] <= wm_us]
+    buf = [e for e in buf if e[0] > wm_us]
+
+    closed = []
+    for us, _eid, typ in ripe:
+        if open_state is None:
+            open_state, open_from = typ, us
+        elif typ != open_state:
+            closed.append((user_id, open_state, open_from, us))
+            open_state, open_from = typ, us
+
+    state.update((
+        ";".join(f"{us}:{eid}:{typ}" for us, eid, typ in buf),
+        open_state,
+        open_from,
+    ))
+    if buf:
+        # wake this key when the watermark passes its oldest pending event,
+        # even if no new rows arrive for it — otherwise a quiet user's
+        # buffered events would never finalize
+        state.setTimeoutTimestamp(max(buf[0][0] // 1000 + 1, wm_us // 1000 + 1))
+    yield pd.DataFrame(closed, columns=["user_id", "state", "from_us", "to_us"])
+
+
+def streaming_scd2_ooo(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """OUT-OF-ORDER-tolerant SCD2 run construction — the watermarked
+    stateful tier completing :func:`streaming_scd2_dimension` (which
+    requires in-order delivery): events are buffered per user inside the
+    lateness window and only folded into runs once the watermark passes
+    them, so a late event re-sorts into its true position before any run
+    boundary involving it is finalized. Emits CLOSED validity intervals in
+    append mode (the open head lives in state — append sinks cannot
+    retract, the same contract as every watermarked aggregation); closed
+    output equals the batch run construction over the time-ordered input
+    for any arrival order within ``delay`` (pinned in
+    tests/test_streaming_scd2.py). State per user is O(events inside the
+    lateness window) + one open-run head — watermark-bounded, not
+    stream-bounded.
+    """
+    return (
+        events.select(
+            "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_ooo_fn,
+            outputStructType=_SCD2_OOO_OUTPUT_SCHEMA,
+            stateStructType=_SCD2_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -87,3 +87,58 @@ def test_replayed_batch_is_a_noop(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert vt.latest_version(dim) == before
+
+
+def test_out_of_order_events_fold_in_true_time_order(spark, tmp_path):
+    """The watermarked tier: late events (within the delay) re-sort into
+    their true position before any run boundary is finalized — the closed
+    intervals equal the batch run construction over the TIME-ordered
+    events, despite scrambled arrival."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (user, eid, base + dt.timedelta(seconds=sec), typ)
+
+    # true time order for user 1: a@0 a@10 b@20 b@30 a@40
+    #   -> closed intervals: (a, 0, 20), (b, 20, 40); a@40 stays open
+    chunk1 = [ev(0, 0, 1, "a"), ev(2, 20, 1, "b"), ev(4, 40, 1, "a")]
+    chunk2 = [ev(1, 10, 1, "a"), ev(3, 30, 1, "b")]  # LATE, within delay
+    sentinel1 = [ev(90, 1000, 99, "x")]  # advance the watermark past t=40
+    sentinel2 = [ev(91, 2000, 99, "x")]  # fire buffered users' timeouts
+    src = str(tmp_path / "incoming")
+    for chunk in (chunk1, chunk2, sentinel1, sentinel2):
+        spark.createDataFrame(
+            chunk, "user_id long, event_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from aws_flight_data_pipeline_spark.streaming.streams import streaming_scd2_ooo
+
+    q = (
+        streaming_scd2_ooo(stream, delay="60 seconds")
+        .writeStream.format("memory")
+        .queryName("scd2_ooo_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def us(sec):
+        return int((base + dt.timedelta(seconds=sec)).replace(
+            tzinfo=dt.timezone.utc
+        ).timestamp() * 1_000_000)
+
+    rows = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, state, from_us, to_us FROM scd2_ooo_out WHERE user_id = 1"
+        ).collect()
+    )
+    assert rows == [(1, "a", us(0), us(20)), (1, "b", us(20), us(40))], rows
