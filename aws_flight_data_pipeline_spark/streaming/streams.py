@@ -1203,3 +1203,29 @@ def streaming_scd2_ooo(events: DataFrame, delay: str = "10 minutes") -> DataFram
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def prune_state_versions(state_path: str, keep_last: int = 8) -> dict:
+    """Retention for the versioned streaming state dirs (sketch /
+    heavy-hitter / quantile / admission): drop all but the newest
+    ``keep_last`` version directories. Each version is a SELF-CONTAINED
+    merged state (not a delta), so pruning history can never change what
+    ``read_*_state`` returns for any surviving ``before_batch`` — the
+    replay guard only ever needs versions newer than the checkpoint's
+    committed batch, and ``keep_last`` bounds how far back a recovery can
+    reach (match it to the checkpoint retention). Exception: the admission
+    index stores DELTAS — do not prune it below the oldest batch a replay
+    could revisit; its compaction path is folding deltas into the
+    materialized corpus index instead (see
+    streaming_corpus_admission_incremental).
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(state_path):
+        return {"versions_dropped": 0, "versions_kept": 0}
+    versions = sorted(v for v in os.listdir(state_path) if v.startswith("v"))
+    drop = versions[:-keep_last] if keep_last > 0 else versions
+    for v in drop:
+        shutil.rmtree(os.path.join(state_path, v))
+    return {"versions_dropped": len(drop), "versions_kept": len(versions) - len(drop)}

@@ -86,3 +86,33 @@ def test_intermediate_state_is_strictly_before_batch(spark, tmp_path):
     chunk0 = dd_histogram(orders.filter(F.col("k") % 2 == 0).drop("k"), "scope", "x")
     assert _rows(v0) == _rows(chunk0)
     assert read_quantile_state(spark, state, before_batch=0) is None
+
+
+def test_state_version_pruning_keeps_reads_intact(spark, tmp_path):
+    from aws_flight_data_pipeline_spark.streaming.streams import prune_state_versions
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderstatus").alias("scope"),
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    src = str(tmp_path / "incoming")
+    for chunk in range(4):
+        orders.filter(F.col("k") % 4 == chunk).drop("k").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("scope string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "q_state")
+    q = streaming_quantile_rollup(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    before = _rows(read_quantile_state(spark, state))
+    stats = prune_state_versions(state, keep_last=2)
+    assert stats == {"versions_dropped": 2, "versions_kept": 2}
+    # the newest merged state is untouched — reads identical
+    assert _rows(read_quantile_state(spark, state)) == before
+    assert _rows(read_quantile_state(spark, state, before_batch=3)) is not None
