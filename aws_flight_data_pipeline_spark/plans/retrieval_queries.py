@@ -37,12 +37,8 @@ from pyspark.sql import functions as F
 from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
 from aws_flight_data_pipeline_spark.functions.text import tokens, word_count
 from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.plans.text_queries import _WORD_COUNT_SQL
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
-
-_WORD_COUNT_SQL = (
-    "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
-    "ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END)"
-)
 
 #: BM25 query terms (present in the synthetic corpus vocabulary) and the
 #: standard Robertson parameters.

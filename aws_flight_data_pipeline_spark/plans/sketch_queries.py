@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aws_flight_data_pipeline_spark.functions.quantiles import dd_histogram, dd_profile
+from aws_flight_data_pipeline_spark.functions.quantiles import (
+    DD_ALPHA,
+    DD_QS,
+    dd_gamma,
+    dd_histogram,
+    dd_profile,
+)
 from aws_flight_data_pipeline_spark.functions.sketches import cms_estimate
 from aws_flight_data_pipeline_spark.plans.registry import builder
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
@@ -198,10 +204,11 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: alpha relative error of any value in the bucket. Buckets are INTEGER
 #: counts — deterministic, exactly mergeable by addition, and cross-engine
 #: verifiable (unlike a sampling-based quantile sketch).
-_DD_ALPHA = 0.01
-_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
-
-_DD_QS = ((50, 0.5), (95, 0.95), (99, 0.99))
+# geometry imported from the single shared definition (functions/quantiles)
+# so the batch profile and the streaming rollup can never silently diverge
+_DD_ALPHA = DD_ALPHA
+_DD_GAMMA = dd_gamma(DD_ALPHA)
+_DD_QS = DD_QS
 
 
 @builder(

@@ -308,7 +308,7 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def vacuum(path: str, keep_last: int = 2) -> dict:
+def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 600.0) -> dict:
     """Drop history beyond the last ``keep_last`` versions and delete every
     data file none of the retained manifests references.
 
@@ -316,6 +316,17 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
     NAMES (strings — MBs even for millions of files), not file contents;
     deletion is the only byte-destructive operation in the module and it can
     never touch a retained version's data.
+
+    ``min_age_seconds`` is the concurrent-writer grace period (Delta's
+    retention-hours idea): a writer that has finished its data write but not
+    yet published its manifest owns files referenced by NO manifest — an
+    ungated vacuum would delete them out from under the publish. Files
+    younger than the grace are kept; only set 0 when no writer can be
+    in flight (tests, single-process maintenance windows).
+
+    Before a manifest is dropped, its ``batch_id`` stamp (the streaming
+    sink's exactly-once guard) is folded into the durable ``_batches.json``
+    side-file, so replay detection survives any retention policy.
     """
     versions = _list_versions(path)
     if not versions:
@@ -326,15 +337,26 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_read_manifest(path, v)["files"])
+    dropped_batch_ids = [
+        b for v in drop if (b := _read_manifest(path, v).get("batch_id")) is not None
+    ]
+    if dropped_batch_ids:
+        _record_batch_ids(path, dropped_batch_ids)
 
+    now = time.time()
     files_deleted = 0
     data_root = _data_dir(path)
     for txn in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         txn_dir = os.path.join(data_root, txn)
         for f in sorted(os.listdir(txn_dir)):
             rel = os.path.join("data", txn, f)
-            if f.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(txn_dir, f))
+            full = os.path.join(txn_dir, f)
+            if (
+                f.endswith(".parquet")
+                and rel not in referenced
+                and now - os.path.getmtime(full) >= min_age_seconds
+            ):
+                os.remove(full)
                 files_deleted += 1
         if not any(n.endswith(".parquet") for n in os.listdir(txn_dir)):
             for leftover in os.listdir(txn_dir):
@@ -387,10 +409,42 @@ def optimize(
     return commit(out, path, mode="overwrite", stats_cols=stats_cols)
 
 
+def _batches_path(path: str) -> str:
+    return os.path.join(_commits_dir(path), "_batches.json")
+
+
+def _record_batch_ids(path: str, batch_ids: list[int]) -> None:
+    """Fold batch ids into the durable side-ledger (never pruned — a sorted
+    int list stays KBs for years of micro-batches)."""
+    known: set[int] = set()
+    bp = _batches_path(path)
+    if os.path.exists(bp):
+        with open(bp) as fh:
+            known = set(json.load(fh))
+    known.update(int(b) for b in batch_ids)
+    tmp = bp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(known), fh)
+    os.replace(tmp, bp)
+
+
 def _batch_versions(path: str) -> set[int]:
-    """batch_ids already committed by the streaming sink (manifest-stamped)."""
-    out = set()
-    for v in _list_versions(path):
+    """batch_ids already committed by the streaming sink.
+
+    O(1) in table history: ids are folded into ``_batches.json`` at commit
+    time (and by vacuum before it drops a stamped manifest); the only
+    manifest that can hold an un-folded id is the newest one (the
+    fold-after-publish crash window of the single streaming writer), so
+    the ledger plus one manifest read covers everything — no O(versions)
+    manifest scan per micro-batch, and replay detection survives vacuum.
+    """
+    out: set[int] = set()
+    bp = _batches_path(path)
+    if os.path.exists(bp):
+        with open(bp) as fh:
+            out.update(json.load(fh))
+    v = latest_version(path)
+    if v is not None:
         b = _read_manifest(path, v).get("batch_id")
         if b is not None:
             out.add(int(b))
@@ -402,21 +456,27 @@ def commit_stream_batch(
     batch_id: int,
     path: str,
     stats_cols: tuple[str, ...] = (),
+    mode: str = "append",
 ) -> int | None:
-    """Idempotent per-micro-batch append: the manifest is stamped with
-    ``batch_id``, and a replay of an already-committed batch is a no-op —
-    foreachBatch's at-least-once delivery becomes an EXACTLY-ONCE visible
-    table. A crash after the data write but before publication leaves only
-    unreferenced files (vacuum garbage), never duplicate rows."""
+    """Idempotent per-micro-batch commit: the manifest is stamped with
+    ``batch_id`` and the id is folded into the durable ledger, so a replay
+    of an already-committed batch is a no-op — foreachBatch's
+    at-least-once delivery becomes an EXACTLY-ONCE visible table, and the
+    guard survives vacuum retention. A crash after the data write but
+    before publication leaves only unreferenced files (vacuum garbage),
+    never duplicate rows; a crash between publication and the ledger fold
+    is covered because the id is still readable from the newest manifest."""
     if batch_id in _batch_versions(path):
         return None
-    return commit(
+    version = commit(
         batch_df,
         path,
-        mode="append",
+        mode=mode,
         stats_cols=stats_cols,
         meta={"batch_id": int(batch_id)},
     )
+    _record_batch_ids(path, [batch_id])
+    return version
 
 
 def streaming_versioned_sink(
@@ -463,7 +523,8 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
         raise FileNotFoundError(f"{path} has no committed versions")
     m = _read_manifest(path, version)
     affected, _ = plan_files(path, version, where)
-    carried = [f for f in m["files"] if f not in set(affected)]
+    aff = set(affected)
+    carried = [f for f in m["files"] if f not in aff]
     if not affected:
         return {
             "version": version,
@@ -479,9 +540,13 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
     src = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in affected]
     )
-    survivors = src.where(~cond)
-    n_before = src.count()
-    n_after = survivors.count()
+    # SQL DELETE semantics: a NULL predicate KEEPS the row (~NULL is NULL
+    # and a bare where(~cond) would silently drop it — pre-evolution rows
+    # read the evolved column as NULL, so this is the schema-evolution
+    # data-loss case). One matching-rows count, not two full-frame counts.
+    matches = F.coalesce(cond, F.lit(False))
+    survivors = src.where(~matches)
+    n_deleted = src.where(matches).count()
 
     # stats for the rewritten files: the union of columns the affected
     # files carried stats for (keeps the table's pruning power intact)
@@ -498,7 +563,8 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
         for f in os.listdir(txn_dir)
         if f.endswith(".parquet")
     )
-    stats = {f: s for f, s in m.get("stats", {}).items() if f in set(carried)}
+    carried_set = set(carried)
+    stats = {f: s for f, s in m.get("stats", {}).items() if f in carried_set}
     if stats_cols:
         stats.update(
             {f: _footer_stats(os.path.join(path, f), stats_cols) for f in new_files}
@@ -510,7 +576,7 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
         "files": carried + new_files,
         "n_files": len(carried) + len(new_files),
         "stats": stats,
-        "rows_deleted": n_before - n_after,
+        "rows_deleted": n_deleted,
         "committed_at": time.time(),
     }
     _publish(path, new_version, manifest)
@@ -518,5 +584,5 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
         "version": new_version,
         "files_rewritten": len(affected),
         "files_carried": len(carried),
-        "rows_deleted": n_before - n_after,
+        "rows_deleted": n_deleted,
     }

@@ -704,6 +704,11 @@ def streaming_corpus_admission_incremental(
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{decisions_path}/v{batch_id:09d}"
         )
+        import os as _os
+
+        _os.makedirs(state_path, exist_ok=True)
+        with open(f"{state_path}/{DELTA_LAYOUT_MARKER}", "w") as fh:
+            fh.write("delta")  # versions are DELTAS — never prune (see prune_state_versions)
         final.where("admitted").select(
             "doc_id", "fp", "toks", "b0", "b1"
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -1110,9 +1115,7 @@ def streaming_scd2_dimension(
                 state_runs(pseudo.unionByName(batch_df))
             )
             new_dim = carried.unionByName(rebuilt.select(*carried.columns))
-        vt.commit(
-            new_dim, dim_path, mode="overwrite", meta={"batch_id": int(batch_id)}
-        )
+        vt.commit_stream_batch(new_dim, batch_id, dim_path, mode="overwrite")
 
     writer = events.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
@@ -1134,14 +1137,15 @@ def _scd2_ooo_fn(
     State = events inside the lateness window + the open run head — bounded
     by the watermark delay, never by stream length."""
     (user_id,) = key
+    import json as _json
+
     buf: list[tuple[int, int, str]] = []
     open_state, open_from = None, None
     if state.exists:
         buf_s, open_state, open_from = state.get
-        for item in buf_s.split(";"):
-            if item:
-                us, eid, typ = item.split(":", 2)
-                buf.append((int(us), int(eid), typ))
+        # JSON-encoded buffer: event_type may contain any character — a
+        # hand-rolled delimiter format would corrupt state on ';' or ':'
+        buf = [tuple(e) for e in _json.loads(buf_s)] if buf_s else []
 
     for pdf in pdfs:
         for r in pdf.itertuples():
@@ -1161,7 +1165,7 @@ def _scd2_ooo_fn(
             open_state, open_from = typ, us
 
     state.update((
-        ";".join(f"{us}:{eid}:{typ}" for us, eid, typ in buf),
+        _json.dumps(buf),
         open_state,
         open_from,
     ))
@@ -1205,18 +1209,24 @@ def streaming_scd2_ooo(events: DataFrame, delay: str = "10 minutes") -> DataFram
     )
 
 
+DELTA_LAYOUT_MARKER = "_DELTA_LAYOUT"
+
+
 def prune_state_versions(state_path: str, keep_last: int = 8) -> dict:
-    """Retention for the versioned streaming state dirs (sketch /
-    heavy-hitter / quantile / admission): drop all but the newest
-    ``keep_last`` version directories. Each version is a SELF-CONTAINED
-    merged state (not a delta), so pruning history can never change what
+    """Retention for the SELF-CONTAINED versioned streaming state dirs
+    (sketch / heavy-hitter / quantile): drop all but the newest
+    ``keep_last`` version directories. Each version is a complete merged
+    state (not a delta), so pruning history can never change what
     ``read_*_state`` returns for any surviving ``before_batch`` — the
     replay guard only ever needs versions newer than the checkpoint's
     committed batch, and ``keep_last`` bounds how far back a recovery can
-    reach (match it to the checkpoint retention). Exception: the admission
-    index stores DELTAS — do not prune it below the oldest batch a replay
-    could revisit; its compaction path is folding deltas into the
-    materialized corpus index instead (see
+    reach (match it to the checkpoint retention).
+
+    Delta-layout state (the admission index, whose versions are
+    increments a reader unions) is MECHANICALLY excluded: its writer
+    stamps a ``_DELTA_LAYOUT`` marker and this function raises on it —
+    the docstring is not the safety mechanism. Its compaction path is
+    folding deltas into the materialized corpus index instead (see
     streaming_corpus_admission_incremental).
     """
     import os
@@ -1224,6 +1234,12 @@ def prune_state_versions(state_path: str, keep_last: int = 8) -> dict:
 
     if not os.path.isdir(state_path):
         return {"versions_dropped": 0, "versions_kept": 0}
+    if os.path.exists(os.path.join(state_path, DELTA_LAYOUT_MARKER)):
+        raise ValueError(
+            f"{state_path} holds DELTA-layout state (marker {DELTA_LAYOUT_MARKER}): "
+            "versions are increments, pruning would silently corrupt reads; "
+            "compact deltas into the materialized index instead"
+        )
     versions = sorted(v for v in os.listdir(state_path) if v.startswith("v"))
     drop = versions[:-keep_last] if keep_last > 0 else versions
     for v in drop:

@@ -20,10 +20,6 @@ SF_DIR = "/root/testdata/sf0.001"
 _COLS = ("user_id", "state", "from_us", "to_us")
 
 
-def _rows(df):
-    return sorted((r[c] for c in _COLS) for r in df.collect())
-
-
 def _sorted_rows(df):
     return sorted(tuple(r[c] for c in _COLS) for r in df.collect())
 
@@ -142,3 +138,60 @@ def test_out_of_order_events_fold_in_true_time_order(spark, tmp_path):
         ).collect()
     )
     assert rows == [(1, "a", us(0), us(20)), (1, "b", us(20), us(40))], rows
+
+
+def test_ooo_state_survives_delimiter_heavy_event_types(spark, tmp_path):
+    """event_type containing ';' and ':' must round-trip through the
+    buffered state (JSON-encoded) instead of corrupting it."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    c1 = [(1, 0, base, "a;b:c"), (1, 1, base + dt.timedelta(seconds=10), "x")]
+    s1 = [(9, 90, base + dt.timedelta(seconds=500), "z")]
+    s2 = [(9, 91, base + dt.timedelta(seconds=900), "z")]
+    src = str(tmp_path / "incoming")
+    for ch in (c1, s1, s2):
+        spark.createDataFrame(
+            ch, "user_id long, event_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    from aws_flight_data_pipeline_spark.streaming.streams import streaming_scd2_ooo
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_scd2_ooo(stream, delay="30 seconds")
+        .writeStream.format("memory")
+        .queryName("scd2_ooo_delim")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [
+        (r["state"],) for r in spark.sql(
+            "SELECT state FROM scd2_ooo_delim WHERE user_id = 1"
+        ).collect()
+    ]
+    assert rows == [("a;b:c",)]
+
+
+def test_prune_refuses_delta_layout_state(tmp_path):
+    import os
+
+    from aws_flight_data_pipeline_spark.streaming.streams import (
+        DELTA_LAYOUT_MARKER,
+        prune_state_versions,
+    )
+
+    state = str(tmp_path / "adm_state")
+    os.makedirs(f"{state}/v000000000")
+    open(f"{state}/{DELTA_LAYOUT_MARKER}", "w").write("delta")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DELTA-layout"):
+        prune_state_versions(state, keep_last=1)
+    assert os.path.isdir(f"{state}/v000000000")  # nothing was touched

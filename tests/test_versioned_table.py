@@ -59,7 +59,7 @@ def test_vacuum_deletes_only_unreferenced_files(spark, table):
     vt.commit(_df(spark, 0, 10, "a"), table)
     vt.commit(_df(spark, 0, 5, "b"), table, mode="overwrite")
     vt.commit(_df(spark, 0, 7, "c"), table, mode="overwrite")
-    stats = vt.vacuum(table, keep_last=2)
+    stats = vt.vacuum(table, keep_last=2, min_age_seconds=0)
     assert stats["versions_dropped"] == 1 and stats["files_deleted"] > 0
     # retained versions still read fine
     assert vt.read(spark, table, version=1).count() == 5
@@ -73,7 +73,7 @@ def test_vacuum_keeps_files_shared_with_retained_versions(spark, table):
     vt.commit(_df(spark, 0, 10, "a"), table)
     vt.commit(_df(spark, 10, 15, "b"), table, mode="append")  # shares v0's files
     vt.commit(_df(spark, 15, 18, "c"), table, mode="append")
-    stats = vt.vacuum(table, keep_last=2)
+    stats = vt.vacuum(table, keep_last=2, min_age_seconds=0)
     # v0 manifest dropped, but its files are referenced by v1/v2 appends
     assert stats["versions_dropped"] == 1 and stats["files_deleted"] == 0
     assert vt.read(spark, table).count() == 18
@@ -101,7 +101,7 @@ def test_concurrent_commit_conflict(spark, table):
     # a crashed/losing writer leaves data with no manifest referencing it —
     # unreferenced garbage that vacuum collects without touching live data
     _df(spark, 5, 9, "b").write.parquet(os.path.join(table, "data", "vorphan-dead"))
-    stats = vt.vacuum(table, keep_last=2)
+    stats = vt.vacuum(table, keep_last=2, min_age_seconds=0)
     assert stats["files_deleted"] > 0
     assert not os.path.exists(os.path.join(table, "data", "vorphan-dead"))
     assert vt.read(spark, table, version=0).count() == 5
@@ -230,3 +230,44 @@ def test_delete_where_no_match_is_metadata_only(spark, table):
         "version": before, "files_rewritten": 0, "files_carried": 2, "rows_deleted": 0,
     }
     assert vt.latest_version(table) == before  # no new version published
+
+
+def test_delete_keeps_null_predicate_rows_on_evolved_schema(spark, table):
+    # pre-evolution files have no 'extra' column: their rows read back as
+    # NULL for the predicate column and SQL DELETE semantics must KEEP them
+    vt.commit(spark.range(0, 50).selectExpr("id"), table)
+    vt.commit(
+        spark.range(50, 60).selectExpr("id", "id AS extra"), table, mode="append"
+    )
+    out = vt.delete_where(spark, table, {"extra": (50, 54)})
+    assert out["rows_deleted"] == 5
+    remaining = vt.read(spark, table)
+    assert remaining.count() == 55  # all 50 NULL-extra rows survived
+    assert remaining.where("extra IS NULL").count() == 50
+
+
+def test_vacuum_grace_period_spares_fresh_unreferenced_files(spark, table):
+    vt.commit(spark.range(0, 10).selectExpr("id"), table)
+    vt.commit(spark.range(0, 5).selectExpr("id"), table, mode="overwrite")
+    # a concurrent writer's just-written (not yet published) data
+    spark.range(90, 99).selectExpr("id").write.parquet(
+        os.path.join(table, "data", "vinflight-writer")
+    )
+    stats = vt.vacuum(table, keep_last=1)  # default grace: 600 s
+    assert stats["files_deleted"] == 0  # everything is younger than the grace
+    assert os.path.exists(os.path.join(table, "data", "vinflight-writer"))
+    # with grace waived the unreferenced files go
+    stats = vt.vacuum(table, keep_last=1, min_age_seconds=0)
+    assert stats["files_deleted"] > 0
+    assert vt.read(spark, table).count() == 5
+
+
+def test_batch_id_guard_survives_vacuum(spark, table):
+    for b in range(4):
+        vt.commit_stream_batch(
+            spark.range(b * 10, b * 10 + 10).selectExpr("id"), b, table
+        )
+    vt.vacuum(table, keep_last=1, min_age_seconds=0)
+    # manifests 0..2 are gone, but the ledger still knows their batch ids
+    assert vt.commit_stream_batch(spark.range(0, 10).selectExpr("id"), 0, table) is None
+    assert vt.read(spark, table).count() == 40
