@@ -504,6 +504,273 @@ def streaming_versioned_sink(
     return writer.trigger(**trigger).start()
 
 
+def streaming_upsert_sink(
+    values: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    on: tuple[str, ...],
+    seq_col: str | None = None,
+    trigger: dict | None = None,
+):
+    """Stream-apply upserts into a versioned table: each micro-batch is
+    collapsed to one row per key and merged via :func:`merge_into`, so the
+    table converges to one row per key no matter how updates straddle
+    micro-batches — the foreachBatch+MERGE pattern Structured Streaming
+    uses for CDC apply onto lakehouse tables.
+
+    ``seq_col`` names the CDC ordering column (event timestamp / LSN):
+    within a batch the row with the GREATEST ``seq_col`` per key wins
+    (``max_by`` — one hash aggregate, no sort). Without it the per-key
+    pick is arbitrary (``dropDuplicates``) — only safe when a key cannot
+    repeat within one micro-batch.
+
+    Exactly-once: the merge manifest is stamped with the batch id
+    (ledger-folded, vacuum-safe), so an at-least-once replay of a
+    committed batch is skipped; a no-op merge publishes nothing, and
+    replaying a no-op is itself a no-op.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id in _batch_versions(path):
+            return
+        if seq_col is not None:
+            cols = batch_df.columns
+            latest = (
+                batch_df.groupBy(*on)
+                .agg(
+                    F.max_by(
+                        F.struct(*[c for c in cols if c not in on]), F.col(seq_col)
+                    ).alias("_row")
+                )
+                .select(*on, "_row.*")
+                .select(*cols)
+            )
+        else:
+            latest = batch_df.dropDuplicates(list(on))
+        merge_into(
+            batch_df.sparkSession,
+            path,
+            latest,
+            on=on,
+            meta={"batch_id": int(batch_id)},
+        )
+        _record_batch_ids(path, [batch_id])
+
+    writer = values.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: tuple[str, ...],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    meta: dict | None = None,
+) -> dict:
+    """MERGE (upsert) via copy-on-write, scoped by manifest stats — the
+    transactional-tier twin of the reference's rewrite-affected-prefixes
+    correction flow (``src/lambda/data_processing``), with Delta-style
+    MERGE semantics on plain parquet.
+
+    ``on`` is the row-identity key; ``source`` must carry at most one row
+    per key (duplicate source keys would fan matched rows out — same
+    precondition as Delta MERGE). Modes: ``when_matched`` in
+    ``update | delete | ignore`` (``update`` replaces the WHOLE target row
+    with the source row), ``when_not_matched`` in ``insert | ignore``.
+
+    Scale shape (the whole point at 100 TB):
+
+    1. One key-column-only aggregate computes the source's [min, max] per
+       key column; manifest stats then prune the target to files whose
+       ranges can OVERLAP the source keys (``plan_files`` arithmetic — on
+       a key-clustered table a trickle merge rewrites a handful of files
+       out of millions). Files without stats are conservatively rewritten.
+    2. Matching is an equi join on the key columns only — the probe side
+       is the source's projected key set, so the extra accounting passes
+       scan just the key columns (parquet column pruning); the single
+       full-width pass over affected files is the rewrite itself.
+    3. Every other file is carried into the new manifest untouched;
+       readers of prior versions keep their snapshot (copy-on-write).
+
+    NULL join semantics: a source row with a NULL key never equi-matches,
+    so it inserts (SQL MERGE behavior). Schema evolution is additive —
+    source-only columns surface as NULL on carried-forward target rows
+    (``unionByName(allowMissingColumns=True)`` + mergeSchema reads).
+
+    Returns ``{version, files_rewritten, files_carried, rows_updated,
+    rows_deleted, rows_inserted}``; a no-op merge (nothing matched,
+    nothing to insert) publishes nothing and returns the current version.
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+    keys = list(on)
+    version = latest_version(path)
+
+    if version is None:
+        # empty table: the merge degenerates to the insert branch
+        if when_not_matched != "insert":
+            return {
+                "version": None,
+                "files_rewritten": 0,
+                "files_carried": 0,
+                "rows_updated": 0,
+                "rows_deleted": 0,
+                "rows_inserted": 0,
+            }
+        v = commit(source, path, mode="append", meta={"merge_on": keys, **(meta or {})})
+        import pyarrow.parquet as pq
+
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in _read_manifest(path, v)["files"]
+        )
+        return {
+            "version": v,
+            "files_rewritten": 0,
+            "files_carried": 0,
+            "rows_updated": 0,
+            "rows_deleted": 0,
+            "rows_inserted": n_rows,
+        }
+
+    m = _read_manifest(path, version)
+
+    # file pruning: source key ranges from ONE key-column aggregate
+    # (driver gets back a single row of scalars, never data)
+    bounds = source.agg(
+        *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+    ).first()
+    where = {}
+    for i, k in enumerate(keys):
+        lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+        if lo is not None and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+            where[k] = (lo, hi)
+    affected, _ = plan_files(path, version, where)
+    aff = set(affected)
+    carried = [f for f in m["files"] if f not in aff]
+
+    src_keys = source.select(*keys)
+    if affected:
+        tgt = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in affected]
+        )
+        n_matched = tgt.join(src_keys, on=keys, how="left_semi").count()
+        survivors = (
+            tgt
+            if when_matched == "ignore"
+            else tgt.join(src_keys, on=keys, how="left_anti")
+        )
+        tgt_keys = tgt.select(*keys)
+        inserts = (
+            source.join(tgt_keys, on=keys, how="left_anti")
+            if when_not_matched == "insert"
+            else None
+        )
+    else:
+        tgt = None
+        n_matched = 0
+        survivors = None
+        inserts = source if when_not_matched == "insert" else None
+
+    n_inserted = inserts.count() if inserts is not None else 0
+    n_updated = n_matched if when_matched == "update" else 0
+    n_deleted = n_matched if when_matched == "delete" else 0
+
+    if n_matched == 0 and n_inserted == 0:
+        return {
+            "version": version,
+            "files_rewritten": 0,
+            "files_carried": len(m["files"]),
+            "rows_updated": 0,
+            "rows_deleted": 0,
+            "rows_inserted": 0,
+        }
+    if n_matched == 0:
+        # pure-insert merge: no target row changes, so nothing is rewritten —
+        # every file carries and only the insert rows are written (a trickle
+        # merge into a cold key range is an append, not a table rewrite)
+        affected, carried = [], m["files"]
+        survivors, tgt = None, None
+
+    pieces = []
+    if survivors is not None:
+        pieces.append(survivors)
+    if when_matched == "update":
+        # matched source rows replace their target rows wholesale; when
+        # inserts are also on, "all of source" covers both roles in one arm
+        if when_not_matched == "insert":
+            pieces.append(source)
+        else:
+            pieces.append(
+                source.join(tgt_keys, on=keys, how="left_semi")
+                if tgt is not None
+                else None
+            )
+    elif inserts is not None:
+        pieces.append(inserts)
+    pieces = [p for p in pieces if p is not None]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+
+    # stats continuity: same policy as delete_where — the union of columns
+    # the affected files carried stats for, plus the merge keys
+    stats_cols = tuple(
+        sorted(
+            {c for f in affected for c in m.get("stats", {}).get(f, {})}
+            | (set(keys) if m.get("stats") else set())
+        )
+    )
+
+    new_version = version + 1
+    txn = f"v{new_version:09d}-{uuid.uuid4().hex[:12]}"
+    txn_dir = os.path.join(_data_dir(path), txn)
+    out.write.mode("error").option("compression", "snappy").parquet(txn_dir)
+    new_files = sorted(
+        os.path.join("data", txn, f)
+        for f in os.listdir(txn_dir)
+        if f.endswith(".parquet")
+    )
+    carried_set = set(carried)
+    stats = {f: s for f, s in m.get("stats", {}).items() if f in carried_set}
+    if stats_cols:
+        stats.update(
+            {f: _footer_stats(os.path.join(path, f), stats_cols) for f in new_files}
+        )
+    manifest = {
+        "version": new_version,
+        "parent": version,
+        "mode": "merge",
+        "files": carried + new_files,
+        "n_files": len(carried) + len(new_files),
+        "stats": stats,
+        "rows_updated": n_updated,
+        "rows_deleted": n_deleted,
+        "rows_inserted": n_inserted,
+        "committed_at": time.time(),
+        **(meta or {}),
+    }
+    _publish(path, new_version, manifest)
+    return {
+        "version": new_version,
+        "files_rewritten": len(affected),
+        "files_carried": len(carried),
+        "rows_updated": n_updated,
+        "rows_deleted": n_deleted,
+        "rows_inserted": n_inserted,
+    }
+
+
 def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
     """Row-level DELETE via copy-on-write, scoped by manifest stats: only
     files whose recorded [min, max] can CONTAIN matching rows are rewritten
@@ -586,3 +853,80 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
         "files_carried": len(carried),
         "rows_deleted": n_deleted,
     }
+
+
+def changed_files(path: str, from_version: int, to_version: int | None = None) -> tuple[list[str], list[str]]:
+    """(added, removed) data files between two manifests — pure driver-side
+    set arithmetic over the KB-scale file lists; the planning half of
+    :func:`table_changes`. A file present in both manifests is immutable
+    and therefore IDENTICAL — it can contribute no change and is never
+    listed (or scanned)."""
+    if to_version is None:
+        to_version = latest_version(path)
+        if to_version is None:
+            raise FileNotFoundError(f"{path} has no committed versions")
+    f_from = set(_read_manifest(path, from_version)["files"])
+    f_to = set(_read_manifest(path, to_version)["files"])
+    return sorted(f_to - f_from), sorted(f_from - f_to)
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """NET row-level change feed between two versions: the table's rows at
+    ``to_version`` minus those at ``from_version`` (``_change_type =
+    'insert'``) and vice versa (``'delete'``); an update surfaces as a
+    delete+insert pair. Incremental consumers (downstream rollups, index
+    refresh, replication) read this instead of diffing or rescanning
+    snapshots.
+
+    Scale story: immutable data files mean only files ADDED or REMOVED
+    between the manifests can contribute changes (``changed_files`` —
+    driver-side set arithmetic), so the scan is proportional to the churn,
+    not the table. Carried-over rows inside rewritten files (copy-on-write
+    delete/merge rewrites whole files) are cancelled by the multiset
+    difference (``exceptAll``) — its shuffle is over the changed files
+    only. Multiset semantics make the feed exact even with fully duplicate
+    rows. Net-diff means a row inserted after ``from_version`` and deleted
+    before ``to_version`` never appears (this reads table STATES, not the
+    operation log — pair it with :func:`history` when the op sequence
+    matters).
+    """
+    added, removed = changed_files(path, from_version, to_version)
+    all_changed = added + removed
+    if not all_changed:
+        base = read(spark, path, version=to_version)
+        return base.withColumn("_change_type", F.lit("")).where(F.lit(False))
+    # one merged-schema read defines the aligned column set for both sides
+    # (schema evolution between the versions would otherwise break exceptAll)
+    ref = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in all_changed]
+    )
+
+    def _aligned(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], ref.schema)
+        d = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+        have = set(d.columns)
+        return d.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in ref.schema.fields
+            ]
+        )
+
+    new_rows, old_rows = _aligned(added), _aligned(removed)
+    return (
+        new_rows.exceptAll(old_rows)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            old_rows.exceptAll(new_rows).withColumn("_change_type", F.lit("delete"))
+        )
+    )
