@@ -131,6 +131,7 @@ def _ensure_loaded() -> None:
 
     # builders only (no @query entries) — imported last so the driver-visible
     # REGISTRY insertion order above stays exactly as round 1 recorded it
+    import aws_flight_data_pipeline_spark.plans.classifier_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.curation_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.layout_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.repetition_queries  # noqa: F401

@@ -150,6 +150,9 @@ HEADLINE = (
     "dedup_cluster_representatives",
     "multiway_join_revenue",
     "pivot_unpivot_roundtrip",
+    # round 6: trained NB classifier tier, RAG overlap chunking
+    "text_nb_classifier_eval",
+    "doc_chunk_overlap",
 )
 
 
