@@ -1,0 +1,137 @@
+"""Incremental-view-maintenance queries: the maintained rollup vs a full
+recompute, verified cross-engine.
+
+Companion plan surface for :mod:`..sources.ivm`. The builder drives a real
+maintenance episode — initial load, append increment, range DELETE,
+MERGE-style update — refreshing the rollup after every step from the
+versioned table's change feed (never rescanning the fact table), then
+returns the maintained view. The oracle computes the SAME final state
+directly in SQL, so parity proves the incremental path converges to the
+full recompute under inserts, deletes, AND updates — the invariant the
+reference's view refresh gets by re-running the defining query wholesale
+(``sql/athena/06_create_summary_views.sql``, ``07_optimization_guide.sql:
+529-571``).
+
+Churn script (deterministic at any scale; ``cut = max(o_orderkey) // 3``):
+
+1. v0 load: orders with ``o_orderkey % 4 != 0``  → full rollup build
+2. append: orders with ``o_orderkey % 8 == 4``   → insert-only increment
+3. DELETE ``o_orderkey in [1, cut]``             → retraction increment
+4. MERGE: double the cents of surviving ``o_orderkey % 100 == 1`` rows
+   → update (delete+insert pair in the change feed, count-neutral)
+
+Final state = ``o_orderkey % 8 != 0 AND o_orderkey > cut`` with the %100
+rows doubled — what the oracle aggregates.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.sources import ivm
+from aws_flight_data_pipeline_spark.sources import versioned as vt
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+#: Previous invocation's state directory per sf_dir — torn down when the
+#: builder runs again (same build-then-materialize contract as the tracked
+#: caches: by the next build, prior consumers have collected).
+_STATE_DIRS: dict[str, str] = {}
+
+
+def _fresh_state_dir(sf_dir: str) -> str:
+    old = _STATE_DIRS.pop(sf_dir, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix="afdp-ivm-")
+    _STATE_DIRS[sf_dir] = d
+    return d
+
+
+@builder(
+    "ivm_incremental_view",
+    tags=("ivm", "versioned", "change-feed", "scale"),
+    doc="Exactly-once incremental view maintenance: a (priority -> count, "
+    "cents-exact revenue) rollup maintained through a full load, an append, "
+    "a range DELETE, and a MERGE update, refreshed per step from the net "
+    "change feed (scan cost = churned files, never the fact table; the "
+    "cursor rides the rollup's own commit manifest so crash-replay cannot "
+    "double-apply). The oracle recomputes the final fact state wholesale — "
+    "parity proves increment == recompute under all three change types.",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority AS grp,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), cutoff AS (
+            SELECT MAX(o_orderkey) // 3 AS cut FROM orders
+        ), final AS (
+            SELECT grp,
+                   CASE WHEN o_orderkey % 100 = 1 THEN cents * 2
+                        ELSE cents END AS cents
+            FROM base, cutoff
+            WHERE o_orderkey % 8 <> 0 AND o_orderkey > cut
+        )
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM final
+        GROUP BY grp
+        ORDER BY grp
+    """,
+)
+def ivm_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # one scalar to the driver; // matches the oracle's integer division
+    cut = int(base.agg(F.max("o_orderkey")).first()[0]) // 3
+
+    root = _fresh_state_dir(sf_dir)
+    fact, rollup = f"{root}/fact", f"{root}/rollup"
+
+    def refresh() -> dict:
+        return ivm.refresh_view(
+            spark, fact, rollup, group_cols=("grp",), sum_cols=("cents",)
+        )
+
+    # 1. initial load (key-clustered into multiple files so the later
+    #    DELETE/MERGE actually exercise manifest-stats file pruning)
+    vt.commit(
+        base.where(F.col("o_orderkey") % 4 != 0).repartitionByRange(4, "o_orderkey"),
+        fact,
+        stats_cols=("o_orderkey",),
+    )
+    refresh()
+    # 2. append-only increment
+    vt.commit(
+        base.where(F.col("o_orderkey") % 8 == 4).repartitionByRange(2, "o_orderkey"),
+        fact,
+        mode="append",
+        stats_cols=("o_orderkey",),
+    )
+    refresh()
+    # 3. range delete -> retractions
+    vt.delete_where(spark, fact, {"o_orderkey": (1, cut)})
+    refresh()
+    # 4. MERGE update (count-neutral, sum-shifting)
+    vt.merge_into(
+        spark,
+        fact,
+        base.where((F.col("o_orderkey") % 100 == 1) & (F.col("o_orderkey") > cut))
+        .withColumn("cents", F.col("cents") * 2),
+        on=("o_orderkey",),
+    )
+    refresh()
+
+    return (
+        ivm.read_view(spark, rollup)
+        .select("grp", "n_rows", F.col("sum_cents").cast("bigint").alias("sum_cents"))
+        .orderBy("grp")
+    )

@@ -153,6 +153,8 @@ HEADLINE = (
     # round 6: trained NB classifier tier, RAG overlap chunking
     "text_nb_classifier_eval",
     "doc_chunk_overlap",
+    # round 6: incremental view maintenance over the versioned table
+    "ivm_incremental_view",
 )
 
 
