@@ -1293,3 +1293,75 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_cents").isNotNull())
         .orderBy("order_year", "status")
     )
+
+
+@builder(
+    "interval_bin_join",
+    tags=("join", "range-join", "interval", "scale"),
+    doc="Point-in-interval (range) join via bin decomposition "
+    "(operators/rangejoin.py): every error event opens a 30-minute "
+    "incident window; purchases by the same user inside the window are "
+    "correlated to it. Spark plans a raw BETWEEN join as key-equality + "
+    "post-filter — every same-user pair becomes a candidate; the operator "
+    "instead explodes each interval onto the fixed 30-minute bins it "
+    "overlaps (replication <= 2 here), maps each point to its single bin, "
+    "and equi-joins on (user, bin) — candidate volume is per-bin, the "
+    "shape that survives 100 TB. Each matching pair lands exactly once "
+    "(the join can only fire in the point's own bin). Windows with no "
+    "purchases ride back in via an aggregate-then-left-join (never a "
+    "left bin-join, which would duplicate unmatched windows per bin). "
+    "Bounds travel as integer epoch micros; purchase value as exact cents.",
+    oracle="""
+        WITH win AS (
+            SELECT user_id, event_id AS win_id,
+                   epoch_us(ts) AS s_us,
+                   epoch_us(ts) + 1800000000 AS e_us
+            FROM events WHERE event_type = 'error'
+        ), pts AS (
+            SELECT user_id, epoch_us(ts) AS p_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT w.user_id, w.win_id,
+               CAST(COUNT(p.p_us) AS BIGINT) AS n_purchases,
+               CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS purchase_cents
+        FROM win w
+        LEFT JOIN pts p
+          ON p.user_id = w.user_id AND p.p_us BETWEEN w.s_us AND w.e_us
+        GROUP BY w.user_id, w.win_id
+        ORDER BY w.user_id, w.win_id
+    """,
+)
+def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.operators.rangejoin import bin_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    win = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000).cast("bigint")).alias("e_us"),
+    )
+    pts = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    matched = bin_interval_join(
+        pts, win, "p_us", "s_us", "e_us", bin_width=1_800_000_000, keys=("user_id",)
+    )
+    per_win = matched.groupBy("user_id", "win_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("purchase_cents"),
+    )
+    return (
+        win.select("user_id", "win_id")
+        .join(per_win, ["user_id", "win_id"], "left")
+        .select(
+            "user_id",
+            "win_id",
+            F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+            F.coalesce("purchase_cents", F.lit(0)).cast("bigint").alias("purchase_cents"),
+        )
+        .orderBy("user_id", "win_id")
+    )

@@ -155,6 +155,8 @@ HEADLINE = (
     "doc_chunk_overlap",
     # round 6: incremental view maintenance over the versioned table
     "ivm_incremental_view",
+    # round 6: binned point-in-interval (range) join
+    "interval_bin_join",
 )
 
 
