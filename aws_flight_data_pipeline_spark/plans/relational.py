@@ -1365,3 +1365,54 @@ def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "win_id")
     )
+
+
+@builder(
+    "bloom_semi_join_prune",
+    tags=("join", "semi", "bloom", "runtime-filter", "scale"),
+    doc="Bloom-filter runtime pruning ahead of a shuffle semi join "
+    "(functions/bloom.py): lineitem rows are pre-filtered by a KB-scale "
+    "bloom digest of the high-value order keys — built distributively "
+    "(bit-position explode + per-word bit_or, shuffle of at most m/64 "
+    "groups), carried into the plan as one constant-folded array literal, "
+    "probed with pure codegen bit arithmetic — then the real left-semi "
+    "join removes the ~1% false positives. At 100 TB the driving key set "
+    "is too big to broadcast raw but its bloom is a few hundred KB, and "
+    "the fact side shrinks BEFORE it is hashed/sorted/shuffled; the "
+    "result is provably identical to the un-pruned semi join (the oracle "
+    "verifies exactly that). Revenue rides as exact integer cents.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS ext_cents
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        )
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    hot = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, hot, "l_orderkey", fpp=0.01)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("ext_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

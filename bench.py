@@ -157,6 +157,8 @@ HEADLINE = (
     "ivm_incremental_view",
     # round 6: binned point-in-interval (range) join
     "interval_bin_join",
+    # round 6: bloom-filter runtime pruning ahead of a shuffle semi join
+    "bloom_semi_join_prune",
 )
 
 
