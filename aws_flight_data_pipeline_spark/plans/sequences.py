@@ -560,3 +560,105 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@builder(
+    "seq_resample_grid",
+    tags=("sequence", "resample", "gap-fill", "timeseries"),
+    doc="Time-grid resampling with gap fill: each user's event stream is "
+    "materialized onto a regular hourly grid between their first and last "
+    "event (sequence + explode — grid rows are generated, never stored), "
+    "per-bucket count / exact-cents sum / deterministic last observation "
+    "(max struct(us, event_id) election), and forward-filled observations "
+    "across empty buckets via last(ignorenulls) over the one-sided frame — "
+    "the regularization step ahead of windowed feature extraction, which "
+    "per-event imputation (seq_imputation_fill) cannot provide because "
+    "empty intervals have no row to fill. Grid cardinality is "
+    "O(users x span/step), independent of event volume — at 100 TB the "
+    "explode output stays proportional to the DIMENSIONS of the grid while "
+    "every per-bucket aggregate is one hash-agg over the raw stream.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), eb AS (
+            SELECT *, us // 3600000000 AS hour_bucket FROM e
+        ), bounds AS (
+            SELECT user_id, MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi
+            FROM eb GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, UNNEST(generate_series(lo, hi)) AS hour_bucket
+            FROM bounds
+        ), perb AS (
+            SELECT user_id, hour_bucket,
+                   COUNT(*) AS n_events, SUM(cents) AS sum_cents
+            FROM eb GROUP BY user_id, hour_bucket
+        ), lastv AS (
+            SELECT user_id, hour_bucket, cents AS last_cents FROM (
+                SELECT user_id, hour_bucket, cents,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, hour_bucket
+                                          ORDER BY us DESC, event_id DESC) AS rn
+                FROM eb) WHERE rn = 1
+        ), joined AS (
+            SELECT g.user_id, g.hour_bucket,
+                   COALESCE(p.n_events, 0) AS n_events,
+                   COALESCE(p.sum_cents, 0) AS sum_cents,
+                   l.last_cents
+            FROM grid g
+            LEFT JOIN perb p USING (user_id, hour_bucket)
+            LEFT JOIN lastv l USING (user_id, hour_bucket)
+        )
+        SELECT user_id, hour_bucket,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(sum_cents AS BIGINT) AS sum_cents,
+               CAST(last_value(last_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour_bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS ffill_cents,
+               CAST(CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        FROM joined
+        ORDER BY user_id, hour_bucket
+    """,
+)
+def seq_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour = 3_600_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # integer bucket math (us >= 0 here; exact at any magnitude)
+    eb = e.withColumn(
+        "hour_bucket", ((F.col("us") - F.col("us") % hour) / hour).cast("bigint")
+    )
+    grid = (
+        eb.groupBy("user_id")
+        .agg(F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_bucket"),
+        )
+    )
+    perb = eb.groupBy("user_id", "hour_bucket").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        # deterministic last observation: lexicographic max over the unique
+        # (us, event_id) pair carries its cents along
+        F.max(F.struct("us", "event_id", "cents"))["cents"].alias("last_cents"),
+    )
+    joined = grid.join(perb, ["user_id", "hour_bucket"], "left")
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour_bucket",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("sum_cents", F.lit(0)).cast("bigint").alias("sum_cents"),
+        F.last("last_cents", ignorenulls=True).over(w_ff).cast("bigint").alias("ffill_cents"),
+        F.when(F.coalesce("n_events", F.lit(0)) == 0, 1).otherwise(0).cast("bigint").alias("is_gap"),
+    )

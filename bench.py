@@ -159,6 +159,8 @@ HEADLINE = (
     "interval_bin_join",
     # round 6: bloom-filter runtime pruning ahead of a shuffle semi join
     "bloom_semi_join_prune",
+    # round 6: hourly-grid resample + forward-fill gap filling
+    "seq_resample_grid",
 )
 
 
