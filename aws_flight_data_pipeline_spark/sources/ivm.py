@@ -183,6 +183,7 @@ def _stamp_cursor(rollup_path: str, head: int) -> None:
             "files": m["files"],
             "n_files": m["n_files"],
             "stats": m.get("stats", {}),
+            "blooms": m.get("blooms", {}),
             "source_version": head,
             "committed_at": _time.time(),
         },

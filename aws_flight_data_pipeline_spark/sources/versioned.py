@@ -89,6 +89,8 @@ def commit(
     path: str,
     mode: str = "append",
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+    bloom_fpp: float = 0.01,
     meta: dict | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
@@ -107,6 +109,15 @@ def commit(
     first (``repartitionByRange`` / the Z-order writer in
     ``operators/layout.py``) so per-file ranges are tight — stats on
     randomly-scattered data prune nothing, exactly like Z-order locality.
+
+    ``bloom_cols`` additionally records a per-file bloom filter of each
+    listed column's distinct values (int/string key columns; ~1.2 KB per
+    1k keys at ``bloom_fpp``), which ``plan_files`` probes for POINT
+    predicates (lo == hi) — the file skip that works on high-cardinality
+    keys whose per-file [min, max] spans the whole domain, where range
+    stats prune nothing (Delta's bloom-filter-index role). Blooms carry
+    with untouched files through append/rollback/merge/delete; rewritten
+    files drop theirs (absent bloom = no skip — conservative).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -123,12 +134,19 @@ def commit(
     )
 
     stats = {f: _footer_stats(os.path.join(path, f), stats_cols) for f in new_files} if stats_cols else {}
+    blooms = (
+        {f: _file_blooms(os.path.join(path, f), bloom_cols, bloom_fpp) for f in new_files}
+        if bloom_cols
+        else {}
+    )
+    blooms = {f: b for f, b in blooms.items() if b}
 
     files = list(new_files)
     if mode == "append" and parent is not None:
         parent_manifest = _read_manifest(path, parent)
         files = parent_manifest["files"] + files
         stats = {**parent_manifest.get("stats", {}), **stats}
+        blooms = {**parent_manifest.get("blooms", {}), **blooms}
 
     manifest = {
         "version": version,
@@ -137,6 +155,7 @@ def commit(
         "files": files,
         "n_files": len(files),
         "stats": stats,
+        "blooms": blooms,
         "committed_at": time.time(),
         **(meta or {}),
     }
@@ -170,6 +189,89 @@ def _footer_stats(file_path: str, cols: tuple[str, ...]) -> dict:
     return out
 
 
+def _bloom_canon(v) -> str | None:
+    """Canonical probe/build encoding for bloom-indexable values: ints and
+    strings only (the point-lookup key types); floats/bools/None return
+    None, which disables the bloom for the file (conservative)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return None
+
+
+def _bloom_positions(canon: str, m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.blake2b(
+                canon.encode(), digest_size=8, salt=i.to_bytes(8, "little")
+            ).digest(),
+            "big",
+        )
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_build(values, fpp: float) -> dict | None:
+    """{'k', 'm', 'b64'} bloom of the values, or None if any value is not
+    bloom-indexable. Sized for the file's distinct count at ``fpp``."""
+    import base64
+    import struct as _struct
+
+    from aws_flight_data_pipeline_spark.functions.bloom import optimal_params
+
+    canon = set()
+    for v in values:
+        c = _bloom_canon(v)
+        if c is None:
+            return None
+        canon.add(c)
+    m_bits, k = optimal_params(len(canon), fpp)
+    words = [0] * (m_bits // 64)
+    for c in canon:
+        for p in _bloom_positions(c, m_bits, k):
+            words[p // 64] |= 1 << (p % 64)
+    packed = _struct.pack(f"<{len(words)}Q", *words)
+    return {"k": k, "m": m_bits, "b64": base64.b64encode(packed).decode()}
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    import base64
+    import struct as _struct
+
+    c = _bloom_canon(value)
+    if c is None:
+        return True  # unindexable probe value: never skip
+    raw = base64.b64decode(bloom["b64"])
+    words = _struct.unpack(f"<{len(raw) // 8}Q", raw)
+    return all(
+        words[p // 64] & (1 << (p % 64)) for p in _bloom_positions(c, bloom["m"], bloom["k"])
+    )
+
+
+def _file_blooms(file_path: str, cols: tuple[str, ...], fpp: float) -> dict:
+    """Per-column blooms for one data file — a column-pruned pyarrow read
+    of just the indexed columns (at cluster scale this rides the write
+    task; the manifest payload is what matters: ~1.2 KB per 1k distinct
+    keys at 1%)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(file_path, columns=[c for c in cols])
+    out = {}
+    for c in cols:
+        if c not in tbl.column_names:
+            continue
+        b = _bloom_build(tbl[c].to_pylist(), fpp)
+        if b is not None:
+            out[c] = b
+    return out
+
+
 def plan_files(
     path: str, version: int | None = None, where: dict | None = None
 ) -> tuple[list[str], int]:
@@ -189,13 +291,21 @@ def plan_files(
             raise FileNotFoundError(f"{path} has no committed versions")
     m = _read_manifest(path, version)
     stats = m.get("stats", {})
+    blooms = m.get("blooms", {})
     kept, skipped = [], 0
     for f in m["files"]:
         fs = stats.get(f, {})
+        fb = blooms.get(f, {})
         drop = False
         for col, (lo, hi) in (where or {}).items():
             rng = fs.get(col)
             if rng is not None and (rng[1] < lo or rng[0] > hi):
+                drop = True
+                break
+            # point lookups also consult the per-file bloom — the skip that
+            # works when every file's [min, max] spans the whole key domain
+            bl = fb.get(col)
+            if bl is not None and lo == hi and not _bloom_might_contain(bl, lo):
                 drop = True
                 break
         if drop:
@@ -279,6 +389,7 @@ def rollback(path: str, to_version: int) -> int:
         "files": old["files"],
         "n_files": len(old["files"]),
         "stats": old.get("stats", {}),
+        "blooms": old.get("blooms", {}),
         "committed_at": time.time(),
     }
     _publish(path, version, manifest)
@@ -754,6 +865,9 @@ def merge_into(
         "files": carried + new_files,
         "n_files": len(carried) + len(new_files),
         "stats": stats,
+        # blooms carry for untouched files; rewritten files lose theirs
+        # (absent bloom = no skip — conservative, never wrong)
+        "blooms": {f: b for f, b in m.get("blooms", {}).items() if f in carried_set},
         "rows_updated": n_updated,
         "rows_deleted": n_deleted,
         "rows_inserted": n_inserted,
@@ -843,6 +957,7 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
         "files": carried + new_files,
         "n_files": len(carried) + len(new_files),
         "stats": stats,
+        "blooms": {f: b for f, b in m.get("blooms", {}).items() if f in carried_set},
         "rows_deleted": n_deleted,
         "committed_at": time.time(),
     }
