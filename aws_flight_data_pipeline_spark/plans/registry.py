@@ -133,6 +133,7 @@ def _ensure_loaded() -> None:
     # REGISTRY insertion order above stays exactly as round 1 recorded it
     import aws_flight_data_pipeline_spark.plans.classifier_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.curation_queries  # noqa: F401
+    import aws_flight_data_pipeline_spark.plans.graph_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.ivm_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.layout_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.repetition_queries  # noqa: F401

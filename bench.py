@@ -161,6 +161,8 @@ HEADLINE = (
     "bloom_semi_join_prune",
     # round 6: hourly-grid resample + forward-fill gap filling
     "seq_resample_grid",
+    # round 6: iterative PageRank (3 unrolled rounds, integer-exact)
+    "graph_pagerank_unrolled",
 )
 
 
