@@ -1416,3 +1416,91 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@builder(
+    "cube_subtotals",
+    tags=("agg", "cube", "grouping-sets"),
+    doc="CUBE aggregation completing the multi-level subtotal family "
+    "(rollup_subtotals covers ROLLUP/GROUPING SETS): all four grouping "
+    "combinations of (order year, status) in ONE aggregation pass — Spark "
+    "plans cube() as a single Expand + hash aggregate, never four scans. "
+    "GROUPING() flags disambiguate subtotal rows from genuine NULL group "
+    "keys (the classic CUBE pitfall); totals ride as exact integer cents.",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderstatus AS status,
+               CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+        ORDER BY g_year, g_status, order_year, status
+    """,
+)
+def cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.cube("order_year", "status")
+        .agg(
+            F.grouping("order_year").cast("bigint").alias("g_year"),
+            F.grouping("status").cast("bigint").alias("g_status"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("g_year", "g_status", "order_year", "status")
+    )
+
+
+@builder(
+    "json_extract_profile",
+    tags=("scalar", "json", "semi-structured"),
+    doc="Semi-structured JSON extraction as a first-class scalar family "
+    "(the reference's ingestion layer decodes raw JSON payloads — "
+    "src/lambda/data_ingestion; here the per-event props payload): "
+    "get_json_object pulls the numeric field JVM-side (no Python, no "
+    "schema inference pass), profiled per event type with exact integer "
+    "aggregates and a null-payload guard. At 100 TB prefer from_json with "
+    "an explicit schema for wide payloads (single parse, columnar "
+    "struct); the path-extract form profiled here is the one-field probe "
+    "that avoids materializing the whole document.",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def json_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

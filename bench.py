@@ -163,6 +163,9 @@ HEADLINE = (
     "seq_resample_grid",
     # round 6: iterative PageRank (3 unrolled rounds, integer-exact)
     "graph_pagerank_unrolled",
+    # round 6: CUBE subtotals + JSON path extraction
+    "cube_subtotals",
+    "json_extract_profile",
 )
 
 
