@@ -1593,3 +1593,70 @@ def dedup_segments_cdc_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_paragraphs_xx; rows-only verification, xxhash64 class)."""
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     return _segment_rollup(_cdc_segments(d), F.xxhash64(F.col("seg")))
+
+
+@builder(
+    "string_fuzzy_match",
+    tags=("text", "fuzzy", "entity-resolution", "blocking"),
+    doc="Token-blocked fuzzy string matching (entity resolution): distinct "
+    "part names collapse to the name VOCABULARY first (with carrier "
+    "counts — at 100 TB the vocabulary is bounded by the naming domain "
+    "while rows are not, so every later stage is corpus-size-independent), "
+    "candidate pairs come from a shared-token self-join (blocking — never "
+    "the all-pairs cross product), and JVM-side levenshtein verifies "
+    "candidates within edit distance 3. The canonical dedup/ER shape: "
+    "block, verify, report both sides' support.",
+    oracle="""
+        WITH names AS (
+            SELECT TRIM(p_name) AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY TRIM(p_name)
+        ), toks AS (
+            SELECT name, UNNEST(str_split(name, ' ')) AS tok FROM names
+        ), cand AS (
+            SELECT DISTINCT a.name AS name_a, b.name AS name_b
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+            WHERE a.tok <> ''
+        )
+        SELECT c.name_a, c.name_b,
+               CAST(levenshtein(c.name_a, c.name_b) AS BIGINT) AS edit_dist,
+               na.n_parts AS n_parts_a,
+               nb.n_parts AS n_parts_b
+        FROM cand c
+        JOIN names na ON na.name = c.name_a
+        JOIN names nb ON nb.name = c.name_b
+        WHERE levenshtein(c.name_a, c.name_b) <= 3
+        ORDER BY c.name_a, c.name_b
+    """,
+)
+def string_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.trim(F.col("p_name")).alias("name"))
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    toks = names.select(
+        "name", F.explode(F.split(F.col("name"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    a = toks.select(F.col("name").alias("name_a"), "tok")
+    b = toks.select(F.col("name").alias("name_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b").cast("bigint")
+    ).where(F.col("edit_dist") <= 3)
+    return (
+        verified.join(
+            names.select(F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a")),
+            "name_a",
+        )
+        .join(
+            names.select(F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b")),
+            "name_b",
+        )
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+        .orderBy("name_a", "name_b")
+    )

@@ -166,6 +166,8 @@ HEADLINE = (
     # round 6: CUBE subtotals + JSON path extraction
     "cube_subtotals",
     "json_extract_profile",
+    # round 6: token-blocked fuzzy string matching (entity resolution)
+    "string_fuzzy_match",
 )
 
 
