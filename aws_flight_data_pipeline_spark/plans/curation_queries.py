@@ -1043,3 +1043,48 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("cluster_size") >= 2)
         .orderBy("cluster_label")
     )
+
+
+@builder(
+    "corpus_weighted_sample",
+    tags=("curation", "sampling", "weighted", "reservoir"),
+    doc="Weighted reservoir sampling (Efraimidis-Spirakis A-ES, "
+    "derandomized): each document draws u from the frozen md5-prefix "
+    "uniform and competes with priority u^(1/w), w = n_chars — ranked as "
+    "ln(u)/w, integer-micro-scaled per row BEFORE ranking (the "
+    "established transcendental discipline), so longer documents win "
+    "proportionally more often yet the draw replays bit-identically on "
+    "any engine and any partitioning. Top-50 via TakeOrderedAndProject — "
+    "at 100 TB this is the one-pass, no-state weighted sample: no "
+    "sequential reservoir, no RNG coordination, rerunnable for audit.",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, n_chars, source,
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0 AS u
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars, source,
+               CAST(ROUND(1000000.0 * ln(u) / n_chars) AS BIGINT) AS score_micro
+        FROM u
+        ORDER BY score_micro DESC, doc_id
+        LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = _md5_bucket(F.col("doc_id"))
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            "source",
+            F.round(F.lit(1_000_000.0) * F.log(u) / F.col("n_chars"))
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(50)
+    )

@@ -662,3 +662,79 @@ def seq_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("last_cents", ignorenulls=True).over(w_ff).cast("bigint").alias("ffill_cents"),
         F.when(F.coalesce("n_events", F.lit(0)) == 0, 1).otherwise(0).cast("bigint").alias("is_gap"),
     )
+
+
+@builder(
+    "funnel_conversion",
+    tags=("sequence", "funnel", "behavioral"),
+    doc="Ordered-funnel conversion (view -> click -> signup -> purchase): "
+    "each stage counts users whose stage event occurs STRICTLY after "
+    "their previous stage's first occurrence — the order-sensitive "
+    "product-analytics operator a plain per-type count cannot express. "
+    "Four chained filter+min aggregations per user (events are already "
+    "clustered per user after the first shuffle; each later stage "
+    "re-joins the KB-scale per-user stage frame, never the raw stream). "
+    "Conversion ratios are quotients of exact integers (bit-identical "
+    "doubles cross-engine), micro-scaled to BIGINT.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ), s1 AS (
+            SELECT user_id, MIN(us) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'signup' AND us > t2 GROUP BY e.user_id
+        ), s4 AS (
+            SELECT e.user_id, MIN(us) AS t4 FROM e JOIN s3 USING (user_id)
+            WHERE event_type = 'purchase' AND us > t3 GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_signup,
+               CAST((SELECT COUNT(*) FROM s4) AS BIGINT) AS n_purchase,
+               CAST(ROUND(1000000.0 * (SELECT COUNT(*) FROM s4)
+                          / (SELECT COUNT(*) FROM s1)) AS BIGINT)
+                   AS full_conv_ppm
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def stage(prev: DataFrame | None, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        if prev is None:
+            return (
+                e.where(F.col("event_type") == etype)
+                .groupBy("user_id")
+                .agg(F.min("us").alias(tcol))
+            )
+        return (
+            e.join(prev, "user_id")
+            .where((F.col("event_type") == etype) & (F.col("us") > F.col(prev_t)))
+            .groupBy("user_id")
+            .agg(F.min("us").alias(tcol))
+        )
+
+    s1 = stage(None, "view", "t1", "")
+    s2 = stage(s1, "click", "t2", "t1")
+    s3 = stage(s2, "signup", "t3", "t2")
+    s4 = stage(s3, "purchase", "t4", "t3")
+    counts = [s.agg(F.count("*").alias(n)) for s, n in
+              [(s1, "n_view"), (s2, "n_click"), (s3, "n_signup"), (s4, "n_purchase")]]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(c)  # four 1-row frames: the serving-combine shape
+    return row.select(
+        F.col("n_view").cast("bigint"),
+        F.col("n_click").cast("bigint"),
+        F.col("n_signup").cast("bigint"),
+        F.col("n_purchase").cast("bigint"),
+        F.round(F.lit(1_000_000.0) * F.col("n_purchase") / F.col("n_view"))
+        .cast("bigint")
+        .alias("full_conv_ppm"),
+    )

@@ -168,6 +168,9 @@ HEADLINE = (
     "json_extract_profile",
     # round 6: token-blocked fuzzy string matching (entity resolution)
     "string_fuzzy_match",
+    # round 6: ordered funnel conversion + A-ES weighted sampling
+    "funnel_conversion",
+    "corpus_weighted_sample",
 )
 
 
