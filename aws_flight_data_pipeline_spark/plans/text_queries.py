@@ -1660,3 +1660,121 @@ def string_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
         .orderBy("name_a", "name_b")
     )
+
+
+@builder(
+    "set_similarity_join",
+    tags=("text", "dedup", "similarity-join", "prefix-filter", "scale"),
+    doc="EXACT set-similarity self-join with prefix filtering (the "
+    "AllPairs/PPJoin family): documents as distinct-token sets, tokens "
+    "canonically ordered rare-first by global document frequency, each "
+    "document indexed ONLY on its first |x| - ceil(t|x|) + 1 tokens — any "
+    "pair with Jaccard >= t provably shares a prefix token, so blocking "
+    "on prefix tokens generates a complete yet tiny candidate set "
+    "(rare-first ordering makes prefix blocks small by construction; the "
+    "frequent tokens that would explode a plain token block never index). "
+    "Candidates verify by exact intersection counting. The exact "
+    "complement of the MinHash-LSH tier: same pair semantics, zero "
+    "probability of a missed pair. Jaccard reported in exact ppm.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       UNNEST(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM tok GROUP BY doc_id
+        ), dfreq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tok GROUP BY tok
+        ), ranked AS (
+            SELECT t.doc_id, t.tok,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY d.df, t.tok) AS rn,
+                   s.sz
+            FROM tok t JOIN dfreq d USING (tok) JOIN sizes s USING (doc_id)
+        ), prefix AS (
+            SELECT doc_id, tok FROM ranked
+            WHERE rn <= sz - CAST(CEIL(0.5 * sz) AS BIGINT) + 1
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN prefix b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               sa.sz AS sz_a, sb.sz AS sz_b,
+               CAST(ROUND(1000000.0 * i.n_common
+                          / (sa.sz + sb.sz - i.n_common)) AS BIGINT) AS jac_ppm
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 1.0 * i.n_common / (sa.sz + sb.sz - i.n_common) >= 0.5
+        ORDER BY i.doc_a, i.doc_b
+    """,
+)
+def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .transform(tracked_cache)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1
+    ).select("doc_id", "tok")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.lit(1.0) * F.col("n_common") / union_sz >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "sz_a",
+            "sz_b",
+            F.round(F.lit(1_000_000.0) * F.col("n_common") / union_sz)
+            .cast("bigint")
+            .alias("jac_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

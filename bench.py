@@ -171,6 +171,8 @@ HEADLINE = (
     # round 6: ordered funnel conversion + A-ES weighted sampling
     "funnel_conversion",
     "corpus_weighted_sample",
+    # round 6: exact prefix-filtered set-similarity join (PPJoin family)
+    "set_similarity_join",
 )
 
 
