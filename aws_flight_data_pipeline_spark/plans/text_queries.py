@@ -1666,21 +1666,26 @@ def string_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_similarity_join",
     tags=("text", "dedup", "similarity-join", "prefix-filter", "scale"),
     doc="EXACT set-similarity self-join with prefix filtering (the "
-    "AllPairs/PPJoin family): documents as distinct-token sets, tokens "
+    "AllPairs/PPJoin family): documents as distinct 3-gram SHINGLE sets "
+    "(single tokens degenerate on this shared-vocabulary corpus — 31 "
+    "distinct words across 5000 docs turns every token block into "
+    "millions of pairs; shingles are distinctive, median df 9), shingles "
     "canonically ordered rare-first by global document frequency, each "
-    "document indexed ONLY on its first |x| - ceil(t|x|) + 1 tokens — any "
-    "pair with Jaccard >= t provably shares a prefix token, so blocking "
-    "on prefix tokens generates a complete yet tiny candidate set "
-    "(rare-first ordering makes prefix blocks small by construction; the "
-    "frequent tokens that would explode a plain token block never index). "
-    "Candidates verify by exact intersection counting. The exact "
-    "complement of the MinHash-LSH tier: same pair semantics, zero "
-    "probability of a missed pair. Jaccard reported in exact ppm.",
+    "document indexed ONLY on its first |x| - ceil(t|x|) + 1 shingles — "
+    "any pair with Jaccard >= t provably shares a prefix shingle, so "
+    "blocking generates a complete yet tiny candidate set (the frequent "
+    "shingles that would explode a plain block never index). Candidates "
+    "verify by exact intersection counting. The exact complement of the "
+    "MinHash-LSH tier: same pair semantics, zero probability of a missed "
+    "pair. Jaccard reported in exact ppm.",
     oracle="""
         WITH tok AS (
             SELECT doc_id, tok FROM (
                 SELECT doc_id,
-                       UNNEST(list_distinct(string_split(text, ' '))) AS tok
+                       UNNEST(list_distinct(list_transform(
+                           range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                       ))) AS tok
                 FROM documents
             ) WHERE tok <> ''
         ), sizes AS (
@@ -1697,7 +1702,7 @@ def string_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tok t JOIN dfreq d USING (tok) JOIN sizes s USING (doc_id)
         ), prefix AS (
             SELECT doc_id, tok FROM ranked
-            WHERE rn <= sz - CAST(CEIL(0.5 * sz) AS BIGINT) + 1
+            WHERE rn <= sz - CAST(CEIL(0.8 * sz) AS BIGINT) + 1
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM prefix a JOIN prefix b
@@ -1716,7 +1721,7 @@ def string_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE 1.0 * i.n_common / (sa.sz + sb.sz - i.n_common) >= 0.5
+        WHERE 5 * i.n_common >= 4 * (sa.sz + sb.sz - i.n_common)
         ORDER BY i.doc_a, i.doc_b
     """,
 )
@@ -1725,10 +1730,7 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
     tok = (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-        )
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
         .where(F.col("tok") != "")
         .transform(tracked_cache)
     )
@@ -1741,14 +1743,21 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
     )
     prefix = ranked.where(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1
-    ).select("doc_id", "tok")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(0.8) * F.col("sz")) + 1
+    ).select("doc_id", "tok", "sz")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok", F.col("sz").alias("sz_b"))
     cand = (
         a.join(b, "tok")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= 4/5 forces 5*min(sz) >= 4*max(sz) —
+            # exact integer form (0.8 is not a representable double, and a
+            # float comparison would mis-prune the subset boundary pair)
+            & (5 * F.col("sz_a") >= 4 * F.col("sz_b"))
+            & (5 * F.col("sz_b") >= 4 * F.col("sz_a"))
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
         .distinct()
     )
     ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
@@ -1756,16 +1765,13 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    # threshold in exact integers too: I/U >= 4/5  <=>  5I >= 4U
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(F.lit(1.0) * F.col("n_common") / union_sz >= 0.5)
+        inter.where(5 * F.col("n_common") >= 4 * union_sz)
         .select(
             "doc_a",
             "doc_b",
