@@ -361,3 +361,47 @@ def test_pivot_declares_values_one_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pivot_unpivot_roundtrip")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan  # the unpivot stack expression
+
+
+def test_cube_is_one_expand_one_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cube_subtotals")
+    # CUBE = one Expand feeding one aggregation over ONE scan — never a
+    # scan per grouping combination
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
+def test_json_extraction_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "json_extract_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan  # get_json_object is JVM-side
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_bloom_semi_join_filters_before_the_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bloom_semi_join_prune")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the bloom probe (element_at over the constant word array) sits in a
+    # Filter on the lineitem side, i.e. BEFORE any join
+    assert "element_at" in plan and "xxhash64" in plan
+
+
+def test_set_similarity_never_all_pairs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "set_similarity_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_pagerank_unrolled")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # top-k never global-sorts
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_resample_grid_generates_rows_never_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "seq_resample_grid")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan  # grid is generated
