@@ -485,6 +485,8 @@ def optimize(
     n_files: int = 16,
     bits: int = 8,
     stats_cols: tuple[str, ...] | None = None,
+    bloom_cols: tuple[str, ...] = (),
+    bloom_fpp: float = 0.01,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot compacted (and optionally
     clustered) as a new overwrite commit — content-identical, atomically
@@ -517,7 +519,16 @@ def optimize(
         )
     else:
         out = cur.repartition(n_files)
-    return commit(out, path, mode="overwrite", stats_cols=stats_cols)
+    return commit(
+        out,
+        path,
+        mode="overwrite",
+        stats_cols=stats_cols,
+        # an OPTIMIZE rewrite replaces every file, so per-file blooms must
+        # be rebuilt here or the point-lookup skip is lost table-wide
+        bloom_cols=bloom_cols,
+        bloom_fpp=bloom_fpp,
+    )
 
 
 def _batches_path(path: str) -> str:

@@ -103,3 +103,14 @@ def test_string_keys_and_unindexable_columns(spark, table):
     assert len(kept) == 1 and skipped == 0
     kept, skipped = vt.plan_files(table, where={"name": ("gamma", "gamma")})
     assert len(kept) == 0 and skipped == 1
+
+
+def test_optimize_rebuilds_blooms(spark, table):
+    _commit_interleaved(spark, table)
+    vt.optimize(spark, table, cluster_by=("k",), n_files=4, bloom_cols=("k",))
+    m = vt._read_manifest(table, vt.latest_version(table))
+    assert len(m["blooms"]) == 4  # every rewritten file re-indexed
+    # clustered rewrite: range stats handle ranges, blooms handle points
+    assert vt.read(spark, table, where={"k": (42, 42)}).count() == 1
+    kept, skipped = vt.plan_files(table, where={"k": (42, 42)})
+    assert len(kept) == 1 and skipped == 3
