@@ -1374,13 +1374,16 @@ def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions/bloom.py): lineitem rows are pre-filtered by a KB-scale "
     "bloom digest of the high-value order keys — built distributively "
     "(bit-position explode + per-word bit_or, shuffle of at most m/64 "
-    "groups), carried into the plan as one constant-folded array literal, "
-    "probed with pure codegen bit arithmetic — then the real left-semi "
-    "join removes the ~1% false positives. At 100 TB the driving key set "
-    "is too big to broadcast raw but its bloom is a few hundred KB, and "
-    "the fact side shrinks BEFORE it is hashed/sorted/shuffled; the "
-    "result is provably identical to the un-pruned semi join (the oracle "
-    "verifies exactly that). Revenue rides as exact integer cents.",
+    "groups), attached to the fact side as a BROADCAST one-row dense "
+    "word array (the words never touch the driver or the plan tree), "
+    "probed with pure codegen element_at bit arithmetic — then the real "
+    "left-semi join removes the ~1% false positives. At 100 TB the "
+    "driving key set is too big to broadcast raw but its bloom is a few "
+    "hundred KB, and the fact side shrinks BEFORE it is hashed/sorted/"
+    "shuffled; a selectivity guard skips the bloom when the keys cover "
+    "too much of the fact domain to prune anything. The result is "
+    "provably identical to the un-pruned semi join (the oracle verifies "
+    "exactly that). Revenue rides as exact integer cents.",
     oracle="""
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -1388,7 +1391,7 @@ def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS ext_cents
         FROM lineitem
         WHERE l_orderkey IN (
-            SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
         )
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -1402,7 +1405,7 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = (
         load_table(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice") > 150000)
+        .where(F.col("o_totalprice") > 400000)
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     return (

@@ -382,8 +382,11 @@ def test_bloom_semi_join_filters_before_the_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bloom_semi_join_prune")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # the bloom probe (element_at over the constant word array) sits in a
-    # Filter on the lineitem side, i.e. BEFORE any join
+    # the bloom rides as an uncorrelated scalar subquery (executed once,
+    # plugged into the probe as a runtime constant) and the probe
+    # (element_at over the word array) sits in a Filter on the lineitem
+    # side, i.e. BEFORE the semi join
+    assert "Subquery" in plan
     assert "element_at" in plan and "xxhash64" in plan
 
 
