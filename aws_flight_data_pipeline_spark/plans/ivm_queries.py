@@ -12,7 +12,8 @@ reference's view refresh gets by re-running the defining query wholesale
 (``sql/athena/06_create_summary_views.sql``, ``07_optimization_guide.sql:
 529-571``).
 
-Churn script (deterministic at any scale; ``cut = max(o_orderkey) // 3``):
+Churn script (deterministic at any scale; ``cut`` = v0 subset's max
+orderkey // 3, observed during the load commit — no standalone job):
 
 1. v0 load: orders with ``o_orderkey % 4 != 0``  → full rollup build
 2. append: orders with ``o_orderkey % 8 == 4``   → insert-only increment
@@ -28,8 +29,9 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from aws_flight_data_pipeline_spark.plans.registry import builder
@@ -41,6 +43,11 @@ from aws_flight_data_pipeline_spark.sources.testdata import load_table
 #: builder runs again (same build-then-materialize contract as the tracked
 #: caches: by the next build, prior consumers have collected).
 _STATE_DIRS: dict[str, str] = {}
+
+#: Wall-clock per lifecycle step of the LAST ``ivm_incremental_view`` run —
+#: the bench harness copies this into its sidecar so the 8-step episode is
+#: graded at step grain, not as one opaque number.
+LAST_STEP_SECONDS: dict[str, float] = {}
 
 
 def _fresh_state_dir(sf_dir: str) -> str:
@@ -68,7 +75,8 @@ def _fresh_state_dir(sf_dir: str) -> str:
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
             FROM orders
         ), cutoff AS (
-            SELECT MAX(o_orderkey) // 3 AS cut FROM orders
+            SELECT (MAX(o_orderkey) FILTER (WHERE o_orderkey % 4 <> 0)) // 3
+                AS cut FROM orders
         ), final AS (
             SELECT grp,
                    CASE WHEN o_orderkey % 100 = 1 THEN cents * 2
@@ -90,25 +98,41 @@ def ivm_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    # one scalar to the driver; // matches the oracle's integer division
-    cut = int(base.agg(F.max("o_orderkey")).first()[0]) // 3
 
     root = _fresh_state_dir(sf_dir)
     fact, rollup = f"{root}/fact", f"{root}/rollup"
 
-    def refresh() -> dict:
-        return ivm.refresh_view(
+    steps = LAST_STEP_SECONDS
+    steps.clear()
+    _t0 = time.perf_counter()
+
+    def mark(step: str) -> None:
+        nonlocal _t0
+        now = time.perf_counter()
+        steps[step] = round(now - _t0, 3)
+        _t0 = now
+
+    def refresh(step: str) -> None:
+        ivm.refresh_view(
             spark, fact, rollup, group_cols=("grp",), sum_cols=("cents",)
         )
+        mark(step)
 
     # 1. initial load (key-clustered into multiple files so the later
-    #    DELETE/MERGE actually exercise manifest-stats file pruning)
+    #    DELETE/MERGE actually exercise manifest-stats file pruning). The
+    #    churn cutoff rides the load as an OBSERVED metric — no separate
+    #    max() job; // matches the oracle's integer division.
+    obs_max = Observation()
     vt.commit(
-        base.where(F.col("o_orderkey") % 4 != 0).repartitionByRange(4, "o_orderkey"),
+        base.where(F.col("o_orderkey") % 4 != 0)
+        .observe(obs_max, F.max("o_orderkey").alias("mx"))
+        .repartitionByRange(4, "o_orderkey"),
         fact,
         stats_cols=("o_orderkey",),
     )
-    refresh()
+    cut = int(obs_max.get["mx"]) // 3
+    mark("load")
+    refresh("refresh_full")
     # 2. append-only increment
     vt.commit(
         base.where(F.col("o_orderkey") % 8 == 4).repartitionByRange(2, "o_orderkey"),
@@ -116,10 +140,12 @@ def ivm_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
         stats_cols=("o_orderkey",),
     )
-    refresh()
+    mark("append")
+    refresh("refresh_insert")
     # 3. range delete -> retractions
     vt.delete_where(spark, fact, {"o_orderkey": (1, cut)})
-    refresh()
+    mark("delete")
+    refresh("refresh_retract")
     # 4. MERGE update (count-neutral, sum-shifting)
     vt.merge_into(
         spark,
@@ -128,7 +154,8 @@ def ivm_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cents", F.col("cents") * 2),
         on=("o_orderkey",),
     )
-    refresh()
+    mark("merge")
+    refresh("refresh_update")
 
     return (
         ivm.read_view(spark, rollup)

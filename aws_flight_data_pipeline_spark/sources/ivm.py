@@ -121,20 +121,13 @@ def refresh_view(
     for c in sum_cols:
         nonzero = nonzero | (F.col(f"_d_sum_{c}") != 0)
     delta = delta.where(nonzero)
-    if delta.isEmpty():
-        # cur < head but the net diff is empty (rollback that netted out,
-        # OPTIMIZE compaction, metadata-only commits): move the cursor with
-        # a metadata-only republish — never touch the rollup's data
-        _stamp_cursor(rollup_path, int(head))
-        return {
-            "refreshed": True,
-            "from_version": cur,
-            "to_version": head,
-            "groups_touched": 0,
-        }
+    # LEFT join from the delta side inherently restricts the rollup scan
+    # to the affected groups (rollup rows are unique per group); the
+    # merged frame (KB-scale: one row per affected group) is materialized
+    # ONCE — merge_into drives several actions over its source and each
+    # would otherwise re-scan the change feed and re-run the aggregation
     existing = read(spark, rollup_path)
-    affected = existing.join(delta.select(*group_cols), list(group_cols), "left_semi")
-    merged = delta.join(affected, list(group_cols), "left").select(
+    merged = delta.join(existing, list(group_cols), "left").select(
         *group_cols,
         (F.coalesce(F.col(count_col), F.lit(0)) + F.col(f"_d_{count_col}"))
         .cast("bigint")
@@ -145,14 +138,31 @@ def refresh_view(
             .alias(f"sum_{c}")
             for c in sum_cols
         ],
-    )
-    out = merge_into(
-        spark,
-        rollup_path,
-        merged,
-        on=tuple(group_cols),
-        meta={"source_version": int(head)},
-    )
+    ).persist()
+    try:
+        prior = latest_version(rollup_path)
+        out = merge_into(
+            spark,
+            rollup_path,
+            merged,
+            on=tuple(group_cols),
+            meta={"source_version": int(head)},
+        )
+    finally:
+        merged.unpersist()
+    if out["version"] == prior:
+        # cur < head but the net diff was empty (rollback that netted out,
+        # OPTIMIZE compaction, metadata-only commits): merge_into was a
+        # no-op, so move the cursor with a metadata-only republish — never
+        # touch the rollup's data. (merge_into detects the empty source in
+        # its own bounds aggregate; no standalone isEmpty job is paid.)
+        _stamp_cursor(rollup_path, int(head))
+        return {
+            "refreshed": True,
+            "from_version": cur,
+            "to_version": head,
+            "groups_touched": 0,
+        }
     groups = out["rows_updated"] + out["rows_inserted"]
     return {
         "refreshed": True,

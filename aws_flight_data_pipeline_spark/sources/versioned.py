@@ -38,7 +38,9 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+import shutil
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -702,8 +704,10 @@ def merge_into(
     MERGE semantics on plain parquet.
 
     ``on`` is the row-identity key; ``source`` must carry at most one row
-    per key (duplicate source keys would fan matched rows out — same
-    precondition as Delta MERGE). Modes: ``when_matched`` in
+    per non-null key — ENFORCED: the bounds aggregate also counts
+    distinct keys and the merge raises before touching the table if the
+    source would fan matched rows out (same precondition as Delta MERGE;
+    NULL-keyed rows are exempt because they can never match). Modes: ``when_matched`` in
     ``update | delete | ignore`` (``update`` replaces the WHOLE target row
     with the source row), ``when_not_matched`` in ``insert | ignore``.
 
@@ -766,12 +770,42 @@ def merge_into(
 
     m = _read_manifest(path, version)
 
-    # file pruning: source key ranges from ONE key-column aggregate
-    # (driver gets back a single row of scalars, never data)
+    # file pruning + row accounting + the documented source-uniqueness
+    # precondition, all from ONE key-column aggregate over the source
+    # (driver gets back a single row of scalars, never data). NULL-keyed
+    # source rows are exempt from the uniqueness check: they can never
+    # equi-match, so duplicates among them simply insert (SQL MERGE
+    # raises only when multiple source rows hit the same target row).
+    all_keyed = F.lit(True)
+    for k in keys:
+        all_keyed = all_keyed & F.col(k).isNotNull()
     bounds = source.agg(
         *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
         *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+        F.count(F.lit(1)).alias("n_src"),
+        F.count(F.when(all_keyed, 1)).alias("n_keyed"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("n_distinct"),
     ).first()
+    if bounds["n_keyed"] != bounds["n_distinct"]:
+        raise ValueError(
+            "merge_into source carries more than one row per key "
+            f"({bounds['n_keyed']} non-null-keyed rows over "
+            f"{bounds['n_distinct']} distinct keys on {keys}); matched "
+            "target rows would fan out into duplicates - dedupe the "
+            "source first (e.g. keep the latest row per key)"
+        )
+    n_src = int(bounds["n_src"])
+    no_op = {
+        "version": version,
+        "files_rewritten": 0,
+        "files_carried": len(m["files"]),
+        "rows_updated": 0,
+        "rows_deleted": 0,
+        "rows_inserted": 0,
+    }
+    if n_src == 0:
+        return no_op
+
     where = {}
     for i, k in enumerate(keys):
         lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
@@ -781,71 +815,60 @@ def merge_into(
     aff = set(affected)
     carried = [f for f in m["files"] if f not in aff]
 
+    # one limit-1 probe decides the plan shape; the full accounting
+    # counts ride the rewrite pass itself as observed metrics (zero
+    # standalone counting jobs - the round-6 design ran two)
     src_keys = source.select(*keys)
+    tgt = None
+    matched_any = False
     if affected:
         tgt = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, f) for f in affected]
         )
-        n_matched = tgt.join(src_keys, on=keys, how="left_semi").count()
-        survivors = (
-            tgt
-            if when_matched == "ignore"
-            else tgt.join(src_keys, on=keys, how="left_anti")
+        matched_any = not tgt.join(src_keys, on=keys, how="left_semi").isEmpty()
+
+    count_n = F.count(F.lit(1)).alias("n")
+    if not matched_any or when_matched == "ignore":
+        # no target row changes: EVERY file carries and only genuinely new
+        # rows are written (a trickle merge into a cold key range is an
+        # append, not a table rewrite - and when_matched="ignore" never
+        # rewrites at all, it only inserts the unmatched source rows)
+        if when_not_matched != "insert":
+            return no_op
+        if matched_any:
+            obs_ins = Observation()
+            to_write = source.join(
+                tgt.select(*keys), on=keys, how="left_anti"
+            ).observe(obs_ins, count_n)
+        else:
+            obs_ins = None
+            to_write = source
+        affected, carried = [], m["files"]
+        n_updated = n_deleted = 0
+        n_matched_rows = 0
+    else:
+        obs_surv = Observation()
+        survivors = tgt.join(src_keys, on=keys, how="left_anti").observe(
+            obs_surv, count_n
         )
         tgt_keys = tgt.select(*keys)
-        inserts = (
-            source.join(tgt_keys, on=keys, how="left_anti")
-            if when_not_matched == "insert"
-            else None
-        )
-    else:
-        tgt = None
-        n_matched = 0
-        survivors = None
-        inserts = source if when_not_matched == "insert" else None
-
-    n_inserted = inserts.count() if inserts is not None else 0
-    n_updated = n_matched if when_matched == "update" else 0
-    n_deleted = n_matched if when_matched == "delete" else 0
-
-    if n_matched == 0 and n_inserted == 0:
-        return {
-            "version": version,
-            "files_rewritten": 0,
-            "files_carried": len(m["files"]),
-            "rows_updated": 0,
-            "rows_deleted": 0,
-            "rows_inserted": 0,
-        }
-    if n_matched == 0:
-        # pure-insert merge: no target row changes, so nothing is rewritten —
-        # every file carries and only the insert rows are written (a trickle
-        # merge into a cold key range is an append, not a table rewrite)
-        affected, carried = [], m["files"]
-        survivors, tgt = None, None
-
-    pieces = []
-    if survivors is not None:
-        pieces.append(survivors)
-    if when_matched == "update":
-        # matched source rows replace their target rows wholesale; when
-        # inserts are also on, "all of source" covers both roles in one arm
+        pieces = [survivors]
+        if when_matched == "update":
+            # matched source rows replace their target rows wholesale
+            pieces.append(source.join(tgt_keys, on=keys, how="left_semi"))
+        obs_ins = None
         if when_not_matched == "insert":
-            pieces.append(source)
-        else:
+            obs_ins = Observation()
             pieces.append(
-                source.join(tgt_keys, on=keys, how="left_semi")
-                if tgt is not None
-                else None
+                source.join(tgt_keys, on=keys, how="left_anti").observe(
+                    obs_ins, count_n
+                )
             )
-    elif inserts is not None:
-        pieces.append(inserts)
-    pieces = [p for p in pieces if p is not None]
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
+        to_write = pieces[0]
+        for piece in pieces[1:]:
+            to_write = to_write.unionByName(piece, allowMissingColumns=True)
 
-    # stats continuity: same policy as delete_where — the union of columns
+    # stats continuity: same policy as delete_where - the union of columns
     # the affected files carried stats for, plus the merge keys
     stats_cols = tuple(
         sorted(
@@ -857,7 +880,33 @@ def merge_into(
     new_version = version + 1
     txn = f"v{new_version:09d}-{uuid.uuid4().hex[:12]}"
     txn_dir = os.path.join(_data_dir(path), txn)
-    out.write.mode("error").option("compression", "snappy").parquet(txn_dir)
+    to_write.write.mode("error").option("compression", "snappy").parquet(txn_dir)
+
+    if affected:
+        # matched-rewrite accounting: target rows matched = rows the
+        # affected files held (parquet footer metadata, no scan) minus the
+        # survivors observed during the write
+        import pyarrow.parquet as pq
+
+        n_aff_rows = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in affected
+        )
+        n_matched_rows = n_aff_rows - int(obs_surv.get["n"])
+        n_updated = n_matched_rows if when_matched == "update" else 0
+        n_deleted = n_matched_rows if when_matched == "delete" else 0
+    n_inserted = (
+        int(obs_ins.get["n"])
+        if obs_ins is not None
+        else (n_src if when_not_matched == "insert" and not affected else 0)
+    )
+    if n_matched_rows == 0 and n_inserted == 0:
+        # nothing actually changed (e.g. insert-if-absent where every
+        # source row already existed): publish nothing; the orphan txn
+        # dir is unreferenced garbage that vacuum reaps
+        shutil.rmtree(txn_dir, ignore_errors=True)
+        return no_op
+
     new_files = sorted(
         os.path.join("data", txn, f)
         for f in os.listdir(txn_dir)
@@ -877,7 +926,7 @@ def merge_into(
         "n_files": len(carried) + len(new_files),
         "stats": stats,
         # blooms carry for untouched files; rewritten files lose theirs
-        # (absent bloom = no skip — conservative, never wrong)
+        # (absent bloom = no skip - conservative, never wrong)
         "blooms": {f: b for f, b in m.get("blooms", {}).items() if f in carried_set},
         "rows_updated": n_updated,
         "rows_deleted": n_deleted,

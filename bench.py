@@ -183,6 +183,15 @@ def main() -> None:
     spark = get_spark("afdp-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Host-environment accounting: round-6 showed ±30% uniform drift on
+    # untouched queries from background load alone; the artifact itself now
+    # records when it ran and how loaded the box was, so drift is
+    # attributable from the file rather than from memory.
+    host_meta = {
+        "timestamp_start": time.time(),
+        "loadavg_start": list(os.getloadavg()),
+    }
+
     def run(name: str) -> None:
         resolve(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -236,6 +245,25 @@ def main() -> None:
         if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
     ]
     round_no = (max(prior) + 1) if prior else 0
+    host_meta["timestamp_end"] = time.time()
+    host_meta["loadavg_end"] = list(os.getloadavg())
+    host_meta["wall_seconds"] = round(
+        host_meta["timestamp_end"] - host_meta["timestamp_start"], 1
+    )
+
+    # Step-grain breakdowns for lifecycle-episode entries (a multi-commit
+    # maintenance episode timed as one query is graded per step here)
+    step_breakdowns = {}
+    try:
+        from aws_flight_data_pipeline_spark.plans import ivm_queries
+
+        if ivm_queries.LAST_STEP_SECONDS:
+            step_breakdowns["ivm_incremental_view"] = dict(
+                ivm_queries.LAST_STEP_SECONDS
+            )
+    except Exception:
+        pass
+
     full_payload = {
         "metric": "headline_query_suite_seconds",
         "value": total,
@@ -247,6 +275,8 @@ def main() -> None:
         "sf": sf_val,
         "leaked_caches": leaked_caches,
         "statistic": "min of up to 2 cache-released runs (runs list = raw)",
+        "host": host_meta,
+        "step_breakdowns": step_breakdowns,
     }
     for fname in ("BENCH_FULL.json", f"BENCH_FULL_r{round_no:02d}.json"):
         with open(os.path.join(repo_dir, fname), "w") as f:
