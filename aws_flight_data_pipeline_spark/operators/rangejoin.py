@@ -56,24 +56,23 @@ def bin_interval_join(
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
-    w = F.lit(int(bin_width)).cast("bigint")
+    bw = int(bin_width)
 
-    def to_bin(c: Column) -> Column:
-        # floor-divide that is exact for negatives too (F.floor on a double
-        # quotient would wobble at 2^53; integer arithmetic never does)
-        v = c.cast("bigint")
-        return (v - ((v % w) + w) % w) / w
+    def to_bin(col_name: str) -> Column:
+        # floor-divide that is exact for negatives too: pmod snaps to the
+        # largest multiple of w <= v, and SQL `div` is bigint-in/bigint-out
+        # integer division — the bin index NEVER transits a double (Column
+        # `/` would, and doubles lose integer exactness past 2^53)
+        return F.expr(
+            f"CAST((CAST({col_name} AS BIGINT)"
+            f" - pmod(CAST({col_name} AS BIGINT), {bw})) div {bw} AS BIGINT)"
+        )
 
     iv = intervals.where(F.col(end_col) >= F.col(start_col)).withColumn(
         _BIN,
-        F.explode(
-            F.sequence(
-                to_bin(F.col(start_col)).cast("bigint"),
-                to_bin(F.col(end_col)).cast("bigint"),
-            )
-        ),
+        F.explode(F.sequence(to_bin(start_col), to_bin(end_col))),
     )
-    pt = points.withColumn(_BIN, to_bin(F.col(point_col)).cast("bigint"))
+    pt = points.withColumn(_BIN, to_bin(point_col))
     on = [*keys, _BIN]
     return (
         pt.join(iv, on=on, how="inner")

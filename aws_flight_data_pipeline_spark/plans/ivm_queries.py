@@ -34,7 +34,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.plans.registry import query
 from aws_flight_data_pipeline_spark.sources import ivm
 from aws_flight_data_pipeline_spark.sources import versioned as vt
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
@@ -59,7 +59,7 @@ def _fresh_state_dir(sf_dir: str) -> str:
     return d
 
 
-@builder(
+@query(
     "ivm_incremental_view",
     tags=("ivm", "versioned", "change-feed", "scale"),
     doc="Exactly-once incremental view maintenance: a (priority -> count, "

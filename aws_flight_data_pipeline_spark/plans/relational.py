@@ -885,7 +885,7 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
-@query(
+@builder(
     "datetime_function_suite",
     tags=("scalar", "datetime"),
     doc="year/month/day/hour extraction + the reference's deliberate "
@@ -1295,7 +1295,7 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "interval_bin_join",
     tags=("join", "range-join", "interval", "scale"),
     doc="Point-in-interval (range) join via bin decomposition "

@@ -1662,7 +1662,7 @@ def string_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "set_similarity_join",
     tags=("text", "dedup", "similarity-join", "prefix-filter", "scale"),
     doc="EXACT set-similarity self-join with prefix filtering (the "

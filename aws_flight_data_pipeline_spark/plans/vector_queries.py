@@ -246,7 +246,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "vector_lsh_sign_buckets",
     tags=("vector", "lsh"),
     doc="Sign-pattern LSH bucketing (axis-aligned hyperplanes over the first "
@@ -404,7 +404,7 @@ def ann_topk_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute.unionAll(ivf).orderBy("method", F.desc("cosine_sim"), "vec_id")
 
 
-@query(
+@builder(
     "centroid_assignment_outliers",
     tags=("vector", "centroid", "window"),
     doc="Per-label centroid (the IVF coarse-quantizer building block) + "

@@ -81,9 +81,47 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _head_path(path: str) -> str:
+    return os.path.join(_commits_dir(path), "_head.json")
+
+
+def _write_head(path: str, version: int) -> None:
+    """Best-effort head HINT (atomic replace). Correctness never depends on
+    it: the O_EXCL manifest create is the commit point; readers probe
+    forward from the hint, so a stale hint (writer crashed between publish
+    and hint update, or two writers raced) costs extra probe reads, never
+    a wrong answer."""
+    hp = _head_path(path)
+    tmp = f"{hp}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": int(version)}, fh)
+    os.replace(tmp, hp)
+
+
 def latest_version(path: str) -> int | None:
-    versions = _list_versions(path)
-    return versions[-1] if versions else None
+    """Newest committed version — O(1) manifest-chain reads: start from the
+    ``_head.json`` hint and probe forward until the first missing manifest
+    (versions are dense). Streaming sinks commit once per micro-batch, so
+    chains reach thousands of manifests fast; without the hint every
+    commit/read would pay a full directory listing (the metadata wall the
+    reference avoids with partition projection,
+    ``sql/athena/02_create_raw_tables.sql:47-94``). Tables written before
+    the hint existed (or with a deleted hint) fall back to one listing —
+    and the next publish repairs the hint."""
+    hp = _head_path(path)
+    v = None
+    if os.path.exists(hp):
+        try:
+            with open(hp) as fh:
+                v = int(json.load(fh)["version"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            v = None
+    if v is None or not os.path.exists(_manifest_path(path, v)):
+        versions = _list_versions(path)
+        return versions[-1] if versions else None
+    while os.path.exists(_manifest_path(path, v + 1)):
+        v += 1
+    return v
 
 
 def commit(
@@ -94,6 +132,7 @@ def commit(
     bloom_cols: tuple[str, ...] = (),
     bloom_fpp: float = 0.01,
     meta: dict | None = None,
+    retries: int = 0,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
 
@@ -135,34 +174,56 @@ def commit(
         os.path.join("data", txn, f) for f in os.listdir(txn_dir) if f.endswith(".parquet")
     )
 
-    stats = {f: _footer_stats(os.path.join(path, f), stats_cols) for f in new_files} if stats_cols else {}
-    blooms = (
+    new_stats = (
+        {f: _footer_stats(os.path.join(path, f), stats_cols) for f in new_files}
+        if stats_cols
+        else {}
+    )
+    new_blooms = (
         {f: _file_blooms(os.path.join(path, f), bloom_cols, bloom_fpp) for f in new_files}
         if bloom_cols
         else {}
     )
-    blooms = {f: b for f, b in blooms.items() if b}
+    new_blooms = {f: b for f, b in new_blooms.items() if b}
 
-    files = list(new_files)
-    if mode == "append" and parent is not None:
-        parent_manifest = _read_manifest(path, parent)
-        files = parent_manifest["files"] + files
-        stats = {**parent_manifest.get("stats", {}), **stats}
-        blooms = {**parent_manifest.get("blooms", {}), **blooms}
+    def _assemble(parent_v: int | None) -> tuple[int, dict]:
+        v = 0 if parent_v is None else parent_v + 1
+        files = list(new_files)
+        stats = dict(new_stats)
+        blooms = dict(new_blooms)
+        if mode == "append" and parent_v is not None:
+            pm = _read_manifest(path, parent_v)
+            files = pm["files"] + files
+            stats = {**pm.get("stats", {}), **stats}
+            blooms = {**pm.get("blooms", {}), **blooms}
+        return v, {
+            "version": v,
+            "parent": parent_v,
+            "mode": mode,
+            "files": files,
+            "n_files": len(files),
+            "stats": stats,
+            "blooms": blooms,
+            "committed_at": time.time(),
+            **(meta or {}),
+        }
 
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "mode": mode,
-        "files": files,
-        "n_files": len(files),
-        "stats": stats,
-        "blooms": blooms,
-        "committed_at": time.time(),
-        **(meta or {}),
-    }
-    _publish(path, version, manifest)
-    return version
+    # publish with bounded retry-with-REBASE: the data files are written
+    # exactly once; a losing O_EXCL race only re-reads the new head and
+    # re-assembles the manifest on top of it (append folds onto the
+    # winner's file set; overwrite replaces whatever won). No data motion,
+    # no orphaned rows — the loser's work is preserved, not redone.
+    attempt = 0
+    while True:
+        version, manifest = _assemble(parent)
+        try:
+            _publish(path, version, manifest)
+            return version
+        except CommitConflict:
+            if attempt >= retries:
+                raise
+            attempt += 1
+            parent = latest_version(path)
 
 
 def _footer_stats(file_path: str, cols: tuple[str, ...]) -> dict:
@@ -326,6 +387,7 @@ def _publish(path: str, version: int, manifest: dict) -> None:
         ) from e
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh, indent=1)
+    _write_head(path, version)
 
 
 def read(
@@ -441,10 +503,15 @@ def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 600.0) -> dic
     sink's exactly-once guard) is folded into the durable ``_batches.json``
     side-file, so replay detection survives any retention policy.
     """
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): retaining zero "
+            "manifests would drop the live head and destroy the table"
+        )
     versions = _list_versions(path)
     if not versions:
         return {"versions_dropped": 0, "files_deleted": 0}
-    keep = versions[-keep_last:] if keep_last > 0 else []
+    keep = versions[-keep_last:]
     drop = [v for v in versions if v not in keep]
 
     referenced: set[str] = set()
@@ -472,9 +539,20 @@ def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 600.0) -> dic
                 os.remove(full)
                 files_deleted += 1
         if not any(n.endswith(".parquet") for n in os.listdir(txn_dir)):
+            # leftover non-data garbage: crashed writes leave _temporary/
+            # SUBDIRECTORIES and _SUCCESS markers — rmtree for dirs, and
+            # the same min_age grace as data files (an in-flight writer
+            # owns young entries)
             for leftover in os.listdir(txn_dir):
-                os.remove(os.path.join(txn_dir, leftover))
-            os.rmdir(txn_dir)
+                lp = os.path.join(txn_dir, leftover)
+                if now - os.path.getmtime(lp) < min_age_seconds:
+                    continue
+                if os.path.isdir(lp):
+                    shutil.rmtree(lp, ignore_errors=True)
+                else:
+                    os.remove(lp)
+            if not os.listdir(txn_dir):
+                os.rmdir(txn_dir)
     for v in drop:
         os.remove(_manifest_path(path, v))
     return {"versions_dropped": len(drop), "files_deleted": files_deleted}
@@ -555,23 +633,34 @@ def _record_batch_ids(path: str, batch_ids: list[int]) -> None:
 def _batch_versions(path: str) -> set[int]:
     """batch_ids already committed by the streaming sink.
 
-    O(1) in table history: ids are folded into ``_batches.json`` at commit
-    time (and by vacuum before it drops a stamped manifest); the only
-    manifest that can hold an un-folded id is the newest one (the
-    fold-after-publish crash window of the single streaming writer), so
-    the ledger plus one manifest read covers everything — no O(versions)
-    manifest scan per micro-batch, and replay detection survives vacuum.
+    Amortized O(1) in table history: ids are folded into ``_batches.json``
+    at commit time (and by vacuum before it drops a stamped manifest).
+    The crash window is a streaming commit that published its manifest but
+    died before the ledger fold — and OTHER commits (OPTIMIZE, DELETE,
+    MERGE, IVM refresh) may publish on top before the stream restarts,
+    hiding the stamped manifest behind unstamped ones. So the walk goes
+    newest-first and stops at the first STAMPED manifest whose batch_id is
+    already ledger-folded (everything older is folded too — folds happen
+    in commit order); unstamped maintenance manifests are skipped but
+    never terminate the walk. Steady state reads the ledger plus one or
+    two manifests; replay detection survives vacuum because vacuum folds
+    before it drops.
     """
     out: set[int] = set()
     bp = _batches_path(path)
     if os.path.exists(bp):
         with open(bp) as fh:
             out.update(json.load(fh))
+    folded = frozenset(out)
     v = latest_version(path)
-    if v is not None:
+    while v is not None and v >= 0 and os.path.exists(_manifest_path(path, v)):
+        # missing manifest = vacuumed away = folded by vacuum: safe stop
         b = _read_manifest(path, v).get("batch_id")
         if b is not None:
+            if int(b) in folded:
+                break  # every older stamp is folded too
             out.add(int(b))
+        v -= 1
     return out
 
 
@@ -689,7 +778,87 @@ def streaming_upsert_sink(
     return writer.trigger(**trigger).start()
 
 
+#: Above this many distinct source keys, collecting them to probe per-file
+#: blooms costs more than the rewrite it might save — range pruning alone
+#: applies (the bloom path is for TRICKLE merges into wide key domains).
+_MERGE_BLOOM_PROBE_CAP = 4096
+
+
+def _bloom_prune_merge_targets(
+    manifest: dict,
+    affected: list[str],
+    source: DataFrame,
+    keys: list[str],
+    n_distinct: int,
+) -> list[str]:
+    """Second-stage MERGE target pruning: probe each range-affected file's
+    per-file bloom with the source's (bounded) key set. Range stats prune
+    nothing when sparse keys span the domain — the realistic trickle-CDC
+    shape — but a bloom answers point membership per file. A file stays a
+    rewrite target only if some source row is a MAYBE in every key
+    column's bloom; blooms have no false negatives, so a pruned file
+    provably holds no matched row (false positives only cost an
+    unnecessary rewrite, never a wrong answer). Files without blooms for
+    a key column are kept conservatively."""
+    if not affected or n_distinct == 0 or n_distinct > _MERGE_BLOOM_PROBE_CAP:
+        return affected
+    blooms = manifest.get("blooms", {})
+    if not any(
+        any(c in blooms.get(f, {}) for c in keys) for f in affected
+    ):
+        return affected  # no key-column blooms anywhere: nothing to probe
+    key_rows = [
+        tuple(r[c] for c in keys)
+        for r in source.select(*keys).distinct().collect()
+        if all(r[c] is not None for c in keys)  # NULL keys never match
+    ]
+    kept = []
+    for f in affected:
+        fb = blooms.get(f, {})
+        cols = [c for c in keys if c in fb]
+        if not cols:
+            kept.append(f)
+            continue
+        if any(
+            all(
+                _bloom_might_contain(fb[c], row[keys.index(c)]) for c in cols
+            )
+            for row in key_rows
+        ):
+            kept.append(f)
+    return kept
+
+
+
 def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: tuple[str, ...],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    meta: dict | None = None,
+    retries: int = 0,
+) -> dict:
+    """See :func:`_merge_into_once`; ``retries`` adds bounded
+    retry-with-rebase on :class:`CommitConflict` — a merge that loses the
+    publish race re-plans against the NEW head (the affected-file set may
+    have changed, so a full re-plan is the only correct rebase for a
+    rewrite, unlike append's manifest-only fold). The losing attempt's
+    txn directory is unreferenced garbage that vacuum reaps."""
+    attempt = 0
+    while True:
+        try:
+            return _merge_into_once(
+                spark, path, source, on, when_matched, when_not_matched, meta
+            )
+        except CommitConflict:
+            if attempt >= retries:
+                raise
+            attempt += 1
+
+
+def _merge_into_once(
     spark: SparkSession,
     path: str,
     source: DataFrame,
@@ -812,6 +981,9 @@ def merge_into(
         if lo is not None and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
             where[k] = (lo, hi)
     affected, _ = plan_files(path, version, where)
+    affected = _bloom_prune_merge_targets(
+        m, affected, source, keys, int(bounds["n_distinct"])
+    )
     aff = set(affected)
     carried = [f for f in m["files"] if f not in aff]
 

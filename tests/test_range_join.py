@@ -94,3 +94,18 @@ def test_plan_is_equi_join_never_nested_loop(spark, sf_dir):
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bins_are_exact_beyond_double_precision(spark):
+    # epoch-micro-scale callers stay below 2^53, but the bin math must not
+    # silently wobble past it: quotients ride SQL `div`, never a double
+    from aws_flight_data_pipeline_spark.operators.rangejoin import bin_interval_join
+
+    base = 1 << 60
+    pts = spark.createDataFrame(
+        [(base + 5, "in"), (base + 103, "out")], "v long, name string"
+    )
+    iv = spark.createDataFrame([(base + 1, base + 9, "iv")], "s long, e long, tag string")
+    got = bin_interval_join(pts, iv, "v", "s", "e", bin_width=4)
+    rows = [(r["name"], r["tag"]) for r in got.collect()]
+    assert rows == [("in", "iv")]
