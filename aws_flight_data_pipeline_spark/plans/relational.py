@@ -1507,3 +1507,262 @@ def json_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@builder(
+    "custdist_histogram",
+    tags=("relational", "outer-join", "two-level-agg", "tpch-q13"),
+    doc="Customer-order-count distribution (TPC-H Q13 shape): LEFT join "
+    "preserves zero-order customers (COUNT(o_orderkey) counts non-null "
+    "matches, so the 0 bucket is real rows, not absence), then a second "
+    "aggregation histograms the counts. Two shuffles total: one per "
+    "aggregation level; the join key is the first grouping key so the "
+    "per-customer count reuses the join exchange. The reference's SQL "
+    "corpus has no outer-join-under-aggregation anywhere.",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@builder(
+    "small_quantity_revenue",
+    tags=("relational", "correlated-scalar-agg", "tpch-q17"),
+    doc="Revenue locked in below-average-quantity line items of one brand "
+    "(TPC-H Q17 shape): the classic correlated scalar aggregate "
+    "(l_quantity < avg(l_quantity) per part) rewritten as a per-part "
+    "aggregate join. The brand's part keys broadcast-semi-prune lineitem "
+    "BEFORE the per-part aggregate, so both the agg and the final join "
+    "scan only the brand's items. The threshold compares in EXACT integer "
+    "space (qty_i * 5 * n < sum_qty_i  <=>  qty < sum/(5n) = avg/5): a "
+    "double avg would let engine-order ulp noise flip boundary rows.",
+    oracle="""
+        WITH li AS (
+            SELECT l.l_partkey,
+                   CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS qty_i,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ext_i
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#4'
+        ), pa AS (
+            SELECT l_partkey,
+                   CAST(SUM(qty_i) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM li GROUP BY l_partkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(COALESCE(SUM(ext_i), 0) AS BIGINT) AS ext_cents
+        FROM li JOIN pa USING (l_partkey)
+        WHERE qty_i * 5 * n_items < sum_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(broadcast(brand_parts), on="l_partkey", how="left_semi")
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_i"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("ext_i"),
+        )
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("qty_i").cast("bigint").alias("sum_qty"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+    return (
+        li.join(pa, on="l_partkey")
+        .where(F.col("qty_i") * 5 * F.col("n_items") < F.col("sum_qty"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_small"),
+            F.coalesce(F.sum("ext_i"), F.lit(0)).cast("bigint").alias("ext_cents"),
+        )
+    )
+
+
+@builder(
+    "sole_delayed_supplier",
+    tags=("relational", "exists", "not-exists", "tpch-q21"),
+    doc="Suppliers who were the ONLY delayed supplier on a multi-supplier "
+    "finished order (TPC-H Q21 shape; 'delayed' = shipped more than 90 "
+    "days after the order date). The double correlated EXISTS / NOT "
+    "EXISTS self-join is rewritten Spark-first as ONE per-order aggregate "
+    "— distinct suppliers and distinct DELAYED suppliers per order — "
+    "joined back to the delayed rows: a row qualifies iff its order has "
+    ">1 supplier and exactly 1 delayed supplier (which, the row being "
+    "delayed, must be this one). Two shuffles instead of two self-joins "
+    "over the fact table; the oracle proves the rewrite against the "
+    "literal EXISTS/NOT EXISTS form.",
+    oracle="""
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END AS delayed
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lo l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.delayed = 1
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.delayed = 1)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+)
+def sole_delayed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("delayed"),
+        )
+    )
+    # ONE pass over the joined fact rows: collapse to (order, supplier)
+    # grain first, then per-order supplier counts ride a window over that
+    # aggregate — the fact table is scanned once and never self-joined
+    from pyspark.sql import Window
+
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("delayed").cast("bigint").alias("d_rows")
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "d_rows",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum((F.col("d_rows") > 0).cast("int")).over(w).alias("n_delayed_supp"),
+    ).where(
+        (F.col("d_rows") > 0)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_delayed_supp") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualified.join(broadcast(s), qualified["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.sum("d_rows").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@builder(
+    "idle_rich_customers",
+    tags=("relational", "anti-join", "scalar-subquery", "tpch-q22"),
+    doc="Above-average-balance customers with no RECENT order (none since "
+    "2000-01-01; 'never ordered' is degenerate in this data), grouped by "
+    "a derived name code (TPC-H Q22 shape): string-derived grouping key "
+    "(right(c_name, 2)), a scalar aggregate threshold over the POSITIVE "
+    "balances, and NOT EXISTS -> broadcast left-anti against the recent "
+    "order custkeys. The threshold comparison is exact-integer (acct_i * "
+    "n > sum_i  <=>  acctbal > avg-of-positives) so no double-avg "
+    "boundary wobble can flip membership between engines.",
+    oracle="""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_i,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT RIGHT(c_name, 2) AS code,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS acct_cents
+        FROM customer, pos
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > sum_i
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = customer.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY code
+        ORDER BY code
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("right(c_name, 2)").alias("code"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_i"),
+        "c_acctbal",
+    )
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum("acct_i").cast("bigint").alias("sum_i"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    okeys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(broadcast(pos))
+        .where(F.col("acct_i") * F.col("n") > F.col("sum_i"))
+        .join(okeys, on="c_custkey", how="left_anti")
+        .groupBy("code")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum("acct_i").cast("bigint").alias("acct_cents"),
+        )
+        .orderBy("code")
+    )

@@ -173,6 +173,13 @@ HEADLINE = (
     "corpus_weighted_sample",
     # round 6: exact prefix-filtered set-similarity join (PPJoin family)
     "set_similarity_join",
+    # round 7: TPC-H correlated-shape completion block (Q13/Q17/Q21/Q22
+    # analogs: outer-join histogram, correlated scalar aggregate, double
+    # EXISTS/NOT-EXISTS rewrite, anti-join + scalar threshold)
+    "custdist_histogram",
+    "small_quantity_revenue",
+    "sole_delayed_supplier",
+    "idle_rich_customers",
 )
 
 

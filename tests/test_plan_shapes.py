@@ -408,3 +408,36 @@ def test_resample_grid_generates_rows_never_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "seq_resample_grid")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan or "Generate" in plan  # grid is generated
+
+
+def test_custdist_preserves_zero_bucket_and_two_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "custdist_histogram")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # LEFT join (zero-order customers preserved), two aggregation levels
+    assert "LeftOuter" in plan
+
+
+def test_small_quantity_prunes_before_per_part_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "small_quantity_revenue")
+    # the brand's part keys broadcast-semi-prune lineitem BEFORE any agg
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_delayed_supplier_is_agg_rewrite_not_self_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sole_delayed_supplier")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the EXISTS/NOT-EXISTS pair is ONE per-order aggregate + window, not
+    # two more scans of the fact table: exactly one lineitem scan (the
+    # file path prints on the detail Location line, once per scan)
+    assert len(re.findall(r"Location: InMemoryFileIndex \[[^\n]*lineitem", plan)) == 1
+    # supplier dimension rides as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_rich_customers_anti_join_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the recent-order date filter reaches the orders scan
+    assert "PushedFilters" in plan
