@@ -227,3 +227,137 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Previous inverted-index state dir per sf_dir (same teardown contract as
+#: the IVM builder's _STATE_DIRS).
+_INDEX_DIRS: dict[str, str] = {}
+
+#: Wall-clock per lifecycle step of the LAST ``inverted_index_maintenance``
+#: run — exported into the bench sidecar (step_breakdowns).
+LAST_INDEX_STEP_SECONDS: dict[str, float] = {}
+
+
+@builder(
+    "inverted_index_maintenance",
+    tags=("retrieval", "index", "ivm", "versioned", "scale"),
+    doc="Incrementally-maintained inverted index (sources/invindex.py): the "
+    "documents table lives as a versioned table through a load, an append, "
+    "and a range DELETE; after every commit the postings table refreshes "
+    "from the CHANGE FEED (tokenize only churned docs; deletes are a "
+    "bloom-scoped merge-delete on doc_id; corpus stats ride the manifest "
+    "as running integers), then BM25 top-k is answered FROM THE INDEX — "
+    "stats from the manifest stamp, per-term postings via token-range + "
+    "bloom file pruning; the documents table is never rescanned at query "
+    "time. The oracle recomputes BM25 over the final document set "
+    "wholesale, so parity proves maintained-index == full-rescan under "
+    "inserts AND deletes.",
+    oracle=f"""
+        WITH final_docs AS (
+            SELECT doc_id, text,
+                   (SELECT MAX(doc_id) FROM documents
+                    WHERE doc_id % 3 <> 0) // 4 AS cut
+            FROM documents
+        ), docs AS (
+            SELECT doc_id, text FROM final_docs
+            WHERE (doc_id % 3 <> 0 OR doc_id % 6 = 3) AND doc_id > cut
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM({{WC}}) AS BIGINT) / (1.0 * COUNT(*)) AS avgdl
+            FROM docs
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM docs)
+            WHERE tok IN ({_TERMS_SQL})
+            GROUP BY doc_id, tok
+        ), df AS (
+            SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), dl AS (
+            SELECT doc_id, {{WC}} AS dl FROM docs
+        ), scored AS (
+            SELECT t.doc_id,
+                   COUNT(*) AS n_terms,
+                   CAST(ROUND(SUM(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (t.tf * ({BM25_K1} + 1.0))
+                       / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+                   ) * 1e6) AS BIGINT) AS score_e6
+            FROM tf t
+            JOIN df f ON t.tok = f.tok
+            JOIN dl d ON t.doc_id = d.doc_id
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_terms, score_e6
+        FROM scored
+        ORDER BY score_e6 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """.replace("{WC}", _WORD_COUNT_SQL),
+)
+def inverted_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    from aws_flight_data_pipeline_spark.sources import invindex
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    old = _INDEX_DIRS.pop(sf_dir, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="afdp-invidx-")
+    _INDEX_DIRS[sf_dir] = root
+    dpath, ipath = f"{root}/docs", f"{root}/index"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import time as _time
+
+    steps = LAST_INDEX_STEP_SECONDS
+    steps.clear()
+    _t0 = _time.perf_counter()
+
+    def mark(step: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        steps[step] = round(now - _t0, 3)
+        _t0 = now
+
+    # 1. initial load (doc_id-clustered so the later DELETE prunes files);
+    #    the delete cutoff rides the commit as an observed metric
+    obs = Observation()
+    vt.commit(
+        docs.where(F.col("doc_id") % 3 != 0)
+        .observe(obs, F.max("doc_id").alias("mx"))
+        .repartitionByRange(4, "doc_id"),
+        dpath,
+        stats_cols=("doc_id",),
+    )
+    cut = int(obs.get["mx"]) // 4
+    mark("load_docs")
+    invindex.refresh_index(spark, dpath, ipath)  # full build
+    mark("index_full_build")
+
+    # 2. append increment -> index tokenizes only the new docs
+    vt.commit(
+        docs.where(F.col("doc_id") % 6 == 3).repartitionByRange(2, "doc_id"),
+        dpath,
+        mode="append",
+        stats_cols=("doc_id",),
+    )
+    mark("append_docs")
+    invindex.refresh_index(spark, dpath, ipath)
+    mark("index_insert_refresh")
+
+    # 3. range delete -> bloom-scoped merge-delete of those docs' postings
+    vt.delete_where(spark, dpath, {"doc_id": (0, cut)})
+    mark("delete_docs")
+    invindex.refresh_index(spark, dpath, ipath)
+    mark("index_delete_refresh")
+
+    # 4. answer from the index alone
+    return invindex.bm25_topk_from_index(
+        spark, ipath, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    ).select("doc_id", F.col("n_terms").cast("bigint").alias("n_terms"), "score_e6")

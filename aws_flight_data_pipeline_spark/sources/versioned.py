@@ -516,7 +516,11 @@ def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 600.0) -> dic
 
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(path, v)["files"])
+        mv = _read_manifest(path, v)
+        referenced.update(mv["files"])
+        # side-files a manifest references outside its data file list
+        # (e.g. the inverted index's tombstone parquets) are live too
+        referenced.update(mv.get("tombstones", []))
     dropped_batch_ids = [
         b for v in drop if (b := _read_manifest(path, v).get("batch_id")) is not None
     ]
@@ -1270,6 +1274,13 @@ def table_changes(
         )
 
     new_rows, old_rows = _aligned(added), _aligned(removed)
+    # pure append / pure removal short-circuit: exceptAll against an empty
+    # side is the identity (multiset minus nothing), so the common
+    # append-only increment costs zero shuffles — just the changed-file scan
+    if not removed:
+        return new_rows.withColumn("_change_type", F.lit("insert"))
+    if not added:
+        return old_rows.withColumn("_change_type", F.lit("delete"))
     return (
         new_rows.exceptAll(old_rows)
         .withColumn("_change_type", F.lit("insert"))

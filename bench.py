@@ -180,6 +180,9 @@ HEADLINE = (
     "small_quantity_revenue",
     "sole_delayed_supplier",
     "idle_rich_customers",
+    # round 7: incrementally-maintained inverted index (change-feed refresh,
+    # bloom-scoped posting deletes, index-only BM25 answering)
+    "inverted_index_maintenance",
 )
 
 
@@ -267,6 +270,12 @@ def main() -> None:
         if ivm_queries.LAST_STEP_SECONDS:
             step_breakdowns["ivm_incremental_view"] = dict(
                 ivm_queries.LAST_STEP_SECONDS
+            )
+        from aws_flight_data_pipeline_spark.plans import retrieval_queries
+
+        if retrieval_queries.LAST_INDEX_STEP_SECONDS:
+            step_breakdowns["inverted_index_maintenance"] = dict(
+                retrieval_queries.LAST_INDEX_STEP_SECONDS
             )
     except Exception:
         pass
