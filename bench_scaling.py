@@ -202,10 +202,77 @@ def measure_query(name: str) -> dict:
     return {"small_sf": small, "large_scale": large}
 
 
+def measure_index_refresh() -> dict:
+    """O(churn) evidence for the incrementally-maintained inverted index:
+    build the index over the 1x / 10x / 100x corpora, then time an
+    IDENTICAL-SIZE increment (append the same 500-doc batch + refresh) on
+    each. The design claim is refresh cost proportional to the churn, not
+    the corpus — so the refresh curve should stay ~flat across two decades
+    of corpus growth while the full build grows ~linearly. Reported as
+    both curves plus the x100/x1 refresh ratio (bar: ≤ 2 — two decades of
+    corpus growth may at most double a fixed-churn refresh via manifest /
+    file-count overheads)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_flight_data_pipeline_spark.sources import invindex
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    _ensure_loaded()
+    spark = get_spark("afdp-spark-bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+        .limit(500)
+        .select((F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"), "text")
+    )
+
+    build_secs: dict[str, float] = {}
+    refresh_secs: dict[str, float] = {}
+    for mult in MULTS:
+        sf_dir = _ensure_scaled_corpus(spark, mult)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        best_build, best_refresh = math.inf, math.inf
+        for _ in range(LARGE_RUNS):
+            root = tempfile.mkdtemp(prefix="afdp-idx-scale-")
+            dpath, ipath = f"{root}/docs", f"{root}/index"
+            vt.commit(docs.repartition(8), dpath, stats_cols=("doc_id",))
+            t0 = time.perf_counter()
+            invindex.refresh_index(spark, dpath, ipath)
+            best_build = min(best_build, time.perf_counter() - t0)
+            vt.commit(batch, dpath, mode="append", stats_cols=("doc_id",))
+            t0 = time.perf_counter()
+            invindex.refresh_index(spark, dpath, ipath)
+            best_refresh = min(best_refresh, time.perf_counter() - t0)
+            shutil.rmtree(root, ignore_errors=True)
+        build_secs[f"x{mult}"] = round(best_build, 3)
+        refresh_secs[f"x{mult}"] = round(best_refresh, 3)
+    return {
+        "full_build_seconds_by_mult": build_secs,
+        "fixed_churn_refresh_seconds_by_mult": refresh_secs,
+        "build_exponent": round(
+            _fit_slope([(m, build_secs[f"x{m}"]) for m in MULTS]), 3
+        ),
+        "refresh_x100_over_x1": round(
+            refresh_secs[f"x{MULTS[2]}"] / max(refresh_secs[f"x{MULTS[0]}"], 1e-9),
+            3,
+        ),
+        "bar": "refresh_x100_over_x1 <= 2 (O(churn), not O(corpus))",
+    }
+
+
 def main() -> None:
     if len(sys.argv) == 3 and sys.argv[1] == "--one":
         # child mode: one query in this fresh process; last stdout line = JSON
         print(json.dumps(measure_query(sys.argv[2]), separators=(",", ":")))
+        return
+    if len(sys.argv) == 2 and sys.argv[1] == "--index-refresh":
+        print(json.dumps(measure_index_refresh(), separators=(",", ":")))
         return
 
     results: dict[str, dict] = {}
@@ -220,6 +287,14 @@ def main() -> None:
         out = json.loads(proc.stdout.strip().splitlines()[-1])
         results[name] = out["small_sf"]
         large[name] = out["large_scale"]
+
+    idx_proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--index-refresh"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    index_refresh = json.loads(idx_proc.stdout.strip().splitlines()[-1])
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prior = [
@@ -238,6 +313,7 @@ def main() -> None:
             "base": "sf0.1 documents x {1,10,100} (token-perturbed copies)",
             "queries": large,
         },
+        "index_refresh": index_refresh,
         "bar": "exponent_last_decade <= 1.2 (linear-ish); raw is a conservative bound",
     }
     with open(
