@@ -1784,3 +1784,134 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@builder(
+    "dedup_substring_spans",
+    tags=("text", "dedup", "substring", "spans", "scale"),
+    doc="EXACT substring-level deduplication (the ExactSubstr tier of "
+    "Lee et al. 2022, 'Deduplicating Training Data Makes Language Models "
+    "Better'): document-level dedup keeps a doc that merely EMBEDS a "
+    "duplicated passage — this finds the passages themselves. Every "
+    "8-word gram at every position (built zero-shuffle by higher-order "
+    "array slicing, not a self-join), grams occurring more than once "
+    "ANYWHERE in the corpus mark their [pos, pos+7] span, and per-doc "
+    "overlapping/adjacent spans merge into maximal islands via "
+    "gaps-and-islands (running-max window, one shuffle shared with the "
+    "per-doc rollup). Reported per contaminated doc: island count, "
+    "duplicated word mass, exact-ppm duplicated fraction. At 100 TB the "
+    "gram string is replaced by its xxhash64 (the CDC segment tier's "
+    "production-twin pattern) so the duplicate-gram shuffle moves 8-byte "
+    "keys; the count>=2 filter is map-side combinable.",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), grams AS (
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS total_words,
+                   i AS pos, array_to_string(w[i:i+7], ' ') AS gram
+            FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+            WHERE len(w) >= 8
+        ), dup AS (
+            SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+        ), hits AS (
+            SELECT g.doc_id, g.total_words, g.pos
+            FROM grams g JOIN dup USING (gram)
+        ), isl AS (
+            SELECT doc_id, total_words, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), -1) + 1 THEN 1 ELSE 0 END AS is_new
+            FROM hits
+        ), isl2 AS (
+            SELECT doc_id, total_words, pos,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, total_words, island,
+                   MIN(pos) AS s, MAX(pos) + 7 AS e
+            FROM isl2 GROUP BY doc_id, total_words, island
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_words,
+               total_words,
+               CAST(ROUND(1000000.0 * SUM(e - s + 1) / total_words)
+                    AS BIGINT) AS dup_ppm
+        FROM spans GROUP BY doc_id, total_words
+        ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    K = 8
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
+    tk = tokens(F.col("text"))
+    # positional k-grams, zero-shuffle: slice the token array at every
+    # start position (docs shorter than K have no k-gram and drop here)
+    grams = (
+        d.where(F.size(tk) >= K)
+        .select(
+            "doc_id",
+            F.size(tk).cast("bigint").alias("total_words"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - (K - 1)),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("pos"),
+                        F.array_join(F.slice(tk, i, K), " ").alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "total_words", "g.pos", "g.gram")
+        .transform(tracked_cache)
+    )
+    # a gram is duplicated if it occurs more than once anywhere in the
+    # corpus (same doc twice included) — partial-agg count, tiny output
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "total_words", "pos")
+    # gaps-and-islands merge of [pos, pos+K-1] spans: an island breaks only
+    # when this span starts past every previous span's end + 1; the two
+    # windows and the island rollup share ONE hashpartitioning(doc_id)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + (K - 1)).over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("is_new").over(w_run).cast("bigint"))
+    spans = isl.groupBy("doc_id", "total_words", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (K - 1)).alias("e")
+    )
+    return (
+        spans.groupBy("doc_id", "total_words")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_words"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_words",
+            "total_words",
+            F.round(F.lit(1_000_000.0) * F.col("dup_words") / F.col("total_words"))
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

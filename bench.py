@@ -183,6 +183,9 @@ HEADLINE = (
     # round 7: incrementally-maintained inverted index (change-feed refresh,
     # bloom-scoped posting deletes, index-only BM25 answering)
     "inverted_index_maintenance",
+    # round 7: exact substring-span dedup (ExactSubstr tier: positional
+    # 8-grams, corpus-duplicate filter, gaps-and-islands span merge)
+    "dedup_substring_spans",
 )
 
 
