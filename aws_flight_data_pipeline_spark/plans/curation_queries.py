@@ -1088,3 +1088,141 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(50)
     )
+
+
+@builder(
+    "decontam_fuzzy_pairs",
+    tags=("curation", "decontamination", "similarity-join", "prefix-filter", "scale"),
+    doc="Pairwise fuzzy decontamination with ATTRIBUTION: where "
+    "corpus_decontamination reports how much of a training doc's shingle "
+    "mass appears anywhere in the pooled eval set, this finds WHICH eval "
+    "document leaked — an exact prefix-filtered R-S set-similarity join "
+    "(AllPairs across two corpora instead of a self-join) between the "
+    "training split and the deterministic eval split (doc_id % 7 == 0) at "
+    "3-gram-shingle Jaccard >= 0.7, then the best-matching eval doc per "
+    "contaminated training doc (highest Jaccard, smallest eval id on "
+    "ties). Both sides rank shingles in ONE global rare-first canonical "
+    "order (document frequency over the union corpus) and index only "
+    "their first |x| - ceil(0.7|x|) + 1 shingles — ceil in exact integer "
+    "form ((7n+9) div 10; 0.7 is not a representable double) — so any "
+    "pair at threshold provably shares a prefix shingle: zero missed "
+    "pairs, unlike the MinHash tier. At 100 TB the eval side is the tiny "
+    "relation: its prefix index broadcasts, and only training shingles "
+    "matching an eval prefix shingle ever shuffle.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       UNNEST(list_distinct(list_transform(
+                           range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+                           i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                       ))) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM tok GROUP BY doc_id
+        ), dfreq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tok GROUP BY tok
+        ), ranked AS (
+            SELECT t.doc_id, t.tok,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY d.df, t.tok) AS rn,
+                   s.sz
+            FROM tok t JOIN dfreq d USING (tok) JOIN sizes s USING (doc_id)
+        ), prefix AS (
+            SELECT doc_id, tok, sz FROM ranked
+            WHERE rn <= sz - ((7 * sz + 9) // 10) + 1
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id,
+                   a.sz AS sz_train, b.sz AS sz_eval
+            FROM prefix a JOIN prefix b ON a.tok = b.tok
+            WHERE a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+              AND 10 * a.sz >= 7 * b.sz AND 10 * b.sz >= 7 * a.sz
+        ), inter AS (
+            SELECT c.train_id, c.eval_id, c.sz_train, c.sz_eval,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.train_id
+            JOIN tok tb ON tb.doc_id = c.eval_id AND tb.tok = ta.tok
+            GROUP BY 1, 2, 3, 4
+        ), hit AS (
+            SELECT train_id, eval_id, n_common, sz_train, sz_eval,
+                   CAST(ROUND(1000000.0 * n_common
+                              / (sz_train + sz_eval - n_common)) AS BIGINT)
+                       AS jac_ppm
+            FROM inter
+            WHERE 10 * n_common >= 7 * (sz_train + sz_eval - n_common)
+        )
+        SELECT train_id, eval_id, n_common, sz_train, sz_eval, jac_ppm
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY train_id
+                                         ORDER BY jac_ppm DESC, eval_id) AS rk
+            FROM hit
+        ) WHERE rk = 1
+        ORDER BY train_id
+    """,
+)
+def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
+    tok = (
+        d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("tok"))
+        .where(F.col("tok") != "")
+        .transform(tracked_cache)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    # canonical rare-first order from the UNION corpus: both splits must
+    # rank by the SAME frequency or the prefix-overlap guarantee breaks
+    dfreq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    # ceil(0.7*sz) in exact integers: (7*sz + 9) div 10
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz") - F.expr("(7 * sz + 9) div 10") + 1
+    ).select("doc_id", "tok", "sz")
+    is_eval = F.col("doc_id") % 7 == 0
+    a = prefix.where(~is_eval).select(
+        F.col("doc_id").alias("train_id"), "tok", F.col("sz").alias("sz_train")
+    )
+    b = prefix.where(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "tok", F.col("sz").alias("sz_eval")
+    )
+    cand = (
+        a.join(b, "tok")
+        # length filter, exact integer form of 0.7 <= sz ratio bound
+        .where(
+            (10 * F.col("sz_train") >= 7 * F.col("sz_eval"))
+            & (10 * F.col("sz_eval") >= 7 * F.col("sz_train"))
+        )
+        .select("train_id", "eval_id", "sz_train", "sz_eval")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("train_id"), "tok")
+    tb = tok.select(F.col("doc_id").alias("eval_id"), "tok")
+    inter = (
+        cand.join(ta, "train_id")
+        .join(tb, ["eval_id", "tok"])
+        .groupBy("train_id", "eval_id", "sz_train", "sz_eval")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    union_sz = F.col("sz_train") + F.col("sz_eval") - F.col("n_common")
+    hit = inter.where(10 * F.col("n_common") >= 7 * union_sz).withColumn(
+        "jac_ppm",
+        F.round(F.lit(1_000_000.0) * F.col("n_common") / union_sz).cast("bigint"),
+    )
+    best = Window.partitionBy("train_id").orderBy(
+        F.col("jac_ppm").desc(), F.col("eval_id")
+    )
+    return (
+        hit.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .select("train_id", "eval_id", "n_common", "sz_train", "sz_eval", "jac_ppm")
+        .orderBy("train_id")
+    )

@@ -186,6 +186,9 @@ HEADLINE = (
     # round 7: exact substring-span dedup (ExactSubstr tier: positional
     # 8-grams, corpus-duplicate filter, gaps-and-islands span merge)
     "dedup_substring_spans",
+    # round 7: pairwise fuzzy decontamination with eval-doc attribution
+    # (exact prefix-filtered R-S set-similarity join + best-match window)
+    "decontam_fuzzy_pairs",
 )
 
 
