@@ -908,3 +908,139 @@ def anomaly_geo_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone")
     )
+
+
+#: Polygon zones in integer MICRO-degrees (vertex rings, implicit closure).
+#: "lshape" is deliberately CONCAVE: its bounding box admits points in the
+#: notch that ray casting must reject — the case a box check cannot express.
+POLY_ZONES = (
+    ("atlantic_tri", ((-60_000_000, -30_000_000), (20_000_000, -30_000_000),
+                      (-20_000_000, 60_000_000))),
+    ("lshape", ((-170_000_000, -80_000_000), (-90_000_000, -80_000_000),
+                (-90_000_000, 0), (-130_000_000, 0),
+                (-130_000_000, 40_000_000), (-170_000_000, 40_000_000))),
+    ("pacific_quad", ((100_000_000, -40_000_000), (170_000_000, -40_000_000),
+                      (170_000_000, 40_000_000), (100_000_000, 40_000_000))),
+)
+
+
+def _poly_edges_sql() -> str:
+    rows = []
+    for zone, verts in POLY_ZONES:
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            rows.append(
+                f"SELECT '{zone}' AS zone, CAST({x1} AS BIGINT) AS x1, "
+                f"CAST({y1} AS BIGINT) AS y1, CAST({x2} AS BIGINT) AS x2, "
+                f"CAST({y2} AS BIGINT) AS y2"
+            )
+    return " UNION ALL ".join(rows)
+
+
+@builder(
+    "anomaly_polygon_zones",
+    tags=("anomaly", "geo", "polygon", "ray-cast", "higher-order"),
+    doc="Point-in-POLYGON zone classification — the geo-boundary check "
+    "anomaly_geo_zones cannot express: real zones are polygons, and a "
+    "concave one (the planted L-shape) admits bounding-box points that "
+    "are OUTSIDE the zone. Ray casting (odd crossing parity of the "
+    "rightward ray) evaluated entirely in exact BIGINT micro-degrees: "
+    "the crossing inequality px < x_edge(py) is cross-multiplied by the "
+    "edge's dy so no division or double ever enters (coordinate products "
+    "stay < 2^57). Per point the crossing count is a zero-shuffle "
+    "higher-order fold (F.aggregate) over the polygon's vertex ring; the "
+    "3-row zones table broadcast-nested-loop joins onto the fact side, "
+    "so the only shuffle is the final per-zone rollup — the same plan at "
+    "100 TB. Coordinates derived deterministically from event ids "
+    "(testdata has no geo columns, seq_trajectory convention).",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_id,
+                   (event_id * 7919) % 360000000 - 180000000   AS px,
+                   (event_id * 104729) % 180000000 - 90000000  AS py
+            FROM events
+        ), edges AS (
+            {{edges}}
+        ), crossings AS (
+            SELECT p.event_id, e.zone, COUNT(*) AS c
+            FROM pts p JOIN edges e
+              ON ((e.y1 > p.py) <> (e.y2 > p.py))
+             AND ((p.px - e.x1) * (e.y2 - e.y1)
+                  - (p.py - e.y1) * (e.x2 - e.x1))
+                 * (CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) < 0
+            GROUP BY 1, 2
+        ), inside AS (
+            SELECT event_id, zone FROM crossings WHERE c % 2 = 1
+        )
+        SELECT zone,
+               CAST(COUNT(*) AS BIGINT) AS hits,
+               MIN(event_id) AS first_event,
+               MAX(event_id) AS last_event
+        FROM inside GROUP BY zone ORDER BY zone
+    """.format(edges=_poly_edges_sql()),
+)
+def anomaly_polygon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        ((F.col("event_id") * 7919) % 360_000_000 - 180_000_000).alias("px"),
+        ((F.col("event_id") * 104729) % 180_000_000 - 90_000_000).alias("py"),
+    )
+    zones = spark.createDataFrame(
+        [
+            (
+                z,
+                [{"x": x, "y": y} for x, y in vs],
+                min(x for x, _ in vs),
+                max(x for x, _ in vs),
+                min(y for _, y in vs),
+                max(y for _, y in vs),
+            )
+            for z, vs in POLY_ZONES
+        ],
+        "zone string, verts array<struct<x: bigint, y: bigint>>, "
+        "xmin bigint, xmax bigint, ymin bigint, ymax bigint",
+    )
+
+    def _crossing(a, b):
+        # rightward-ray crossing of edge a->b, exact integers: the ray at
+        # height py crosses iff the edge straddles py half-open and the
+        # intersection abscissa lies right of px (cross-multiplied by dy)
+        straddles = (a["y"] > F.col("py")) != (b["y"] > F.col("py"))
+        lhs = (F.col("px") - a["x"]) * (b["y"] - a["y"]) - (
+            F.col("py") - a["y"]
+        ) * (b["x"] - a["x"])
+        sgn = F.when(b["y"] > a["y"], F.lit(1)).otherwise(F.lit(-1))
+        return straddles & (lhs * sgn < 0)
+
+    n = F.size("verts")
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            _crossing(F.get(F.col("verts"), i), F.get(F.col("verts"), (i + 1) % n)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # bbox prune in the JOIN condition: the exact per-edge fold only ever
+    # evaluates on bounding-box hits (a point outside the bbox can never
+    # be inside the polygon), so the expensive parity test runs on a few
+    # percent of the point x zone pairs
+    bbox = (
+        F.col("px").between(F.col("xmin"), F.col("xmax"))
+        & F.col("py").between(F.col("ymin"), F.col("ymax"))
+    )
+    return (
+        pts.join(F.broadcast(zones), bbox)
+        .where(crossings % 2 == 1)
+        .groupBy("zone")
+        .agg(
+            F.count("*").cast("bigint").alias("hits"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("zone")
+    )

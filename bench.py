@@ -189,6 +189,9 @@ HEADLINE = (
     # round 7: pairwise fuzzy decontamination with eval-doc attribution
     # (exact prefix-filtered R-S set-similarity join + best-match window)
     "decontam_fuzzy_pairs",
+    # round 7: point-in-polygon zone join (integer ray casting, bbox-pruned
+    # broadcast NLJ, zero-shuffle higher-order crossing fold)
+    "anomaly_polygon_zones",
 )
 
 
