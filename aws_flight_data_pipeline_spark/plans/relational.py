@@ -1766,3 +1766,66 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+@builder(
+    "range_frame_burst",
+    tags=("window", "range-frame", "event-time", "sequence"),
+    doc="Event-time RANGE-frame rolling metrics — the frame family the ROWS "
+    "demos (daily_window_metrics) cannot express: a trailing ONE HOUR of "
+    "event time holds however many rows actually occurred, so sparse and "
+    "bursty users get the same semantic window. Per event: the user's "
+    "trailing-1h value mass (exact integer cents), trailing-1h and "
+    "trailing-15min event counts over epoch-microsecond RANGE frames "
+    "(ties are peers in both engines), and a burst ratio (15m/1h share, "
+    "exact ppm) that spikes when activity concentrates. Both frames share "
+    "one hashpartitioning(user_id) sort; at scale this is the standard "
+    "per-entity telemetry window — partitions are per-user, never global.",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, user_id, us,
+               CAST(SUM(cents) OVER w1 AS BIGINT) AS roll_1h_cents,
+               CAST(COUNT(*) OVER w1 AS BIGINT) AS roll_1h_events,
+               CAST(COUNT(*) OVER w2 AS BIGINT) AS roll_15m_events,
+               CAST(ROUND(1000000.0 * (COUNT(*) OVER w2)
+                          / (COUNT(*) OVER w1)) AS BIGINT) AS burst_ppm
+        FROM e
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+)
+def range_frame_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-900_000_000, Window.currentRow)
+    )
+    c1 = F.count("*").over(w1)
+    c2 = F.count("*").over(w2)
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.sum("cents").over(w1).cast("bigint").alias("roll_1h_cents"),
+        c1.cast("bigint").alias("roll_1h_events"),
+        c2.cast("bigint").alias("roll_15m_events"),
+        F.round(F.lit(1_000_000.0) * c2 / c1).cast("bigint").alias("burst_ppm"),
+    ).orderBy("event_id")

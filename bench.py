@@ -192,6 +192,8 @@ HEADLINE = (
     # round 7: point-in-polygon zone join (integer ray casting, bbox-pruned
     # broadcast NLJ, zero-shuffle higher-order crossing fold)
     "anomaly_polygon_zones",
+    # round 7: event-time RANGE-frame rolling metrics (trailing 1h/15m)
+    "range_frame_burst",
 )
 
 
