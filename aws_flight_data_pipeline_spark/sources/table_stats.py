@@ -1,0 +1,181 @@
+"""ANALYZE for the versioned table: mergeable per-file HLL column NDV.
+
+The manifest's footer stats ([min, max] per file) answer range questions;
+they say nothing about CARDINALITY. Distinct counts drive the decisions a
+planner and an operator make at scale — which join side broadcasts,
+whether a key is near-unique (dedup candidate) or low-cardinality (pivot
+candidate), how many buckets a layout needs — and recomputing
+COUNT(DISTINCT) per question rescans the table.
+
+This module maintains a HyperLogLog sketch PER DATA FILE per column:
+
+- Data files of the versioned table are immutable (copy-on-write), so a
+  file's sketch never goes stale — it stays valid for every version that
+  references the file. ``analyze`` therefore only sketches files not yet
+  covered: O(churn) maintenance, same contract as the IVM and inverted-
+  index tiers.
+- HLL registers merge by element-wise MAX, so the table-level NDV at any
+  version is the merge of that version's file sketches — no rescan, and
+  the incremental result is BIT-IDENTICAL to a from-scratch analyze (the
+  per-file registers don't depend on when they were computed).
+
+Register computation is one Spark pass over the un-analyzed files, all
+JVM-side: xxhash64 per value, low 8 bits pick 1 of m=256 registers, the
+rank of the remaining 56 bits is derived INTEGER-EXACTLY from the length
+of the binary string (``57 - length(bin(w))`` — no float log whose edge
+rounding could flip a register), then ``groupBy(file, col, bucket).max``.
+Output is m rows per (file, column): KB-scale state, like the manifest
+blooms.
+
+Sketches live in ``<table>/_stats/hll.json``, replaced atomically
+(tmp + rename). Like OPTIMIZE, analyze assumes one maintenance actor at
+a time; concurrent analyzers lose no correctness, only coverage (last
+write wins, the next analyze tops the gap back up).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from aws_flight_data_pipeline_spark.sources import versioned
+
+M = 256  # registers per sketch (2^8); standard error ~ 1.04/sqrt(m) = 6.5%
+_MAX_RANK = 57  # 56 usable bits after the 8-bit bucket index, +1
+
+
+def _stats_path(path: str) -> str:
+    return os.path.join(path, "_stats", "hll.json")
+
+
+def _load(path: str) -> dict:
+    try:
+        with open(_stats_path(path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _store(path: str, payload: dict) -> None:
+    d = os.path.dirname(_stats_path(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, _stats_path(path))
+
+
+def analyze(
+    spark: SparkSession, path: str, cols: tuple[str, ...], version: int | None = None
+) -> dict:
+    """Sketch every not-yet-covered data file of ``version`` (default head)
+    for ``cols``. Returns ``{"files_sketched": n, "files_total": t}``."""
+    v = versioned.latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    manifest = versioned._read_manifest(path, v)
+    files = manifest["files"]
+    stats = _load(path)
+    covered = {f for f, per_col in stats.items() if all(c in per_col for c in cols)}
+    missing = [f for f in files if f not in covered]
+    if missing:
+        df = spark.read.parquet(*[os.path.join(path, f) for f in missing])
+        # map absolute scan URIs back to manifest-relative paths by
+        # basename — part-file names carry a write-unique uuid
+        base_to_rel = {os.path.basename(f): f for f in missing}
+        present = [c for c in cols if c in df.columns]
+        # NB: xxhash64(NULL) returns the seed hash, not NULL — nulls must
+        # be excluded on the VALUE, or every null would count as one
+        # spurious distinct
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.xxhash64(F.col(c)).alias("h"),
+                    F.col(c).isNull().alias("is_null"),
+                )
+                for c in present
+            ]
+        )
+        long = (
+            df.select(F.input_file_name().alias("uri"), F.explode(entries).alias("s"))
+            .where(~F.col("s.is_null"))
+            .select("uri", "s.col", "s.h")
+        )
+        w = F.shiftrightunsigned(F.col("h"), 8)
+        regs = (
+            long.select(
+                "uri",
+                "col",
+                F.expr("h & 255").cast("int").alias("bucket"),
+                F.when(w == 0, F.lit(_MAX_RANK))
+                .otherwise(F.lit(_MAX_RANK) - F.length(F.bin(w)))
+                .cast("int")
+                .alias("rank"),
+            )
+            .groupBy("uri", "col", "bucket")
+            .agg(F.max("rank").alias("r"))
+            .collect()
+        )
+        fresh: dict[str, dict[str, list[int]]] = {}
+        for row in regs:
+            rel = base_to_rel[os.path.basename(row["uri"])]
+            arr = fresh.setdefault(rel, {}).setdefault(row["col"], [0] * M)
+            arr[row["bucket"]] = row["r"]
+        # files whose column is entirely NULL produce no rows: record the
+        # all-zero sketch so coverage (and NDV 0) is explicit
+        for rel in missing:
+            for c in present:
+                fresh.setdefault(rel, {}).setdefault(c, [0] * M)
+        for rel, per_col in fresh.items():
+            stats.setdefault(rel, {}).update(per_col)
+        _store(path, stats)
+    return {"files_sketched": len(missing), "files_total": len(files)}
+
+
+def _estimate(regs: list[int]) -> int:
+    alpha = 0.7213 / (1 + 1.079 / M)
+    e = alpha * M * M / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if e <= 2.5 * M and zeros:  # small-range (linear counting) correction
+        e = M * math.log(M / zeros)
+    return int(round(e))
+
+
+def column_stats(
+    path: str, cols: tuple[str, ...], version: int | None = None
+) -> dict:
+    """Merged NDV estimate per column at ``version`` (default head), from
+    the per-file sketches alone — no scan. ``files_covered`` <
+    ``files_total`` means analyze() hasn't caught up with a rewrite
+    (OPTIMIZE / MERGE / DELETE produce new files); the estimate then
+    covers only the sketched files and ``complete`` is False."""
+    v = versioned.latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    files = versioned._read_manifest(path, v)["files"]
+    stats = _load(path)
+    out: dict[str, dict] = {}
+    for c in cols:
+        merged = [0] * M
+        covered = 0
+        for f in files:
+            regs = stats.get(f, {}).get(c)
+            if regs is None:
+                continue
+            covered += 1
+            for i, r in enumerate(regs):
+                if r > merged[i]:
+                    merged[i] = r
+        out[c] = {
+            "ndv": _estimate(merged) if covered else None,
+            "files_covered": covered,
+            "files_total": len(files),
+            "complete": covered == len(files),
+        }
+    return out
