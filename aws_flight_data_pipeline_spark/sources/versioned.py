@@ -48,6 +48,13 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first — re-read and retry."""
 
 
+class SchemaMismatch(ValueError):
+    """An append changes the TYPE of an existing column. Parquet schema
+    merging cannot reconcile conflicting types at read time, so the write
+    is rejected up front (Delta-style write-time enforcement) instead of
+    landing a file that breaks every future read."""
+
+
 def _commits_dir(path: str) -> str:
     return os.path.join(path, "_commits")
 
@@ -167,6 +174,12 @@ def commit(
     parent = latest_version(path)
     version = 0 if parent is None else parent + 1
 
+    # write-time schema enforcement, BEFORE the data write (fail fast; a
+    # rebase retry re-validates against the new parent in _assemble)
+    new_schema = _df_schema(df)
+    if mode == "append" and parent is not None:
+        _check_append_schema(new_schema, _read_manifest(path, parent).get("schema"))
+
     txn = f"v{version:09d}-{uuid.uuid4().hex[:12]}"
     txn_dir = os.path.join(_data_dir(path), txn)
     df.write.mode("error").option("compression", "snappy").parquet(txn_dir)
@@ -191,15 +204,18 @@ def commit(
         files = list(new_files)
         stats = dict(new_stats)
         blooms = dict(new_blooms)
+        schema = list(new_schema)
         if mode == "append" and parent_v is not None:
             pm = _read_manifest(path, parent_v)
             files = pm["files"] + files
             stats = {**pm.get("stats", {}), **stats}
             blooms = {**pm.get("blooms", {}), **blooms}
+            schema = _check_append_schema(new_schema, pm.get("schema"))
         return v, {
             "version": v,
             "parent": parent_v,
             "mode": mode,
+            "schema": schema,
             "files": files,
             "n_files": len(files),
             "stats": stats,
@@ -378,7 +394,46 @@ def plan_files(
     return kept, skipped
 
 
+def _df_schema(df: DataFrame) -> list[dict]:
+    return [
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in df.schema.fields
+    ]
+
+
+def _check_append_schema(new: list[dict], old: list[dict] | None) -> list[dict]:
+    """Write-time schema enforcement + additive evolution for appends.
+
+    Columns present in both MUST keep their type (else SchemaMismatch —
+    a type flip would poison every future merged-schema read). New
+    columns are allowed (pre-evolution files read them back as NULL);
+    omitted columns are allowed (the new files read THEM back as NULL).
+    Returns the evolved table schema: old order, new columns appended.
+    ``old`` is None for legacy manifests that never recorded a schema —
+    nothing to validate against, the append records one going forward.
+    """
+    if old is None:
+        return list(new)
+    old_types = {c["name"]: c["type"] for c in old}
+    for c in new:
+        have = old_types.get(c["name"])
+        if have is not None and have != c["type"]:
+            raise SchemaMismatch(
+                f"column {c['name']!r} is {have} in the table but "
+                f"{c['type']} in the append; cast it or overwrite the table"
+            )
+    known = set(old_types)
+    return list(old) + [c for c in new if c["name"] not in known]
+
+
 def _publish(path: str, version: int, manifest: dict) -> None:
+    # maintenance commits (rollback/optimize/delete/merge/cursor stamps)
+    # never change the table schema: inherit the parent's record here so
+    # every manifest in the chain carries one once commit() recorded it
+    if "schema" not in manifest and manifest.get("parent") is not None:
+        parent_schema = _read_manifest(path, manifest["parent"]).get("schema")
+        if parent_schema is not None:
+            manifest["schema"] = parent_schema
     try:
         fd = os.open(_manifest_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as e:
@@ -450,6 +505,9 @@ def rollback(path: str, to_version: int) -> int:
         "parent": parent,
         "mode": "rollback",
         "rolled_back_to": to_version,
+        # the schema travels with the snapshot: rolling back across an
+        # additive evolution restores the OLD schema (not the head's)
+        **({"schema": old["schema"]} if "schema" in old else {}),
         "files": old["files"],
         "n_files": len(old["files"]),
         "stats": old.get("stats", {}),
