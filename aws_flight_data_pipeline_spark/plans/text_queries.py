@@ -1915,3 +1915,114 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@builder(
+    "text_collocation_pmi",
+    tags=("text", "collocation", "pmi", "topk"),
+    doc="Collocation (phrase) mining by pointwise mutual information: the "
+    "top-50 adjacent word pairs whose co-occurrence most exceeds chance "
+    "(PMI = ln p(xy)/(p(x)p(y)) over positional bigrams vs unigram "
+    "frequencies), min bigram count 5 to suppress noise. PMI is computed "
+    "as the SAME ordered sum of logs in both engines and integer-micro-"
+    "scaled before ranking (the established ln-ulp discipline), so the "
+    "top-k cut is deterministic; ties break on the pair text. Two "
+    "zero-shuffle array explodes (unigrams, positional bigrams), two "
+    "partial-agg counts, two 1-row scalar broadcasts — at 100 TB the "
+    "only state proportional to the corpus is the bigram vocabulary, "
+    "and the min-count filter prunes it before the log math. This is "
+    "the phrase-detection pass (word2vec-style) that decides which "
+    "n-grams become single tokens in a training corpus.",
+    oracle="""
+        WITH toks AS (
+            SELECT u.tok FROM (
+                SELECT string_split(text, ' ') AS w FROM documents
+            ), UNNEST(w) AS u(tok)
+            WHERE u.tok <> ''
+        ), uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+        ), bi AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT w[i] AS w1, w[i+1] AS w2
+                FROM (SELECT string_split(text, ' ') AS w FROM documents),
+                     UNNEST(range(1, len(w))) AS t(i)
+                WHERE len(w) >= 2
+            ) WHERE w1 <> '' AND w2 <> ''
+            GROUP BY w1, w2
+        ), nu AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni
+        ), nb AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_bi FROM bi
+        )
+        SELECT b.w1, b.w2, b.c AS pair_count,
+               u1.c AS w1_count, u2.c AS w2_count,
+               CAST(ROUND(1000000.0 * (
+                   LN(CAST(b.c AS DOUBLE)) - LN(CAST(u1.c AS DOUBLE))
+                   - LN(CAST(u2.c AS DOUBLE)) + 2 * LN(CAST(n_uni AS DOUBLE))
+                   - LN(CAST(n_bi AS DOUBLE))
+               )) AS BIGINT) AS pmi_micro
+        FROM bi b
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE b.c >= 5
+        ORDER BY pmi_micro DESC, b.w1, b.w2
+        LIMIT 50
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("text")
+    tk = tokens(F.col("text"))
+    uni = (
+        d.select(F.explode(tk).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    bi = (
+        d.where(F.size(tk) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.get(tk, i - 1).alias("w1"), F.get(tk, i).alias("w2")
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c").cast("bigint").alias("n_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("w1_count"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("w2_count"))
+    # same ordered log-sum as the oracle: cross-engine-identical doubles,
+    # then micro-rounded before the top-k cut
+    pmi = (
+        F.log(F.col("c").cast("double"))
+        - F.log(F.col("w1_count").cast("double"))
+        - F.log(F.col("w2_count").cast("double"))
+        + 2 * F.log(F.col("n_uni").cast("double"))
+        - F.log(F.col("n_bi").cast("double"))
+    )
+    return (
+        bi.where(F.col("c") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            "w1_count",
+            "w2_count",
+            F.round(F.lit(1_000_000.0) * pmi).cast("bigint").alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -194,6 +194,8 @@ HEADLINE = (
     "anomaly_polygon_zones",
     # round 7: event-time RANGE-frame rolling metrics (trailing 1h/15m)
     "range_frame_burst",
+    # round 7: PMI collocation mining (phrase detection over bigrams)
+    "text_collocation_pmi",
 )
 
 
