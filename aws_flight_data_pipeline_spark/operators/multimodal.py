@@ -334,3 +334,54 @@ def sample_frames(assets: DataFrame, every_k: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return videos.select("asset_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+PHASH_BITS = 60  # bits 0..59: stays clear of BIGINT sign in every engine
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_assets(assets: DataFrame) -> DataFrame:
+    """Perceptual hash per asset: 60 positional blocks over the decoded
+    signal, bit b set iff block b's mean exceeds the global mean — the
+    blockwise-mean-threshold scheme of real pHash with the DCT dropped
+    (the stub codec's signal is the raw byte array; a production build
+    decodes, resizes, DCTs at the marked line and keeps the bit rule).
+
+    The bit comparison is cross-multiplied integers (block_sum * n_total
+    > total_sum * block_count), so the hash is engine-exact: the DuckDB
+    oracle reproduces every bit from ord() arithmetic. Arrow-batched
+    mapInPandas; one pass per asset, KB output."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for asset_id, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                # <- stub decode; real build: decode + resize + DCT here
+                n = arr.size
+                ph = 0
+                if n:
+                    blk = (np.arange(n, dtype=np.int64) * PHASH_BITS) // n
+                    sums = np.bincount(blk, weights=arr, minlength=PHASH_BITS)
+                    cnts = np.bincount(blk, minlength=PHASH_BITS)
+                    sums = sums.astype(np.int64)
+                    total, count = int(arr.sum()), n
+                    for b in range(PHASH_BITS):
+                        if int(sums[b]) * count > total * int(cnts[b]):
+                            ph |= 1 << b
+                rows.append((int(asset_id), modality, ph))
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )

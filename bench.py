@@ -196,6 +196,9 @@ HEADLINE = (
     "range_frame_burst",
     # round 7: PMI collocation mining (phrase detection over bigrams)
     "text_collocation_pmi",
+    # round 7: perceptual-hash near-dup over multimodal payloads
+    # (mapInPandas pHash, pigeonhole-banded LSH, exact hamming verify)
+    "multimodal_phash_neardup",
 )
 
 

@@ -1,0 +1,58 @@
+"""Planted-corpus control for multimodal_phash_neardup. Length-60 a/z
+strings give total bit-level control: one char per block, and a 'z' is
+above the global mean whenever the string mixes both chars, so the pHash
+is EXACTLY the bitmask of 'z' positions. That pins the boundary (hamming
+11 kept, 12 rejected), the pigeonhole banding's completeness, and the
+same-modality restriction."""
+
+from __future__ import annotations
+
+import os
+
+from aws_flight_data_pipeline_spark.plans.multimodal_queries import (
+    multimodal_phash_neardup,
+)
+
+
+def _pattern(z_positions: set[int]) -> str:
+    return "".join("z" if i in z_positions else "a" for i in range(60))
+
+
+BASE = set(range(0, 30))
+FLIP11 = (BASE - set(range(0, 5))) | set(range(30, 36))   # hamming 11 vs BASE
+FLIP12 = (BASE - set(range(0, 6))) | set(range(30, 36))   # hamming 12 vs BASE
+
+# modality cycles image/audio/video by doc_id % 3 (attach_payloads)
+DOCS = [
+    (0, _pattern(BASE)),       # image
+    (3, _pattern(FLIP11)),     # image: exactly at the threshold -> kept
+    (6, _pattern(FLIP12)),     # image: one past the threshold -> rejected
+    (9, _pattern(BASE)),       # image: identical -> hamming 0
+    (1, _pattern(BASE)),       # audio: same hash, other modality -> never paired
+]
+
+
+def test_boundary_pigeonhole_and_modality(spark, tmp_path):
+    assert len(BASE ^ FLIP11) == 11 and len(BASE ^ FLIP12) == 12
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in DOCS],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    got = {
+        (r["asset_a"], r["asset_b"]): (r["modality"], r["hamming"])
+        for r in multimodal_phash_neardup(spark, sf).collect()
+    }
+    assert got == {
+        (0, 3): ("image", 11),   # threshold pair survives the banding
+        (0, 9): ("image", 0),    # exact duplicate
+        (3, 9): ("image", 11),
+        (3, 6): ("image", 1),    # the two flipped variants differ by 1 bit
+    }
+    # absence assertions the dict equality implies, stated for the reader:
+    assert (0, 6) not in got     # hamming 12: one past the threshold
+    assert (0, 1) not in got     # identical hash but different modality
