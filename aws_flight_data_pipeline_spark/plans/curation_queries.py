@@ -1226,3 +1226,174 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_id", "eval_id", "n_common", "sz_train", "sz_eval", "jac_ppm")
         .orderBy("train_id")
     )
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One sequential merge round of the BPE-apply oracle. For non-self
+    pairs (w1 <> w2, enforced at derivation) matches can never overlap,
+    so per-round simultaneous window logic equals the greedy fold."""
+    prev = "toks0" if r == 1 else f"round{r - 1}"
+    return f"""round{r} AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+                   CASE WHEN COALESCE(m, FALSE)
+                        THEN tok || ' ' || nxt ELSE tok END AS tok
+            FROM (
+                SELECT doc_id, source, pos, tok,
+                       LEAD(tok) OVER win AS nxt,
+                       tok = (SELECT w1 FROM merges WHERE r = {r})
+                         AND LEAD(tok) OVER win
+                             = (SELECT w2 FROM merges WHERE r = {r}) AS m,
+                       LAG(tok) OVER win = (SELECT w1 FROM merges WHERE r = {r})
+                         AND tok = (SELECT w2 FROM merges WHERE r = {r}) AS prevm
+                FROM {prev}
+                WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            WHERE NOT COALESCE(prevm, FALSE)
+        )"""
+
+
+@builder(
+    "bpe_apply_encode",
+    tags=("curation", "tokenizer", "bpe", "higher-order"),
+    doc="BPE ENCODE — the apply side of the tokenizer loop whose train "
+    "side is bpe_merge_train: a 6-entry merge table is derived from the "
+    "corpus bigram counts (count desc, pair asc; self-pairs excluded so "
+    "greedy matches can never overlap within a round) and applied to "
+    "every document IN RANK ORDER, each round a zero-shuffle left fold "
+    "over the token array (merge fires when the accumulator's last token "
+    "is w1 and the incoming token is w2 — classic greedy encoding; a "
+    "pair consumed by an earlier-ranked merge is gone for later ones). "
+    "The merge table rides a 1-row broadcast; the only shuffles are the "
+    "bigram count and the final per-source rollup. The oracle replays "
+    "the same rounds with window logic (simultaneous = greedy for "
+    "non-self pairs). Emits per-source compression: tokens before/after, "
+    "exact-ppm savings.",
+    oracle=f"""
+        WITH base AS (
+            -- empties filtered BEFORE adjacency, matching the Spark side:
+            -- a double space must not hide the bigram it interrupts
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        ), toks0 AS (
+            SELECT doc_id, source, i AS pos, w[i] AS tok
+            FROM base, UNNEST(range(1, len(w) + 1)) AS t(i)
+        ), pairs AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT w[i] AS w1, w[i + 1] AS w2
+                FROM base, UNNEST(range(1, len(w))) AS t(i)
+            ) WHERE w1 <> w2
+            GROUP BY 1, 2
+        ), merges AS (
+            SELECT * FROM (
+                SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS r, w1, w2
+                FROM pairs
+            ) WHERE r <= {_BPE_ROUNDS}
+        ), {", ".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))},
+        before AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens_before
+            FROM toks0 GROUP BY source
+        ), after AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens_after
+            FROM round{_BPE_ROUNDS} GROUP BY source
+        ), d AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS docs
+            FROM base GROUP BY source
+        )
+        SELECT d.source, d.docs, b.tokens_before, a.tokens_after,
+               CAST(ROUND(1000000.0 * (b.tokens_before - a.tokens_after)
+                          / b.tokens_before) AS BIGINT) AS saved_ppm
+        FROM d JOIN before b USING (source) JOIN after a USING (source)
+        ORDER BY d.source
+    """,
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "source", "text"
+    )
+    from aws_flight_data_pipeline_spark.functions.text import tokens
+
+    tk_raw = tokens(F.col("text"))
+    tk = F.filter(tk_raw, lambda x: x != "")
+    base = d.select("doc_id", "source", tk.alias("tk")).transform(tracked_cache)
+
+    pairs = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # rank merges (count desc, pair asc) WITHOUT collecting: sort_array on
+    # struct(-c, w1, w2) canonicalizes collect_list's arbitrary order
+    merges = pairs.agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("c")).alias("nc"), "w1", "w2"))
+            ),
+            1,
+            _BPE_ROUNDS,
+        ).alias("m")
+    ).select(
+        F.transform("m", lambda s: s["w1"]).alias("ma"),
+        F.transform("m", lambda s: s["w2"]).alias("mb"),
+    )
+
+    enc = base.crossJoin(F.broadcast(merges))
+
+    def _merge_round(prev, a, b):
+        # greedy left fold: merge fires when the accumulator's last token
+        # is w1 and the incoming token is w2 (pyspark requires the lambda
+        # to take exactly (acc, x), hence this closure factory)
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat_ws(" ", a, b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(prev, F.array().cast("array<string>"), step)
+
+    cur = F.col("tk")
+    for r in range(1, _BPE_ROUNDS + 1):
+        # try_element_at: a corpus with fewer qualifying bigrams than
+        # rounds yields NULL merge tokens, and a NULL comparison makes
+        # that round the identity (same as the oracle's empty subquery)
+        cur = _merge_round(cur, F.try_element_at("ma", F.lit(r)), F.try_element_at("mb", F.lit(r)))
+    return (
+        enc.select("source", F.size("tk").alias("nb"), F.size(cur).alias("na"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("nb").cast("bigint").alias("tokens_before"),
+            F.sum("na").cast("bigint").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "docs",
+            "tokens_before",
+            "tokens_after",
+            F.round(
+                F.lit(1_000_000.0)
+                * (F.col("tokens_before") - F.col("tokens_after"))
+                / F.col("tokens_before")
+            )
+            .cast("bigint")
+            .alias("saved_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -199,6 +199,9 @@ HEADLINE = (
     # round 7: perceptual-hash near-dup over multimodal payloads
     # (mapInPandas pHash, pigeonhole-banded LSH, exact hamming verify)
     "multimodal_phash_neardup",
+    # round 7: BPE encode (sequential greedy merge application; the apply
+    # side of the bpe_merge_train loop)
+    "bpe_apply_encode",
 )
 
 
