@@ -1829,3 +1829,83 @@ def range_frame_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         c2.cast("bigint").alias("roll_15m_events"),
         F.round(F.lit(1_000_000.0) * c2 / c1).cast("bigint").alias("burst_ppm"),
     ).orderBy("event_id")
+
+
+@builder(
+    "null_semantics_suite",
+    tags=("join", "null-semantics", "three-valued-logic"),
+    doc="NULL join-semantics contract, pinned value-for-value against the "
+    "oracle: nullable keys derived from orders (every 10th key NULL) are "
+    "split into two sides, and one row reports the four counts that "
+    "separate a correct engine from a sloppy one — equi-join pairs "
+    "(NULLs never match), null-safe <=> pairs (NULL matches NULL: adds "
+    "exactly l_nulls x r_nulls), NOT-EXISTS anti rows (NULL-keyed probe "
+    "rows always survive), and the NOT IN trap (a single NULL in the "
+    "subquery makes NOT IN return ZERO rows under three-valued logic). "
+    "Engines disagree on these corners more than anywhere else; a "
+    "migration that rewrites NOT IN into an anti join silently changes "
+    "answers unless this contract holds.",
+    oracle="""
+        WITH l AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                        ELSE o_custkey % 500 END AS k
+            FROM orders WHERE o_orderkey % 2 = 0
+        ), r AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                        ELSE o_custkey % 500 END AS k
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM l WHERE k IS NULL) AS l_nulls,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM r WHERE k IS NULL) AS r_nulls,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM l JOIN r ON l.k = r.k) AS eq_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k) AS nullsafe_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM l
+              WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)) AS anti_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM l
+              WHERE k NOT IN (SELECT k FROM r)) AS not_in_rows
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # % 9 hits both parities (a % 10 rule would leave one side with no
+    # NULLs and never arm the NOT IN trap); % 500 keys leave some keys
+    # missing per side so genuine non-null anti rows exist too
+    k = F.when(F.col("o_orderkey") % 9 == 0, F.lit(None)).otherwise(
+        F.col("o_custkey") % 500
+    )
+    both = o.select("o_orderkey", k.alias("k"))
+    both.where(F.col("o_orderkey") % 2 == 0).createOrReplaceTempView(
+        "_null_suite_l"
+    )
+    both.where(F.col("o_orderkey") % 2 == 1).createOrReplaceTempView(
+        "_null_suite_r"
+    )
+    # run the REAL SQL forms (<=> , NOT EXISTS, NOT IN) through the engine
+    # rather than hand-rewritten equivalents — the three-valued-logic
+    # behavior of the engine itself is what this query certifies
+    return spark.sql(
+        """
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM _null_suite_l WHERE k IS NULL)
+                AS l_nulls,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM _null_suite_r WHERE k IS NULL)
+                AS r_nulls,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM _null_suite_l l JOIN _null_suite_r r ON l.k = r.k)
+                AS eq_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM _null_suite_l l JOIN _null_suite_r r ON l.k <=> r.k)
+                AS nullsafe_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM _null_suite_l l
+              WHERE NOT EXISTS (SELECT 1 FROM _null_suite_r r WHERE r.k = l.k))
+                AS anti_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM _null_suite_l l
+              WHERE k NOT IN (SELECT k FROM _null_suite_r))
+                AS not_in_rows
+        """
+    )

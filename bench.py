@@ -202,6 +202,9 @@ HEADLINE = (
     # round 7: BPE encode (sequential greedy merge application; the apply
     # side of the bpe_merge_train loop)
     "bpe_apply_encode",
+    # round 7: NULL three-valued-logic join contract (eq / <=> / anti /
+    # the NOT IN trap), value-pinned against the oracle
+    "null_semantics_suite",
 )
 
 
