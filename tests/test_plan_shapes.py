@@ -441,3 +441,57 @@ def test_idle_rich_customers_anti_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the recent-order date filter reaches the orders scan
     assert "PushedFilters" in plan
+
+
+def test_substring_dedup_never_cartesian_one_doc_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    # the two windows and the island rollup share ONE doc_id partitioning
+    assert plan.count("hashpartitioning(doc_id") <= 1
+
+
+def test_decontam_fuzzy_prefix_blocks_before_verify(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontam_fuzzy_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # candidates via equi joins only
+
+
+def test_polygon_zones_bbox_bnl_single_rollup_shuffle(spark, sf_dir):
+    # simple mode: exchanges print inline with their partitioning
+    plan = _plan(spark, sf_dir, "anomaly_polygon_zones", mode="simple")
+    # tiny zones table broadcast; the bbox predicate rides the join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only real shuffle is the final per-zone rollup
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_range_frame_burst_shares_one_user_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_frame_burst", mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    # range frames run as specified-window aggregation, never a self join
+    assert "Join" not in plan
+
+
+def test_phash_neardup_buckets_never_all_pairs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # candidate join is equi
+    # python only at the declared Arrow boundary: the pHash mapInPandas,
+    # cached once and REUSED by both self-join branches (textual mentions
+    # repeat per branch; the InMemoryRelation proves single execution)
+    assert "MapInPandas" in plan and "InMemoryRelation" in plan
+
+
+def test_bpe_apply_merge_table_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bpe_apply_encode")
+    assert "CartesianProduct" not in plan
+    # the 1-row merge table rides a broadcast onto every doc
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pmi_totals_broadcast_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_collocation_pmi")
+    assert "CartesianProduct" not in plan
+    # the top-k cut is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
