@@ -1228,7 +1228,7 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_ROUNDS = 6
+_BPE_APPLY_MERGES = 6
 
 
 def _bpe_round_sql(r: int) -> str:
@@ -1292,14 +1292,14 @@ def _bpe_round_sql(r: int) -> str:
             SELECT * FROM (
                 SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS r, w1, w2
                 FROM pairs
-            ) WHERE r <= {_BPE_ROUNDS}
-        ), {", ".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))},
+            ) WHERE r <= {_BPE_APPLY_MERGES}
+        ), {", ".join(_bpe_round_sql(r) for r in range(1, _BPE_APPLY_MERGES + 1))},
         before AS (
             SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens_before
             FROM toks0 GROUP BY source
         ), after AS (
             SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens_after
-            FROM round{_BPE_ROUNDS} GROUP BY source
+            FROM round{_BPE_APPLY_MERGES} GROUP BY source
         ), d AS (
             SELECT source, CAST(COUNT(*) AS BIGINT) AS docs
             FROM base GROUP BY source
@@ -1344,7 +1344,7 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(F.struct((-F.col("c")).alias("nc"), "w1", "w2"))
             ),
             1,
-            _BPE_ROUNDS,
+            _BPE_APPLY_MERGES,
         ).alias("m")
     ).select(
         F.transform("m", lambda s: s["w1"]).alias("ma"),
@@ -1369,7 +1369,7 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(prev, F.array().cast("array<string>"), step)
 
     cur = F.col("tk")
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, _BPE_APPLY_MERGES + 1):
         # try_element_at: a corpus with fewer qualifying bigrams than
         # rounds yields NULL merge tokens, and a NULL comparison makes
         # that round the identity (same as the oracle's empty subquery)

@@ -9,7 +9,7 @@ import os
 from collections import Counter
 
 from aws_flight_data_pipeline_spark.plans.curation_queries import (
-    _BPE_ROUNDS,
+    _BPE_APPLY_MERGES,
     bpe_apply_encode,
 )
 
@@ -34,7 +34,7 @@ def _reference():
         for i in range(len(w) - 1):
             if w[i] != w[i + 1]:
                 pairs[(w[i], w[i + 1])] += 1
-    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_ROUNDS]
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_APPLY_MERGES]
     enc = dict(toks)
     for (a, b), _ in ranked:
         for doc_id, w in enc.items():
