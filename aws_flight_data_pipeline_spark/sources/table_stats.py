@@ -179,3 +179,22 @@ def column_stats(
             "complete": covered == len(files),
         }
     return out
+
+
+def prune(path: str) -> dict:
+    """Drop sketches for data files no LIVE manifest references anymore —
+    the stats-store companion to ``versioned.vacuum`` (a sketch of a
+    vacuumed file is dead weight; one of a still-referenced historical
+    file stays, since time-travel reads may ask for its version's NDV).
+    Returns ``{"pruned": n, "kept": k}``."""
+    stats = _load(path)
+    if not stats:
+        return {"pruned": 0, "kept": 0}
+    live: set[str] = set()
+    for v in versioned._list_versions(path):
+        live.update(versioned._read_manifest(path, v)["files"])
+    kept = {f: s for f, s in stats.items() if f in live}
+    pruned = len(stats) - len(kept)
+    if pruned:
+        _store(path, kept)
+    return {"pruned": pruned, "kept": len(kept)}

@@ -94,3 +94,19 @@ def test_all_null_column_is_zero(spark, tmp_path):
     ts.analyze(spark, path, ("payload",))
     st = ts.column_stats(path, ("payload",))["payload"]
     assert st["complete"] and st["ndv"] == 0
+
+
+def test_prune_drops_only_unreferenced_sketches(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i % 7) for i in range(200)], "id bigint, k bigint")
+    vt.commit(df.repartition(2), path)
+    ts.analyze(spark, path, ("k",))
+    # overwrite makes v0's files unreferenced once history is vacuumed
+    vt.commit(df.where("id < 100").repartition(2), path, mode="overwrite")
+    ts.analyze(spark, path, ("k",))
+    assert ts.prune(path) == {"pruned": 0, "kept": 4}  # v0 still time-travelable
+    vt.vacuum(path, keep_last=1, min_age_seconds=0.0)
+    res = ts.prune(path)
+    assert res == {"pruned": 2, "kept": 2}
+    st = ts.column_stats(path, ("k",))["k"]
+    assert st["complete"] and st["ndv"] == 7
