@@ -148,8 +148,15 @@ def bloom_prune(
     ``m_bits`` to keep the hash modulus a plan literal; when omitted it
     is derived from the bloom frame itself by a scalar subquery, so
     filter and probes can never disagree."""
+    from aws_flight_data_pipeline_spark.functions.caching import tracked_view
+
     view = f"_bloom_{uuid.uuid4().hex}"
     bloom.createOrReplaceTempView(view)
+    # views are per-call and session-scoped: register for drop at the next
+    # release point so long-lived sessions don't accumulate catalog entries
+    # (dropping later never breaks THIS call's result — the returned frame
+    # is analyzed eagerly, binding the view's plan before any drop can run)
+    tracked_view(bloom.sparkSession, view)
     if m_bits is not None:
         m_expr = str(int(m_bits))
     else:

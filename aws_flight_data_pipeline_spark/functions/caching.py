@@ -27,9 +27,17 @@ costs recomputation, never correctness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _LIVE: list[DataFrame] = []
+
+#: Per-call session temp views registered by builders (bloom_prune's scalar-
+#: subquery injection) — without tracking, a long-lived session (driver
+#: correctness sweep, repeated bench runs) accumulates catalog entries
+#: without bound. Dropping a view never invalidates DataFrames already built
+#: against it: PySpark analyzes eagerly, so the resolved plan no longer
+#: consults the catalog.
+_LIVE_VIEWS: list[tuple[SparkSession, str]] = []
 
 
 def tracked_cache(df: DataFrame) -> DataFrame:
@@ -39,11 +47,18 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_tracked(blocking: bool = False) -> int:
-    """Unpersist every tracked cache; returns how many were released.
+def tracked_view(spark: SparkSession, name: str) -> None:
+    """Register a session temp view for bulk drop at the next release point."""
+    _LIVE_VIEWS.append((spark, name))
 
-    Safe against already-stopped sessions (each unpersist is best-effort —
-    a dead SparkContext just means the blocks are gone anyway).
+
+def release_tracked(blocking: bool = False) -> int:
+    """Unpersist every tracked cache and drop every tracked temp view;
+    returns how many caches were released.
+
+    Safe against already-stopped sessions (each unpersist/drop is
+    best-effort — a dead SparkContext just means the blocks are gone
+    anyway).
     """
     released = 0
     while _LIVE:
@@ -51,6 +66,12 @@ def release_tracked(blocking: bool = False) -> int:
         try:
             df.unpersist(blocking)
             released += 1
+        except Exception:
+            pass
+    while _LIVE_VIEWS:
+        spark, name = _LIVE_VIEWS.pop()
+        try:
+            spark.catalog.dropTempView(name)
         except Exception:
             pass
     return released

@@ -289,6 +289,8 @@ def bm25_topk_from_index(
     reads, df from the (terms × 1)-scale aggregate — the documents table
     is never touched. Integer-micro-scaled scores with doc_id tiebreak,
     same contract as the scan-side ``text_bm25_topk``."""
+    if not terms:
+        raise ValueError("bm25_topk_from_index requires at least one term")
     state = index_state(index_path)
     if state is None:
         raise FileNotFoundError(f"{index_path} has never been refreshed")

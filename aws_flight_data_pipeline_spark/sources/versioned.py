@@ -429,11 +429,18 @@ def _check_append_schema(new: list[dict], old: list[dict] | None) -> list[dict]:
 def _publish(path: str, version: int, manifest: dict) -> None:
     # maintenance commits (rollback/optimize/delete/merge/cursor stamps)
     # never change the table schema: inherit the parent's record here so
-    # every manifest in the chain carries one once commit() recorded it
-    if "schema" not in manifest and manifest.get("parent") is not None:
-        parent_schema = _read_manifest(path, manifest["parent"]).get("schema")
-        if parent_schema is not None:
-            manifest["schema"] = parent_schema
+    # every manifest in the chain carries one once commit() recorded it.
+    # 'tombstones' (the inverted index's side-file protocol) inherits the
+    # same way — a generic maintenance op on an index path must not
+    # silently resurrect tombstoned documents by dropping the key (the
+    # tombstone mask stays valid over rewritten files: the gen column
+    # rides the data, so masking is layout-independent).
+    inherit = [k for k in ("schema", "tombstones") if k not in manifest]
+    if inherit and manifest.get("parent") is not None:
+        pm = _read_manifest(path, manifest["parent"])
+        for k in inherit:
+            if pm.get(k):
+                manifest[k] = pm[k]
     try:
         fd = os.open(_manifest_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as e:
@@ -506,8 +513,12 @@ def rollback(path: str, to_version: int) -> int:
         "mode": "rollback",
         "rolled_back_to": to_version,
         # the schema travels with the snapshot: rolling back across an
-        # additive evolution restores the OLD schema (not the head's)
+        # additive evolution restores the OLD schema (not the head's);
+        # same for tombstones — the mask is part of the snapshot (an
+        # explicit empty list is carried too, overriding _publish's
+        # parent inheritance: rolling back past a delete un-deletes)
         **({"schema": old["schema"]} if "schema" in old else {}),
+        "tombstones": old.get("tombstones", []),
         "files": old["files"],
         "n_files": len(old["files"]),
         "stats": old.get("stats", {}),
@@ -1111,6 +1122,15 @@ def _merge_into_once(
         )
     )
 
+    # write-time schema enforcement, same contract as commit(): a merge
+    # whose source flips an existing column's type fails BEFORE any data
+    # lands, and source-only columns (additive evolution through the
+    # unionByName(allowMissingColumns=True) above) are RECORDED in the
+    # merge manifest — relying on _publish's parent inheritance here would
+    # stamp the pre-merge schema, letting a later append re-introduce the
+    # evolved column at a different type past _check_append_schema
+    evolved_schema = _check_append_schema(_df_schema(to_write), m.get("schema"))
+
     new_version = version + 1
     txn = f"v{new_version:09d}-{uuid.uuid4().hex[:12]}"
     txn_dir = os.path.join(_data_dir(path), txn)
@@ -1156,6 +1176,7 @@ def _merge_into_once(
         "version": new_version,
         "parent": version,
         "mode": "merge",
+        "schema": evolved_schema,
         "files": carried + new_files,
         "n_files": len(carried) + len(new_files),
         "stats": stats,

@@ -7,17 +7,40 @@ rewrites BENCH_FULL.json, the "latest" sidecar, on every run)."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_bench_full() -> str | None:
+    """The gitignored BENCH_FULL.json when present (a local bench ran), else
+    the highest-numbered committed BENCH_FULL_r*.json — a fresh clone/CI
+    checkout has only the committed artifacts, and they satisfy the gate
+    as long as they cover the headline list."""
+    path = os.path.join(REPO, "BENCH_FULL.json")
+    if os.path.exists(path):
+        return path
+    committed = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(REPO, "BENCH_FULL_r*.json"))
+        if (m := re.search(r"BENCH_FULL_r(\d+)\.json$", p))
+    ]
+    if committed:
+        return max(committed)[1]
+    return None
 
 
 def test_committed_bench_covers_every_headline_entry():
     import bench
 
-    path = os.path.join(REPO, "BENCH_FULL.json")
-    assert os.path.exists(path), "run `python bench.py` — no BENCH_FULL.json"
+    path = _latest_bench_full()
+    assert path is not None, (
+        "run `python bench.py` — no BENCH_FULL.json and no committed "
+        "BENCH_FULL_r*.json"
+    )
     with open(path) as f:
         payload = json.load(f)
     missing = [n for n in bench.HEADLINE if n not in payload["queries"]]
@@ -30,8 +53,8 @@ def test_committed_bench_covers_every_headline_entry():
 def test_bench_records_host_environment():
     # drift attribution (round-6 lesson): the sidecar must carry when it
     # ran and the host load, or cross-round comparisons are guesswork
-    path = os.path.join(REPO, "BENCH_FULL.json")
-    if not os.path.exists(path):
+    path = _latest_bench_full()
+    if path is None:
         return
     with open(path) as f:
         payload = json.load(f)

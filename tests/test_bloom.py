@@ -148,3 +148,31 @@ def test_prune_reduces_rows_superset_of_matches(spark, sf_dir):
     n_pruned = pruned.count()
     assert true_matches <= n_pruned  # superset, never a lost match
     assert n_pruned < li.count()  # and it genuinely filtered
+
+
+def test_prune_temp_views_released(spark):
+    # bloom_prune registers a per-call session temp view; release_tracked
+    # (the same hook that drops tracked caches) must drop it — a long-lived
+    # session otherwise accumulates catalog entries without bound
+    from aws_flight_data_pipeline_spark.functions.caching import release_tracked
+
+    def _views():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.isTemporary and t.name.startswith("_bloom_")
+        }
+
+    release_tracked()
+    before = _views()
+    big = spark.range(0, 1000).select(F.col("id").alias("key"))
+    keys = spark.range(0, 50).select(F.col("id").alias("key"))
+    m, k = optimal_params(50, 0.01)
+    pruned = bloom_prune(big, "key", build_bloom(keys, "key", m, k), k, m)
+    during = _views()
+    assert len(during - before) == 1
+    # the already-built frame stays evaluable after the drop (eager analysis
+    # bound the view's plan at build time)
+    release_tracked()
+    assert _views() <= before
+    assert pruned.count() >= 50

@@ -127,6 +127,42 @@ def test_vacuum_spares_tombstone_files(spark, paths):
     assert set(_bm25(spark, ipath)) == {3, 4, 5}
 
 
+def test_generic_maintenance_preserves_tombstones(spark, paths):
+    # 'tombstones' is a manifest key generic maintenance ops don't know
+    # about: an OPTIMIZE on the index path rebuilds the manifest — it must
+    # INHERIT the tombstone list (versioned._publish) or every tombstoned
+    # document's postings silently resurrect
+    dpath, ipath = paths
+    vt.commit(
+        _docs(spark, [(i, "alpha") for i in range(8)]), dpath, stats_cols=("doc_id",)
+    )
+    ix.refresh_index(spark, dpath, ipath)
+    vt.delete_where(spark, dpath, {"doc_id": (0, 3)})
+    ix.refresh_index(spark, dpath, ipath)
+    assert set(_bm25(spark, ipath)) == {4, 5, 6, 7}
+
+    vt.optimize(spark, ipath, cluster_by=("tok",), n_files=2, stats_cols=("tok",))
+    m = vt._read_manifest(ipath, vt.latest_version(ipath))
+    assert len(m.get("tombstones", [])) >= 1
+    assert set(_bm25(spark, ipath)) == {4, 5, 6, 7}
+
+    # rollback carries the target snapshot's mask (and an explicit empty
+    # list when rolling back past the delete — not the head's non-empty one)
+    v_pre_delete = 0  # initial index build
+    vt.rollback(ipath, v_pre_delete)
+    m = vt._read_manifest(ipath, vt.latest_version(ipath))
+    assert m.get("tombstones", []) == []
+    assert set(_bm25(spark, ipath)) == set(range(8))
+
+
+def test_bm25_empty_terms_raises(spark, paths):
+    dpath, ipath = paths
+    vt.commit(_docs(spark, [(1, "alpha")]), dpath)
+    ix.refresh_index(spark, dpath, ipath)
+    with pytest.raises(ValueError, match="at least one term"):
+        ix.bm25_topk_from_index(spark, ipath, ())
+
+
 def test_term_reads_prune_posting_files(spark, paths):
     dpath, ipath = paths
     # two token ranges far apart -> clustered into different files

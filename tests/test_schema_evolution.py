@@ -72,6 +72,40 @@ def test_maintenance_commits_carry_schema(spark, tmp_path):
         vt.commit(bad, path, mode="append")
 
 
+def test_merge_records_evolved_schema(spark, tmp_path):
+    # a MERGE that adds source-only columns (additive evolution through
+    # unionByName allowMissingColumns) must RECORD the evolved schema in
+    # its manifest — inheriting the parent's verbatim would let a later
+    # append re-introduce the same column at a conflicting type
+    path = str(tmp_path / "t")
+    vt.commit(_base(spark), path, stats_cols=("id",))
+    src = spark.createDataFrame(
+        [(2, "b2", 21.0, "en"), (5, "e", 50.0, "fr")],
+        "id bigint, tag string, score double, lang string",
+    )
+    vt.merge_into(spark, path, src, on=("id",))
+    m = vt._read_manifest(path, vt.latest_version(path))
+    assert m["mode"] == "merge"
+    assert {c["name"] for c in m["schema"]} == {"id", "tag", "score", "lang"}
+    bad = spark.createDataFrame(
+        [(9, "x", 1.0, 7)], "id bigint, tag string, score double, lang bigint"
+    )
+    with pytest.raises(vt.SchemaMismatch, match="lang"):
+        vt.commit(bad, path, mode="append")
+
+
+def test_insert_only_merge_records_evolved_schema(spark, tmp_path):
+    # the append-shaped merge branch (nothing matched) evolves the same way
+    path = str(tmp_path / "t")
+    vt.commit(_base(spark), path, stats_cols=("id",))
+    src = spark.createDataFrame(
+        [(50, "z", 5.0, "de")], "id bigint, tag string, score double, lang string"
+    )
+    vt.merge_into(spark, path, src, on=("id",))
+    m = vt._read_manifest(path, vt.latest_version(path))
+    assert {c["name"] for c in m["schema"]} == {"id", "tag", "score", "lang"}
+
+
 def test_rollback_restores_pre_evolution_schema(spark, tmp_path):
     path = str(tmp_path / "t")
     v0 = vt.commit(_base(spark), path)
