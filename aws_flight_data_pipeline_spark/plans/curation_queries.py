@@ -30,7 +30,7 @@ from aws_flight_data_pipeline_spark.operators.graph import (
     component_size_histogram,
     symmetrize,
 )
-from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.plans.text_queries import (
     _WORD_COUNT_SQL,
     SCORED_PAIRS_CTES,
@@ -1090,7 +1090,7 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "decontam_fuzzy_pairs",
     tags=("curation", "decontamination", "similarity-join", "prefix-filter", "scale"),
     doc="Pairwise fuzzy decontamination with ATTRIBUTION: where "
@@ -1256,7 +1256,7 @@ def _bpe_round_sql(r: int) -> str:
         )"""
 
 
-@builder(
+@query(
     "bpe_apply_encode",
     tags=("curation", "tokenizer", "bpe", "higher-order"),
     doc="BPE ENCODE — the apply side of the tokenizer loop whose train "

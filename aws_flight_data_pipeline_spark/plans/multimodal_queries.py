@@ -132,7 +132,7 @@ def multimodal_asset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(dstats, "modality").orderBy("modality")
 
 
-@query(
+@builder(
     "multimodal_frame_sample",
     tags=("multimodal", "mapinpandas", "fanout"),
     doc="Video frame sampling (every 4th frame) as a one-to-many mapInPandas "
@@ -220,7 +220,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "multimodal_phash_neardup",
     tags=("multimodal", "dedup", "phash", "lsh", "mapinpandas"),
     doc="Perceptual-hash near-duplicate detection over multimodal payloads "

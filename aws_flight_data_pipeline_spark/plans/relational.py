@@ -716,7 +716,7 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "daily_window_metrics",
     tags=("window", "frame", "lag"),
     doc="Daily trend metrics merging two §2.5 demos on one daily grain: the "
@@ -915,7 +915,7 @@ def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "case_bucketing",
     tags=("scalar", "case"),
     doc="CASE WHEN banding + GROUP BY the derived band — the altitude-band "
@@ -1768,7 +1768,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "range_frame_burst",
     tags=("window", "range-frame", "event-time", "sequence"),
     doc="Event-time RANGE-frame rolling metrics — the frame family the ROWS "
@@ -1831,7 +1831,7 @@ def range_frame_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@builder(
+@query(
     "null_semantics_suite",
     tags=("join", "null-semantics", "three-valued-logic"),
     doc="NULL join-semantics contract, pinned value-for-value against the "

@@ -330,7 +330,7 @@ def seq_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "seq_impute_bfill_mode_mean",
     tags=("sequence", "imputation"),
     doc="The remaining imputation strategies of data_transformer.py:306-350 "

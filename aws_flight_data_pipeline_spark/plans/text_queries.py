@@ -341,7 +341,7 @@ def _ngram_jaccard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a")
 
 
-@query(
+@builder(
     "text_rolling_fingerprint",
     tags=("text", "fingerprint", "shingle"),
     doc="Winnowing-style document fingerprint: hash every 8-char shingle of "
@@ -675,7 +675,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _PUNCT = (".", ",", "!", "?", ";", ":")
 
 
-@query(
+@builder(
     "text_stopword_punct_ratios",
     tags=("text", "quality"),
     doc="The remaining quality-signal ratios of the training-data pipeline: "
@@ -1786,7 +1786,7 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "dedup_substring_spans",
     tags=("text", "dedup", "substring", "spans", "scale"),
     doc="EXACT substring-level deduplication (the ExactSubstr tier of "

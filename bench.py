@@ -205,6 +205,9 @@ HEADLINE = (
     # round 7: NULL three-valued-logic join contract (eq / <=> / anti /
     # the NOT IN trap), value-pinned against the oracle
     "null_semantics_suite",
+    # round 9: steady-state IVM grain — one append + one O(churn) refresh
+    # against a pre-built rollup (the 8-step episode stays tracked above)
+    "ivm_single_increment",
 )
 
 
@@ -219,10 +222,45 @@ def main() -> None:
     # untouched queries from background load alone; the artifact itself now
     # records when it ran and how loaded the box was, so drift is
     # attributable from the file rather than from memory.
+    #
+    # Loadavg gate (round-7 lesson: the committed artifact ran at 5-min
+    # loadavg 9.2 and showed ~40% uniform inflation vs a clean re-run of
+    # identical code): when the 5-min loadavg exceeds the threshold, WAIT
+    # (bounded) for the host to quiet down rather than recording numbers
+    # that misgrade every query; if it never does, proceed LOUDLY — the
+    # artifact carries the gate verdict so the reader knows the run is hot.
+    gate_threshold = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "2.0"))
+    gate_wait_max = float(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT_S", "300"))
+    waited = 0.0
+    while os.getloadavg()[1] > gate_threshold and waited < gate_wait_max:
+        import sys
+
+        print(
+            f"bench: 5-min loadavg {os.getloadavg()[1]:.1f} > "
+            f"{gate_threshold:.1f}; waiting for a quiet host "
+            f"({waited:.0f}/{gate_wait_max:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
     host_meta = {
         "timestamp_start": time.time(),
         "loadavg_start": list(os.getloadavg()),
+        "loadavg_gate": {
+            "threshold": gate_threshold,
+            "waited_seconds": waited,
+            "quiet_at_start": os.getloadavg()[1] <= gate_threshold,
+        },
     }
+    if not host_meta["loadavg_gate"]["quiet_at_start"]:
+        import sys
+
+        print(
+            f"bench: WARNING — starting HOT (5-min loadavg "
+            f"{os.getloadavg()[1]:.1f} > {gate_threshold:.1f} after "
+            f"{waited:.0f}s wait); timings in this artifact are inflated",
+            file=sys.stderr,
+        )
 
     def run(name: str) -> None:
         resolve(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
