@@ -1,0 +1,148 @@
+"""Stats-driven multi-join planning: the ANALYZE tier (footer row counts +
+per-column HLL NDV) ordering and strategizing a TPC-H Q5-shaped six-table
+join over versioned tables.
+
+The reference hand-tunes join order and broadcast choice per query in SQL
+(``sql/athena/07_optimization_guide.sql:193-234`` — filter before join,
+put the small table on the build side); Catalyst automates that for plain
+parquet scans but its size-in-bytes estimates are wrong for manifest-pinned
+file lists (a versioned table's scan relation reports whatever files the
+manifest listed, with no NDV knowledge at all). ``plan_join_tree``
+(:mod:`..sources.table_stats`) closes that gap from maintained statistics:
+exact footer row counts pick the fact table and the per-edge build side,
+HLL NDV drives the System-R output-cardinality estimate that orders the
+remaining joins greedily, and a cycle-closing predicate (Q5's
+``c_nationkey = s_nationkey``) is deferred to a post-join filter instead of
+ever driving a fan-out join through a 25-value key.
+
+The builder runs the full episode — commit six projected versioned tables,
+ANALYZE the join keys (O(uncovered files), incremental by contract), plan,
+execute — and the oracle recomputes the same aggregate from the raw tables
+wholesale, so parity proves the stats-planned tree computes exactly the
+un-hinted join.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.sources import table_stats as ts
+from aws_flight_data_pipeline_spark.sources import versioned as vt
+from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+#: Previous invocation's state directory per sf_dir — torn down when the
+#: builder runs again (same contract as ivm_queries._STATE_DIRS).
+_STATE_DIRS: dict[str, str] = {}
+
+#: Plan-facts of the LAST ``stats_planned_join_tree`` run (fact table, join
+#: order, per-step cardinality estimates, broadcast decisions) — the
+#: monitor-format evidence the plan tests and the bench sidecar read.
+LAST_PLAN_FACTS: dict = {}
+
+#: Dimensions broadcast under this row count; the two fact tables
+#: (lineitem, orders at sf0.1) stay above it so their edge remains the one
+#: shuffled join — the shape that survives a 100x scale-up, where every
+#: dim stays KB–MB but both facts grow with the data.
+_BROADCAST_ROWS = 100_000
+
+#: (source table, projected columns) per planner table — projection keeps
+#: the committed versioned copies narrow (the planner reads them whole).
+_TABLES = {
+    "lineitem": ("lineitem", ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"), 4),
+    "orders": ("orders", ("o_orderkey", "o_custkey"), 4),
+    "customer": ("customer", ("c_custkey", "c_nationkey"), 2),
+    "supplier": ("supplier", ("s_suppkey", "s_nationkey"), 2),
+    "nation": ("nation", ("n_nationkey", "n_regionkey", "n_name"), 1),
+    "region": ("region", ("r_regionkey", "r_name"), 1),
+}
+
+#: Q5's join graph, cycle included: the c_nationkey = s_nationkey edge is
+#: what makes Q5 cyclic — the planner must apply it as a filter once both
+#: sides are joined, never as a fan-out join through a 25-value key.
+_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "supplier", "s_nationkey"),
+]
+
+
+def _fresh_state_dir(sf_dir: str) -> str:
+    old = _STATE_DIRS.pop(sf_dir, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix="afdp-planner-")
+    _STATE_DIRS[sf_dir] = d
+    return d
+
+
+def build_planned_join(spark: SparkSession, sf_dir: str):
+    """Commit the six projected versioned tables, ANALYZE the join keys,
+    and return ``(joined_df, plan_facts)`` from :func:`ts.plan_join_tree`.
+    Shared by the builder query and the plan-shape tests."""
+    root = _fresh_state_dir(sf_dir)
+    paths: dict[str, str] = {}
+    for name, (tbl, cols, n_files) in _TABLES.items():
+        p = f"{root}/{name}"
+        vt.commit(
+            load_table(spark, sf_dir, tbl).select(*cols).repartition(n_files), p
+        )
+        paths[name] = p
+    df, facts = ts.plan_join_tree(
+        spark, paths, list(_EDGES), broadcast_threshold_rows=_BROADCAST_ROWS
+    )
+    LAST_PLAN_FACTS.clear()
+    LAST_PLAN_FACTS.update(facts)
+    return df, facts
+
+
+@builder(
+    "stats_planned_join_tree",
+    tags=("join", "planner", "stats", "versioned", "scale"),
+    doc="TPC-H Q5-shaped six-table join over VERSIONED tables, ordered and "
+    "strategized by the ANALYZE tier instead of Catalyst's size guesses: "
+    "footer row counts pick lineitem as the fact (never broadcast) and "
+    "broadcast every true dimension; HLL NDV estimates order the edges "
+    "most-reducing-first; the cyclic c_nationkey = s_nationkey predicate "
+    "lands as a post-join filter (greedy defers it — joining through a "
+    "25-value key would fan out ~40x, and the estimator sees that). "
+    "Revenue rides the cents-exact discipline. Oracle = the same "
+    "aggregate computed wholesale from the raw tables, so parity proves "
+    "the planned tree equals the un-hinted join.",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY nation
+    """,
+)
+def stats_planned_join_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _ = build_planned_join(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        df.where(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents * (100 - disc)).cast("bigint") / 10000.0).alias("revenue"),
+        )
+        .orderBy("nation")
+    )

@@ -136,6 +136,7 @@ def _ensure_loaded() -> None:
     import aws_flight_data_pipeline_spark.plans.graph_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.ivm_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.layout_queries  # noqa: F401
+    import aws_flight_data_pipeline_spark.plans.planner_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.repetition_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.retrieval_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.sketch_queries  # noqa: F401

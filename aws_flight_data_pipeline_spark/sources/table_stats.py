@@ -215,6 +215,148 @@ def row_count(path: str, version: int | None = None) -> int:
     )
 
 
+def plan_join_tree(
+    spark: SparkSession,
+    tables: dict[str, str],
+    edges: list[tuple[str, str, str, str]],
+    broadcast_threshold_rows: int = 1_000_000,
+    ensure_analyzed: bool = True,
+):
+    """Cost-based LEFT-DEEP ordering + per-edge strategy for a 3+ table
+    equi-join over versioned tables, driven entirely by the ANALYZE tier:
+    exact footer row counts pick the fact table (largest — always the
+    streaming probe side, never broadcast) and the build-side strategy per
+    edge; per-column HLL NDV drives the System-R output-cardinality
+    estimate ``|A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k))`` that orders
+    the remaining joins greedily (most-reducing edge first). This is the
+    decision Catalyst cannot make for manifest-pinned file lists: its
+    size-in-bytes estimates see whatever the scan relation reports, not
+    the manifest's exact knowledge — and with the broadcast threshold off
+    (or file sizes misreported) it plans shuffle joins for KB dimensions.
+    Reference analog: the optimization guide's filter-before-join +
+    small-dimension broadcast guidance
+    (``sql/athena/07_optimization_guide.sql:193-234``), automated from
+    maintained statistics instead of hand-written per query.
+
+    ``tables``: name -> versioned table path. ``edges``: equi-join
+    conditions ``(table_a, key_a, table_b, key_b)``; the edge set must
+    connect all tables (tree or cyclic — a cyclic edge whose both sides
+    are already joined is applied as a post-filter). When
+    ``ensure_analyzed`` is set, join-key columns missing an HLL sketch are
+    analyzed first (O(uncovered files), the ANALYZE tier's top-up
+    contract); otherwise an unsketched key falls back to the table's row
+    count (assume-unique — conservative for dimension keys).
+
+    Returns ``(df, facts)``: the joined DataFrame and a plan-facts dict
+    (the monitor's evidence format) with the chosen order, per-step
+    cardinality estimates, and per-edge strategies.
+    """
+    if len(tables) < 2:
+        raise ValueError("plan_join_tree needs at least two tables")
+    keys_by_table: dict[str, set[str]] = {t: set() for t in tables}
+    for a, ka, b, kb in edges:
+        if a not in tables or b not in tables:
+            raise ValueError(f"edge ({a},{ka},{b},{kb}) references unknown table")
+        keys_by_table[a].add(ka)
+        keys_by_table[b].add(kb)
+
+    n: dict[str, int] = {t: row_count(p) for t, p in tables.items()}
+    ndv: dict[str, dict[str, int]] = {}
+    for t, p in tables.items():
+        cols = tuple(sorted(keys_by_table[t]))
+        if not cols:
+            ndv[t] = {}
+            continue
+        if ensure_analyzed:
+            analyze(spark, p, cols)
+        st = column_stats(p, cols)
+        # assume-unique fallback for unsketched keys; cap at row count
+        # (an HLL overestimate above n is physically impossible)
+        ndv[t] = {
+            c: min(n[t], st[c]["ndv"]) if st[c]["ndv"] else n[t] for c in cols
+        }
+
+    fact = max(n, key=lambda t: (n[t], t))
+    joined = {fact}
+    df = versioned.read(spark, tables[fact])
+    cur = n[fact]
+    steps: list[dict] = []
+    remaining = list(edges)
+    post_filters: list[tuple[str, str]] = []
+
+    while remaining:
+        candidates = []
+        for e in remaining:
+            a, ka, b, kb = e
+            if a in joined and b in joined:
+                candidates.append((cur, e, None))  # cyclic: free filter
+                continue
+            if a in joined:
+                t, tk, jk = b, kb, ka
+            elif b in joined:
+                t, tk, jk = a, ka, kb
+            else:
+                continue
+            # joined-side key NDV: the base table's sketch for that column,
+            # capped by the current estimated cardinality
+            j_sketches = [ndv[x][jk] for x in joined if jk in ndv[x]]
+            j_ndv = min(cur, max(j_sketches)) if j_sketches else cur
+            est = max(1, (cur * n[t]) // max(1, max(j_ndv, ndv[t][tk])))
+            candidates.append((est, e, (t, tk, jk)))
+        if not candidates:
+            raise ValueError(
+                f"edge set does not connect {sorted(set(tables) - joined)} "
+                "to the joined tree"
+            )
+        est, e, pick = min(candidates, key=lambda c: (c[0], str(c[1])))
+        remaining.remove(e)
+        a, ka, b, kb = e
+        if pick is None:
+            # both sides already joined: the cycle-closing predicate.
+            # Equality selectivity ~ 1/max(ndv) — System-R again — so the
+            # running estimate keeps informing later edge choices.
+            df = df.where(F.col(ka) == F.col(kb))
+            sel_ndv = max(
+                [ndv[x][k] for k in (ka, kb) for x in tables if k in ndv[x]]
+                or [1]
+            )
+            cur = max(1, cur // max(1, sel_ndv))
+            steps.append({"edge": e, "strategy": "filter", "est_rows_out": cur})
+            continue
+        t, tk, jk = pick
+        right = versioned.read(spark, tables[t])
+        bcast = n[t] <= broadcast_threshold_rows
+        right_in = F.broadcast(right) if bcast else right
+        df = df.join(right_in, on=F.col(jk) == F.col(tk), how="inner")
+        joined.add(t)
+        cur = est
+        steps.append(
+            {
+                "edge": e,
+                "table": t,
+                "rows": n[t],
+                "ndv_used": {jk: None, tk: ndv[t][tk]},
+                "strategy": "broadcast" if bcast else "sort_merge",
+                "est_rows_out": est,
+            }
+        )
+
+    if joined != set(tables):
+        raise ValueError(
+            f"edge set does not connect {sorted(set(tables) - joined)} "
+            "to the joined tree"
+        )
+    facts = {
+        "fact_table": fact,
+        "fact_rows": n[fact],
+        "order": [fact] + [s["table"] for s in steps if "table" in s],
+        "steps": steps,
+        "broadcasts": sum(1 for s in steps if s["strategy"] == "broadcast"),
+        "row_counts": n,
+    }
+    return df, facts
+
+
 def stats_hinted_join(
     spark: SparkSession,
     left_path: str,

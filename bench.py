@@ -208,6 +208,9 @@ HEADLINE = (
     # round 9: steady-state IVM grain — one append + one O(churn) refresh
     # against a pre-built rollup (the 8-step episode stays tracked above)
     "ivm_single_increment",
+    # round 9: NDV-driven multi-join planner over versioned tables (commit
+    # six projected tables, ANALYZE keys, greedy System-R order, Q5 shape)
+    "stats_planned_join_tree",
 )
 
 

@@ -74,3 +74,96 @@ def test_left_join_broadcasts_only_build_side(spark, tmp_path):
         assert j.count() == orders.count()  # preservation intact
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def _mk_q5(spark, tmp_path, sf=SF):
+    from aws_flight_data_pipeline_spark.plans import planner_queries as pq
+
+    return pq.build_planned_join(spark, sf)
+
+
+def test_join_tree_fact_never_broadcast_dims_all_broadcast(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df, facts = _mk_q5(spark, tmp_path)
+        plan = _plan(df)
+        # lineitem is the fact: largest by footer count, heads the order
+        assert facts["fact_table"] == "lineitem"
+        assert facts["order"][0] == "lineitem"
+        # every true dimension broadcast — these are the broadcasts
+        # Catalyst would have MISSED (autoBroadcastJoinThreshold is off,
+        # mimicking the misreported-size case the planner exists for)
+        assert facts["broadcasts"] >= 4
+        assert plan.count("BroadcastHashJoin") >= 4
+        # and no cartesian product anywhere
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_join_tree_cycle_lands_as_filter_not_join(spark, tmp_path):
+    # sf0.01: supplier (100 rows) is big enough that joining it through the
+    # 25-value nationkey would fan out 4x — the estimator must defer that
+    # edge to a post-join filter. (At sf0.001 supplier has 10 rows and the
+    # nationkey join genuinely SHRINKS the result, so the greedy choice
+    # legitimately inverts — the estimator follows the data, not the shape.)
+    df, facts = _mk_q5(spark, tmp_path, sf="/root/testdata/sf0.01")
+    strategies = [s["strategy"] for s in facts["steps"]]
+    assert strategies.count("filter") == 1
+    # 5 joins + 1 filter = 6 edges; the filter is the nationkey cycle
+    filt = next(s for s in facts["steps"] if s["strategy"] == "filter")
+    assert {filt["edge"][1], filt["edge"][3]} == {"c_nationkey", "s_nationkey"}
+    # greedy deferred it: joining through a 25-value key would fan out
+    # ~rows(customer)/25 per row, and the estimator saw that
+    assert all("table" in s or s is filt for s in facts["steps"])
+
+
+def test_join_tree_matches_unhinted_join(spark, tmp_path):
+    from aws_flight_data_pipeline_spark.plans.planner_queries import (
+        stats_planned_join_tree,
+    )
+    from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+    got = stats_planned_join_tree(spark, SF)
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    r = load_table(spark, SF, "region")
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    want = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r.where(F.col("r_name") == "ASIA"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents * (100 - disc)).cast("bigint") / 10000.0).alias("revenue"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_join_tree_rejects_disconnected_graph(spark, tmp_path):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF, "customer").select("c_custkey")
+    nat = load_table(spark, SF, "nation").select("n_nationkey")
+    op, cp, np_ = str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "n")
+    vt.commit(orders, op)
+    vt.commit(cust, cp)
+    vt.commit(nat, np_)
+    import pytest
+
+    with pytest.raises(ValueError, match="connect"):
+        ts.plan_join_tree(
+            spark,
+            {"orders": op, "cust": cp, "nation": np_},
+            [("orders", "o_custkey", "cust", "c_custkey")],
+        )
