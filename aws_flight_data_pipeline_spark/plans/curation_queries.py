@@ -645,6 +645,60 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("round")
 
 
+def train_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_rounds: int,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Production-parameterized BPE merge training: up to ``max_rounds``
+    merges with EARLY EXIT once the best remaining pair occurs fewer than
+    ``min_pair_count`` times — a real vocabulary build runs to thousands
+    of merges and must stop when the signal is gone, not at a fixed
+    unroll. Returns ``(merges, encoded_corpus)`` where ``merges`` is
+    ``[(round, pair, count), ...]`` in application order.
+
+    Per round: one linear bigram count with a 1-ROW driver argmax (the
+    bounded-driver-work exception, like the union-find edge cap — one row
+    per round, never data), then a per-row literal rewrite (the argmax
+    value lands in the plan as a literal, cheaper than the oracled
+    builder's crossJoin-broadcast form which exists only so the whole
+    episode stays collect-free for the SQL twin). ``docs`` needs columns
+    ``(doc_id, text)``.
+    """
+    from aws_flight_data_pipeline_spark.functions.text import word_ngrams
+
+    cur = docs.select("doc_id", F.col("text").alias("t"))
+    merges: list[tuple[int, str, int]] = []
+    for rnd in range(1, max_rounds + 1):
+        cur = tracked_cache(cur)
+        top = (
+            cur.select(F.explode(word_ngrams(F.col("t"), 2)).alias("gram"))
+            .filter(F.col("gram").contains(" "))
+            .groupBy("gram")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "gram")
+            .limit(1)
+            .first()
+        )
+        if top is None or int(top["cnt"]) < min_pair_count:
+            break
+        gram = top["gram"]
+        pat = F.lit(" " + gram.replace(" ", "  ") + " ")
+        rep = F.lit(" " + gram.replace(" ", "_") + " ")
+        wrapped = F.concat(
+            F.lit(" "), F.replace(F.col("t"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        cur = cur.select(
+            "doc_id",
+            F.trim(
+                F.replace(F.replace(wrapped, pat, rep), F.lit("  "), F.lit(" "))
+            ).alias("t"),
+        )
+        merges.append((rnd, gram, int(top["cnt"])))
+    return merges, cur
+
+
 @builder(
     "text_normalization_sweep",
     tags=("curation", "normalize", "text"),
@@ -1312,6 +1366,12 @@ def _bpe_round_sql(r: int) -> str:
     """,
 )
 def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_apply(spark, sf_dir, _BPE_APPLY_MERGES)
+
+
+def _bpe_apply(spark: SparkSession, sf_dir: str, n_merges: int) -> DataFrame:
+    """BPE encode with a corpus-derived ``n_merges``-entry merge table —
+    shared by the 6-merge oracled query and the 64-merge depth builder."""
     d = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "source", "text"
     )
@@ -1344,7 +1404,7 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(F.struct((-F.col("c")).alias("nc"), "w1", "w2"))
             ),
             1,
-            _BPE_APPLY_MERGES,
+            n_merges,
         ).alias("m")
     ).select(
         F.transform("m", lambda s: s["w1"]).alias("ma"),
@@ -1353,29 +1413,30 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enc = base.crossJoin(F.broadcast(merges))
 
-    def _merge_round(prev, a, b):
+    def _merge_round_sql(prev: str, r: int) -> str:
         # greedy left fold: merge fires when the accumulator's last token
-        # is w1 and the incoming token is w2 (pyspark requires the lambda
-        # to take exactly (acc, x), hence this closure factory)
-        def step(acc, x):
-            return F.when(
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat_ws(" ", a, b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x)))
+        # is w1 and the incoming token is w2. try_element_at: a corpus
+        # with fewer qualifying bigrams than rounds yields NULL merge
+        # tokens, and a NULL comparison makes that round the identity
+        # (same as the oracle's empty subquery). Generated as ONE SQL
+        # string rather than a nested-Column tower: at tokenizer depth
+        # (64 rounds) the per-round py4j construction dominates plan
+        # build time — one parse of a ~20 KB expression replaces ~2.5 s
+        # of driver round-trips, measured at n_merges=64 on sf0.1.
+        a, b = f"try_element_at(ma, {r})", f"try_element_at(mb, {r})"
+        return (
+            f"aggregate({prev}, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {a} AND x = {b} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array(concat_ws(' ', {a}, {b}))) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
 
-        return F.aggregate(prev, F.array().cast("array<string>"), step)
-
-    cur = F.col("tk")
-    for r in range(1, _BPE_APPLY_MERGES + 1):
-        # try_element_at: a corpus with fewer qualifying bigrams than
-        # rounds yields NULL merge tokens, and a NULL comparison makes
-        # that round the identity (same as the oracle's empty subquery)
-        cur = _merge_round(cur, F.try_element_at("ma", F.lit(r)), F.try_element_at("mb", F.lit(r)))
+    cur = "tk"
+    for r in range(1, n_merges + 1):
+        cur = _merge_round_sql(cur, r)
     return (
-        enc.select("source", F.size("tk").alias("nb"), F.size(cur).alias("na"))
+        enc.select("source", F.size("tk").alias("nb"), F.size(F.expr(cur)).alias("na"))
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("docs"),
@@ -1397,3 +1458,19 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@builder(
+    "bpe_apply_encode_deep64",
+    tags=("curation", "tokenizer", "bpe", "higher-order", "scale"),
+    doc="The 6-merge oracled bpe_apply_encode at REALISTIC tokenizer depth: "
+    "a 64-entry merge table applied in rank order, one zero-shuffle greedy "
+    "left fold per round over the token arrays. Exists to prove (in the "
+    "committed bench) that the per-round fold holds at depth — the 64-deep "
+    "nested-lambda expression tree is where whole-stage codegen would "
+    "degrade if the shape were wrong. Semantics are pinned against the "
+    "6-merge oracle (a prefix of the same rank order); no 64-round SQL "
+    "twin — the oracle grain stays at 6.",
+)
+def bpe_apply_encode_deep64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_apply(spark, sf_dir, 64)

@@ -450,6 +450,7 @@ def _publish(path: str, version: int, manifest: dict) -> None:
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh, indent=1)
     _write_head(path, version)
+    _maybe_checkpoint(path, version)
 
 
 def read(
@@ -703,6 +704,75 @@ def _record_batch_ids(path: str, batch_ids: list[int]) -> None:
     os.replace(tmp, bp)
 
 
+def _checkpoint_path(path: str) -> str:
+    return os.path.join(_commits_dir(path), "_checkpoint.json")
+
+
+#: A checkpoint is written every this-many commits (Delta's
+#: ``_last_checkpoint`` cadence idea). Amortized cost per commit is one
+#: manifest read; the payoff is that every newest-first metadata walk is
+#: bounded by the interval instead of the chain length.
+CHECKPOINT_EVERY = 100
+
+
+def _read_checkpoint(path: str) -> dict:
+    try:
+        with open(_checkpoint_path(path)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"folded_through": -1}
+
+
+def checkpoint(path: str, version: int | None = None) -> dict:
+    """Fold every stamped ``batch_id`` at or below ``version`` (default
+    head) into the durable ledger and record the fold horizon, so
+    newest-first metadata walks (:func:`_batch_versions`) stop at the
+    horizon instead of replaying the whole retained chain — a months-long
+    30-second-trigger streaming table retains thousands of manifests, and
+    without a horizon the first streaming commit after a long maintenance
+    run would walk all of them.
+
+    Ordering is crash-safe: ids are folded BEFORE the horizon is
+    published (tmp + atomic replace), so a crash between the two only
+    costs extra walk reads, never a missed replay guard. Like vacuum and
+    OPTIMIZE this assumes one maintenance actor; a concurrent pair wastes
+    work but cannot unfold an id (the ledger only grows). Returns
+    ``{"folded_through": v, "ids_folded": n}``.
+    """
+    v = latest_version(path) if version is None else version
+    if v is None:
+        return {"folded_through": -1, "ids_folded": 0}
+    prev = int(_read_checkpoint(path).get("folded_through", -1))
+    ids: list[int] = []
+    w = v
+    while w > prev and os.path.exists(_manifest_path(path, w)):
+        b = _read_manifest(path, w).get("batch_id")
+        if b is not None:
+            ids.append(int(b))
+        w -= 1
+    if ids:
+        _record_batch_ids(path, ids)
+    cp = _checkpoint_path(path)
+    tmp = f"{cp}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"folded_through": int(v), "committed_at": time.time()}, fh)
+    os.replace(tmp, cp)
+    return {"folded_through": int(v), "ids_folded": len(ids)}
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    """Called from :func:`_publish` after every commit: advance the fold
+    horizon once the chain has grown :data:`CHECKPOINT_EVERY` past it.
+    Amortized one manifest read per commit; failures are swallowed (the
+    checkpoint is an accelerator — correctness never depends on it)."""
+    try:
+        prev = int(_read_checkpoint(path).get("folded_through", -1))
+        if version - prev >= CHECKPOINT_EVERY:
+            checkpoint(path, version)
+    except Exception:
+        pass
+
+
 def _batch_versions(path: str) -> set[int]:
     """batch_ids already committed by the streaming sink.
 
@@ -725,9 +795,13 @@ def _batch_versions(path: str) -> set[int]:
         with open(bp) as fh:
             out.update(json.load(fh))
     folded = frozenset(out)
+    horizon = int(_read_checkpoint(path).get("folded_through", -1))
     v = latest_version(path)
-    while v is not None and v >= 0 and os.path.exists(_manifest_path(path, v)):
-        # missing manifest = vacuumed away = folded by vacuum: safe stop
+    while v is not None and v > horizon and os.path.exists(_manifest_path(path, v)):
+        # missing manifest = vacuumed away = folded by vacuum: safe stop;
+        # v <= horizon = folded by checkpoint(): the walk is bounded by
+        # the checkpoint interval even when maintenance commits bury the
+        # newest stamped manifest arbitrarily deep
         b = _read_manifest(path, v).get("batch_id")
         if b is not None:
             if int(b) in folded:

@@ -211,6 +211,9 @@ HEADLINE = (
     # round 9: NDV-driven multi-join planner over versioned tables (commit
     # six projected tables, ANALYZE keys, greedy System-R order, Q5 shape)
     "stats_planned_join_tree",
+    # round 9: BPE apply at realistic tokenizer depth (64 merges; proves
+    # the per-round zero-shuffle fold holds at depth)
+    "bpe_apply_encode_deep64",
 )
 
 

@@ -70,6 +70,13 @@ HEAVY = (
     "dedup_pipeline_end_to_end",
     "dedup_cluster_components",
     "corpus_merge_increment",
+    # round 9 additions (the round-7 heavy newcomers): ExactSubstr's gram
+    # table is ~words-per-doc x the corpus rows — the one operator whose
+    # CONSTANT could surprise at 100 TB even with a sound shape; the
+    # R-S prefix join and the banded pHash self-join get the same treatment
+    "dedup_substring_spans",
+    "decontam_fuzzy_pairs",
+    "multimodal_phash_neardup",
 )
 SFS = (0.001, 0.01, 0.1)
 RUNS = 3
