@@ -1282,6 +1282,210 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_tokenizer(text: Column) -> Column:
+    """Distinct non-empty 3-gram shingles — the tokenizer the eval-split
+    decontamination index is maintained with (``invindex.refresh_index``'s
+    pluggable tokenizer)."""
+    return F.filter(shingles(text, 3), lambda x: x != "")
+
+
+def decontam_increment(
+    spark: SparkSession, eval_index_path: str, increment: DataFrame
+) -> DataFrame:
+    """Decontaminate a NEW training increment against a FIXED eval split
+    SERVED FROM the incrementally-maintained inverted index — O(increment
+    + eval) per probe, independent of how large the accumulated training
+    corpus has grown (``decontam_fuzzy_pairs`` re-derives both sides'
+    shingle state from the whole corpus every run; this is its
+    steady-state production twin, matching the ``corpus_merge_increment``
+    contract).
+
+    One-sided prefix filter, provably lossless: if ``J(t, e) >= 0.7`` then
+    ``|t ∩ e| >= 0.7|e|``, so ``t`` misses at most ``|e| - ceil(0.7|e|)``
+    of ``e``'s shingles and MUST contain one of the ``|e| - ceil(0.7|e|)
+    + 1`` rarest (the eval prefix). Candidates therefore come from the
+    increment's shingles joined to the broadcast eval PREFIX index; the
+    verify join against the full eval postings is also broadcast (the
+    eval split is the tiny relation by design). Rarity ranks by the eval
+    index's own document frequency — fixed once the index is refreshed,
+    no union-corpus re-rank per increment. Tombstoned eval docs (a
+    retired benchmark) drop out via the index's own mask.
+
+    ``increment`` needs columns ``(doc_id, text)``; output matches
+    ``decontam_fuzzy_pairs``: best-matching eval doc per contaminated
+    training doc with exact-ppm Jaccard.
+    """
+    from pyspark.sql.window import Window
+
+    from aws_flight_data_pipeline_spark.sources import invindex as ix
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    v = vt.latest_version(eval_index_path)
+    if v is None:
+        raise FileNotFoundError(f"{eval_index_path} has no committed versions")
+    m = vt._read_manifest(eval_index_path, v)
+    post = ix._mask_tombstones(
+        spark, eval_index_path, m, vt.read(spark, eval_index_path, version=v)
+    )
+    epost = post.select(F.col("doc_id").alias("eval_id"), "tok").transform(
+        tracked_cache
+    )
+    sz_e = epost.groupBy("eval_id").agg(F.count("*").cast("bigint").alias("sz_eval"))
+    df_e = epost.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    we = Window.partitionBy("eval_id").orderBy("df", "tok")
+    eval_prefix = (
+        epost.join(df_e, "tok")
+        .join(sz_e, "eval_id")
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= F.col("sz_eval") - F.expr("(7 * sz_eval + 9) div 10") + 1)
+        .select("eval_id", "tok", "sz_eval")
+    )
+
+    ttok = (
+        increment.select(
+            F.col("doc_id").alias("train_id"),
+            F.explode(shingle_tokenizer(F.col("text"))).alias("tok"),
+        )
+        .transform(tracked_cache)
+    )
+    sz_t = ttok.groupBy("train_id").agg(F.count("*").cast("bigint").alias("sz_train"))
+
+    cand = (
+        ttok.join(F.broadcast(eval_prefix), "tok")
+        .join(sz_t, "train_id")
+        .where(
+            (10 * F.col("sz_train") >= 7 * F.col("sz_eval"))
+            & (10 * F.col("sz_eval") >= 7 * F.col("sz_train"))
+        )
+        .select("train_id", "eval_id", "sz_train", "sz_eval")
+        .distinct()
+    )
+    inter = (
+        cand.join(ttok, "train_id")
+        .join(
+            F.broadcast(epost),
+            ["eval_id", "tok"],
+        )
+        .groupBy("train_id", "eval_id", "sz_train", "sz_eval")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    union_sz = F.col("sz_train") + F.col("sz_eval") - F.col("n_common")
+    hit = inter.where(10 * F.col("n_common") >= 7 * union_sz).withColumn(
+        "jac_ppm",
+        F.round(F.lit(1_000_000.0) * F.col("n_common") / union_sz).cast("bigint"),
+    )
+    best = Window.partitionBy("train_id").orderBy(
+        F.col("jac_ppm").desc(), F.col("eval_id")
+    )
+    return (
+        hit.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .select("train_id", "eval_id", "n_common", "sz_train", "sz_eval", "jac_ppm")
+    )
+
+
+#: Previous invocation's eval-index state dir per sf_dir (same teardown
+#: contract as the ivm/planner state dirs).
+_DECONTAM_STATE: dict[str, str] = {}
+
+
+def _decontam_eval_index(spark: SparkSession, sf_dir: str) -> str:
+    """Commit the eval split (doc_id % 7 == 0) as a versioned table and
+    build/refresh its shingle-tokenized inverted index; returns the index
+    path. Per-invocation fresh state (the full episode is the honest cost
+    of a first build; steady-state refreshes are the flat-cost path the
+    scaling experiment measures)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from aws_flight_data_pipeline_spark.sources import invindex as ix
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    old = _DECONTAM_STATE.pop(sf_dir, None)
+    if old is not None:
+        _shutil.rmtree(old, ignore_errors=True)
+    root = _tempfile.mkdtemp(prefix="afdp-decontam-")
+    _DECONTAM_STATE[sf_dir] = root
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+    dpath, ipath = f"{root}/eval_docs", f"{root}/eval_index"
+    vt.commit(ev.repartition(2), dpath, stats_cols=("doc_id",))
+    ix.refresh_index(spark, dpath, ipath, tokenizer=shingle_tokenizer)
+    return ipath
+
+
+_SHINGLE_SQL = """list_filter(list_distinct(list_transform(
+        range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+        i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+    )), x -> x <> '')"""
+
+
+@builder(
+    "decontam_incremental_probe",
+    tags=("curation", "decontamination", "incremental", "index", "scale"),
+    doc="Steady-state decontamination: a NEW training increment (the "
+    "natural doc_id % 7 == 3 batch plus PLANTED leaks — every third eval "
+    "doc re-entering under a shifted id, guaranteeing exact-duplicate "
+    "hits) probed against the eval split's shingle-tokenized inverted "
+    "index (invindex with a pluggable tokenizer; tombstones, O(churn) "
+    "refresh and atomic manifests all inherited). One-sided eval-prefix "
+    "candidates + broadcast verify make the probe O(increment + eval), "
+    "flat in accumulated-corpus size — decontam_fuzzy_pairs re-derives "
+    "the full union-corpus state per run. The oracle is the EXACT "
+    "unfiltered R-S join between the same increment and eval split, so "
+    "parity proves the prefix filter drops nothing.",
+    oracle=f"""
+        WITH ev AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        ), inc AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM ev WHERE doc_id % 3 = 0
+        ), etok AS (
+            SELECT doc_id AS eval_id, UNNEST({_SHINGLE_SQL}) AS tok FROM ev
+        ), ttok AS (
+            SELECT doc_id AS train_id, UNNEST({_SHINGLE_SQL}) AS tok FROM inc
+        ), se AS (
+            SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS sz_eval
+            FROM etok GROUP BY eval_id
+        ), st AS (
+            SELECT train_id, CAST(COUNT(*) AS BIGINT) AS sz_train
+            FROM ttok GROUP BY train_id
+        ), inter AS (
+            SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM ttok JOIN etok USING (tok)
+            GROUP BY 1, 2
+        ), hit AS (
+            SELECT train_id, eval_id, n_common, sz_train, sz_eval,
+                   CAST(ROUND(1000000.0 * n_common
+                              / (sz_train + sz_eval - n_common)) AS BIGINT)
+                       AS jac_ppm
+            FROM inter JOIN st USING (train_id) JOIN se USING (eval_id)
+            WHERE 10 * n_common >= 7 * (sz_train + sz_eval - n_common)
+        )
+        SELECT train_id, eval_id, n_common, sz_train, sz_eval, jac_ppm
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY train_id
+                                         ORDER BY jac_ppm DESC, eval_id) AS rk
+            FROM hit
+        ) WHERE rk = 1
+        ORDER BY train_id
+    """,
+)
+def decontam_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ipath = _decontam_eval_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
+    planted = (
+        d.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 3 == 0))
+        .select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    )
+    increment = d.where(F.col("doc_id") % 7 == 3).unionByName(planted)
+    return decontam_increment(spark, ipath, increment).orderBy("train_id")
+
+
 _BPE_APPLY_MERGES = 6
 
 

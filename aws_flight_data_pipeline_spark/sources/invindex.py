@@ -57,19 +57,27 @@ _REFRESH_PARTITIONS = 2
 _INITIAL_PARTITIONS = 4
 
 
-def _postings(docs: DataFrame, gen: int) -> DataFrame:
+def _postings(docs: DataFrame, gen: int, tokenizer=None) -> DataFrame:
     """(tok, doc_id, tf, dl, gen) rows for every document in ``docs`` — one
     explode + one aggregate; dl rides the grouping so no second pass.
     ``gen`` is the documents-table version these postings reflect: a
     tombstone written at cursor C masks only postings with ``gen <= C``,
     so an update (delete+insert of the same doc in one refresh) keeps its
     NEW postings visible — the Lucene per-segment-deletes idea carried as
-    one integer column."""
+    one integer column.
+
+    ``tokenizer`` (Column -> array Column) defaults to word tokens; the
+    decontamination tier passes a shingle tokenizer so the SAME index
+    machinery (tombstones, O(churn) refresh, atomic manifests) serves
+    set-similarity probes — dl stays the word count either way (a
+    corpus-level stat; per-doc SET size is derivable from the postings
+    themselves when the tokenizer emits distinct tokens)."""
+    tok_fn = tokens if tokenizer is None else tokenizer
     return (
         docs.select(
             "doc_id",
             word_count(F.col("text")).alias("dl"),
-            F.explode(tokens(F.col("text"))).alias("tok"),
+            F.explode(tok_fn(F.col("text"))).alias("tok"),
         )
         .groupBy("tok", "doc_id", "dl")
         .agg(F.count("*").cast("bigint").alias("tf"))
@@ -98,7 +106,9 @@ def index_state(index_path: str) -> dict | None:
     return None
 
 
-def refresh_index(spark: SparkSession, docs_path: str, index_path: str) -> dict:
+def refresh_index(
+    spark: SparkSession, docs_path: str, index_path: str, tokenizer=None
+) -> dict:
     """Bring the postings table up to the documents table's head; returns
     ``{refreshed, from_version, to_version, postings_added, docs_removed}``.
 
@@ -115,7 +125,9 @@ def refresh_index(spark: SparkSession, docs_path: str, index_path: str) -> dict:
 
     if state is None:
         docs = read(spark, docs_path, version=head)
-        post = _postings(docs, int(head)).repartitionByRange(_INITIAL_PARTITIONS, "tok")
+        post = _postings(docs, int(head), tokenizer).repartitionByRange(
+            _INITIAL_PARTITIONS, "tok"
+        )
         stats = docs.agg(
             F.count("*").alias("n"), F.sum(word_count(F.col("text"))).alias("s")
         ).first()
@@ -182,7 +194,9 @@ def refresh_index(spark: SparkSession, docs_path: str, index_path: str) -> dict:
         if int(agg["n_ins"] or 0) > 0:
             txn_p = f"{base}-post"
             ins = changes.where(F.col("_change_type") == "insert")
-            post = _postings(ins, int(head)).repartitionByRange(_REFRESH_PARTITIONS, "tok")
+            post = _postings(ins, int(head), tokenizer).repartitionByRange(
+                _REFRESH_PARTITIONS, "tok"
+            )
             post.write.mode("error").option("compression", "snappy").parquet(
                 os.path.join(_data_dir(index_path), txn_p)
             )

@@ -214,6 +214,9 @@ HEADLINE = (
     # round 9: BPE apply at realistic tokenizer depth (64 merges; proves
     # the per-round zero-shuffle fold holds at depth)
     "bpe_apply_encode_deep64",
+    # round 9: steady-state decontamination — a new training increment
+    # probed against the eval split's shingle-tokenized inverted index
+    "decontam_incremental_probe",
 )
 
 

@@ -273,6 +273,93 @@ def measure_index_refresh() -> dict:
     }
 
 
+def measure_decontam_refresh() -> dict:
+    """O(churn) + O(increment) evidence for the incremental-decontamination
+    tier: the eval split's SHINGLE-tokenized inverted index is built over
+    eval splits 1x / 10x / 100x, then (a) a fixed 200-doc eval churn is
+    appended and refreshed — the refresh must stay ~flat (it tokenizes only
+    the churn), and (b) a FIXED 500-doc training increment is probed via
+    ``decontam_increment`` — the probe never touches the accumulated
+    training corpus at all (that is the whole point vs the pairwise
+    ``decontam_fuzzy_pairs``, whose large-scale curve in this same sidecar
+    grows with the corpus). Bars: refresh x100/x1 <= 2; probe growth is
+    reported (it scans the eval index, so it tracks EVAL size — fixed in
+    practice — never training-corpus size)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_flight_data_pipeline_spark.plans.curation_queries import (
+        decontam_increment,
+        shingle_tokenizer,
+    )
+    from aws_flight_data_pipeline_spark.sources import invindex
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    _ensure_loaded()
+    spark = get_spark("afdp-spark-bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    churn = (
+        base_docs.select("doc_id", "text")
+        .limit(200)
+        .select((F.col("doc_id") + F.lit(910_000_000)).alias("doc_id"), "text")
+    )
+    increment = (
+        base_docs.select("doc_id", "text")
+        .limit(500)
+        .select((F.col("doc_id") + F.lit(920_000_000)).alias("doc_id"), "text")
+    )
+
+    build_secs: dict[str, float] = {}
+    refresh_secs: dict[str, float] = {}
+    probe_secs: dict[str, float] = {}
+    for mult in MULTS:
+        sf_dir = _ensure_scaled_corpus(spark, mult)
+        ev = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") % 7 == 0)
+            .select("doc_id", "text")
+        )
+        best_build = best_refresh = best_probe = math.inf
+        for _ in range(LARGE_RUNS):
+            root = tempfile.mkdtemp(prefix="afdp-decontam-scale-")
+            dpath, ipath = f"{root}/eval", f"{root}/index"
+            vt.commit(ev.repartition(8), dpath, stats_cols=("doc_id",))
+            t0 = time.perf_counter()
+            invindex.refresh_index(spark, dpath, ipath, tokenizer=shingle_tokenizer)
+            best_build = min(best_build, time.perf_counter() - t0)
+            vt.commit(churn, dpath, mode="append", stats_cols=("doc_id",))
+            t0 = time.perf_counter()
+            invindex.refresh_index(spark, dpath, ipath, tokenizer=shingle_tokenizer)
+            best_refresh = min(best_refresh, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            decontam_increment(spark, ipath, increment).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best_probe = min(best_probe, time.perf_counter() - t0)
+            release_tracked()
+            shutil.rmtree(root, ignore_errors=True)
+        build_secs[f"x{mult}"] = round(best_build, 3)
+        refresh_secs[f"x{mult}"] = round(best_refresh, 3)
+        probe_secs[f"x{mult}"] = round(best_probe, 3)
+    return {
+        "eval_index_build_seconds_by_mult": build_secs,
+        "fixed_churn_refresh_seconds_by_mult": refresh_secs,
+        "fixed_increment_probe_seconds_by_mult": probe_secs,
+        "refresh_x100_over_x1": round(
+            refresh_secs[f"x{MULTS[2]}"] / max(refresh_secs[f"x{MULTS[0]}"], 1e-9), 3
+        ),
+        "probe_x100_over_x1": round(
+            probe_secs[f"x{MULTS[2]}"] / max(probe_secs[f"x{MULTS[0]}"], 1e-9), 3
+        ),
+        "bar": "refresh_x100_over_x1 <= 2 (O(churn)); probe tracks EVAL size "
+        "only (fixed in practice), never the accumulated training corpus — "
+        "contrast decontam_fuzzy_pairs' large_scale curve",
+    }
+
+
 def main() -> None:
     if len(sys.argv) == 3 and sys.argv[1] == "--one":
         # child mode: one query in this fresh process; last stdout line = JSON
@@ -280,6 +367,9 @@ def main() -> None:
         return
     if len(sys.argv) == 2 and sys.argv[1] == "--index-refresh":
         print(json.dumps(measure_index_refresh(), separators=(",", ":")))
+        return
+    if len(sys.argv) == 2 and sys.argv[1] == "--decontam-increment":
+        print(json.dumps(measure_decontam_refresh(), separators=(",", ":")))
         return
 
     results: dict[str, dict] = {}
@@ -303,6 +393,14 @@ def main() -> None:
     )
     index_refresh = json.loads(idx_proc.stdout.strip().splitlines()[-1])
 
+    dec_proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--decontam-increment"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    decontam_incremental = json.loads(dec_proc.stdout.strip().splitlines()[-1])
+
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prior = [
         int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
@@ -321,6 +419,7 @@ def main() -> None:
             "queries": large,
         },
         "index_refresh": index_refresh,
+        "decontam_incremental": decontam_incremental,
         "bar": "exponent_last_decade <= 1.2 (linear-ish); raw is a conservative bound",
     }
     with open(
