@@ -1909,3 +1909,230 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS not_in_rows
         """
     )
+
+
+@builder(
+    "promo_revenue_ratio",
+    tags=("join", "agg", "conditional", "tpch"),
+    doc="TPC-H Q14-shaped promotion-revenue ratio: lineitem x part over a "
+    "one-quarter shipdate window, the part dimension broadcast, revenue "
+    "split by p_type = 'PROMO' inside ONE aggregate (conditional sum, no "
+    "second scan). The date filter reaches the lineitem scan as a pushed "
+    "predicate and the revenue rides the cents-exact discipline "
+    "(price-cents x (100 - discount%), BIGINT end to end); the ratio is "
+    "the only float, rounded to exact ppm on both engines.",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                        CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                      ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_revenue_e4,
+               CAST(ROUND(1000000.0
+                    * SUM(CASE WHEN p_type = 'PROMO' THEN
+                            CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                          ELSE 0 END)
+                    / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))))
+                    AS BIGINT) AS promo_ppm
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_revenue_e4"),
+            F.sum(rev).cast("bigint").alias("total_revenue_e4"),
+        )
+        .select(
+            "promo_revenue_e4",
+            "total_revenue_e4",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("promo_revenue_e4")
+                / F.col("total_revenue_e4")
+            )
+            .cast("bigint")
+            .alias("promo_ppm"),
+        )
+    )
+
+
+@builder(
+    "top_supplier_revenue",
+    tags=("join", "subquery", "scalar-agg", "view", "tpch"),
+    doc="TPC-H Q15-shaped top supplier: per-supplier revenue over a "
+    "half-year shipdate window (the revenue 'view'), then the suppliers "
+    "whose revenue EQUALS the view's scalar maximum — the aggregate is "
+    "computed ONCE and reused for both the max and the final join (the "
+    "1-row max rides a broadcast crossJoin, never a recompute; Q15's "
+    "stated trap is evaluating the view twice). Supplier dim broadcast; "
+    "revenue cents-exact, divided once at the end.",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+        ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    revc = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    rev = tracked_cache(
+        li.groupBy("l_suppkey").agg(F.sum(revc).cast("bigint").alias("rev_e4"))
+    )
+    mx = rev.agg(F.max("rev_e4").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_e4") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("rev_e4") / 10000.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@builder(
+    "large_volume_customers",
+    tags=("join", "having", "semi", "tpch"),
+    doc="TPC-H Q18-shaped large-volume customers: orders whose lineitem "
+    "quantity total exceeds 170 (the IN-over-GROUP-BY-HAVING shape, "
+    "planned as ONE aggregate over the fact reused as both the filter and "
+    "the reported total — never an aggregate-then-semi-join recompute), "
+    "joined back to orders and the broadcast customer dim. Quantities are "
+    "integral doubles, cast BIGINT for exact sums on both engines.",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 170
+        )
+        SELECT c_custkey, o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+               sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_orderkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"))
+        .where(F.col("sum_qty") > 170)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+            "sum_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@builder(
+    "disjunctive_band_revenue",
+    tags=("join", "predicate-pushdown", "disjunction", "tpch"),
+    doc="TPC-H Q19-shaped disjunctive-band revenue: an OR of three "
+    "(brand, size-band, quantity-band) conjunctions across lineitem x "
+    "broadcast part. The shape exists to keep a multi-clause disjunction "
+    "INSIDE one scan+join — the anti-pattern is a 3-way union of "
+    "per-clause scans (three fact passes at 100 TB); the common "
+    "sub-predicates (partkey join, per-side column pruning) are shared "
+    "and each clause's part-side conjuncts still prune the broadcast "
+    "build. Revenue cents-exact; one aggregate row.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(clause)
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            (F.sum(rev).cast("bigint") / 10000.0).alias("revenue"),
+        )
+    )

@@ -217,6 +217,12 @@ HEADLINE = (
     # round 9: steady-state decontamination — a new training increment
     # probed against the eval split's shingle-tokenized inverted index
     "decontam_incremental_probe",
+    # round 9: TPC-H shape completion (Q14 conditional-ratio join, Q15
+    # scalar-max-of-view, Q18 IN-over-HAVING, Q19 disjunctive bands)
+    "promo_revenue_ratio",
+    "top_supplier_revenue",
+    "large_volume_customers",
+    "disjunctive_band_revenue",
 )
 
 
