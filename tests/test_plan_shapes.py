@@ -495,3 +495,38 @@ def test_pmi_totals_broadcast_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the top-k cut is a TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_shape_block_plans(spark, sf_dir):
+    # Q14: one lineitem scan, date window pushed, part broadcast
+    plan = _plan(spark, sf_dir, "promo_revenue_ratio")
+    # formatted explain lists each scan twice (tree + details): 2 scans -> 4
+    assert plan.count("Scan parquet") == 4  # lineitem + part, once each
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # Q18: the big-order aggregate is ONE hashpartitioning(l_orderkey)
+    # shuffle reused as filter and reported total — no second fact pass
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    assert plan.count("Scan parquet") == 6  # lineitem, orders, customer
+    assert len(re.findall(r"hashpartitioning\(l_orderkey", plan)) >= 1
+
+    # Q19: the disjunction stays inside one scan+join (no 3-way union)
+    plan = _plan(spark, sf_dir, "disjunctive_band_revenue")
+    assert plan.count("Scan parquet") == 4
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_top_supplier_view_not_recomputed(spark, sf_dir):
+    # Q15's trap: evaluating the revenue view twice (once for MAX, once for
+    # the join). The cached view means the EXECUTED plan reuses it — pinned
+    # as at most one lineitem scan in the final plan (the max side reads
+    # the InMemoryRelation, not the parquet again).
+    df = resolve("top_supplier_revenue")(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 1
+    from aws_flight_data_pipeline_spark.functions.caching import release_tracked
+
+    release_tracked()
