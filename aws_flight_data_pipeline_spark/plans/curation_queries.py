@@ -1229,12 +1229,29 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
     # canonical rare-first order from the UNION corpus: both splits must
-    # rank by the SAME frequency or the prefix-overlap guarantee breaks
+    # rank by the SAME frequency or the prefix-overlap guarantee breaks.
+    # EVERY frame below grows with the corpus (the eval split here is 1/7
+    # of it, NOT a fixed benchmark set). Catalyst's post-aggregate size
+    # estimates under-guess and auto-broadcast a multi-GB build side —
+    # measured OOM at the scaled corpus in the scaling sweep — so past a
+    # corpus-size bound every join carries an explicit shuffle hint. The
+    # bound comes from the SCAN-side estimate (reliable, unlike the
+    # post-aggregate ones); small corpora keep the fast auto-broadcast
+    # plan. The bounded-broadcast design point lives in decontam_increment,
+    # where the eval side is small by contract.
+    from aws_flight_data_pipeline_spark.functions.bloom import _estimated_rows
+
+    _corpus_small = _estimated_rows(d) <= 20_000
+
+    def _h(df: DataFrame) -> DataFrame:
+        return df if _corpus_small else df.hint("merge")
+
     dfreq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
-        tok.join(dfreq, "tok")
-        .join(sizes, "doc_id")
+        _h(tok)
+        .join(_h(dfreq), "tok")
+        .join(_h(sizes), "doc_id")
         .withColumn("rn", F.row_number().over(w))
     )
     # ceil(0.7*sz) in exact integers: (7*sz + 9) div 10
@@ -1249,7 +1266,7 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_id"), "tok", F.col("sz").alias("sz_eval")
     )
     cand = (
-        a.join(b, "tok")
+        a.join(_h(b), "tok")
         # length filter, exact integer form of 0.7 <= sz ratio bound
         .where(
             (10 * F.col("sz_train") >= 7 * F.col("sz_eval"))
@@ -1261,8 +1278,8 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = tok.select(F.col("doc_id").alias("train_id"), "tok")
     tb = tok.select(F.col("doc_id").alias("eval_id"), "tok")
     inter = (
-        cand.join(ta, "train_id")
-        .join(tb, ["eval_id", "tok"])
+        cand.join(_h(ta), "train_id")
+        .join(_h(tb), ["eval_id", "tok"])
         .groupBy("train_id", "eval_id", "sz_train", "sz_eval")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
@@ -1330,6 +1347,19 @@ def decontam_increment(
     epost = post.select(F.col("doc_id").alias("eval_id"), "tok").transform(
         tracked_cache
     )
+
+    # stats-driven build-side decision (the planner's footer-count rule):
+    # eval benchmark sets are bounded by contract, so the broadcast probe
+    # is the design point — but the decision is MEASURED, not assumed.
+    # An eval index that outgrew the bound (posting rows from parquet
+    # footers, no scan) falls back to shuffle joins instead of OOMing the
+    # broadcast build.
+    from aws_flight_data_pipeline_spark.sources.table_stats import row_count
+
+    _eval_is_small = row_count(eval_index_path) <= 2_000_000
+
+    def _build_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _eval_is_small else df.hint("merge")
     sz_e = epost.groupBy("eval_id").agg(F.count("*").cast("bigint").alias("sz_eval"))
     df_e = epost.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     we = Window.partitionBy("eval_id").orderBy("df", "tok")
@@ -1351,7 +1381,7 @@ def decontam_increment(
     sz_t = ttok.groupBy("train_id").agg(F.count("*").cast("bigint").alias("sz_train"))
 
     cand = (
-        ttok.join(F.broadcast(eval_prefix), "tok")
+        ttok.join(_build_side(eval_prefix), "tok")
         .join(sz_t, "train_id")
         .where(
             (10 * F.col("sz_train") >= 7 * F.col("sz_eval"))
@@ -1363,7 +1393,7 @@ def decontam_increment(
     inter = (
         cand.join(ttok, "train_id")
         .join(
-            F.broadcast(epost),
+            _build_side(epost),
             ["eval_id", "tok"],
         )
         .groupBy("train_id", "eval_id", "sz_train", "sz_eval")

@@ -361,3 +361,86 @@ def inverted_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return invindex.bm25_topk_from_index(
         spark, ipath, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
     ).select("doc_id", F.col("n_terms").cast("bigint").alias("n_terms"), "score_e6")
+
+
+@builder(
+    "index_single_refresh",
+    tags=("retrieval", "index", "ivm", "versioned", "scale"),
+    doc="The steady-state inverted-index operation at its own grain (the "
+    "6-step lifecycle episode above stays the demo): ONE append against a "
+    "pre-built index, ONE change-feed refresh (tokenizes only the "
+    "appended docs), then BM25 top-k answered from the index. Final "
+    "state is the full documents table, so the oracle is the wholesale "
+    "BM25 recompute over all documents — parity proves the single "
+    "increment converges to the rescan.",
+    oracle=f"""
+        WITH stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM({_WORD_COUNT_SQL}) AS BIGINT) / (1.0 * COUNT(*)) AS avgdl
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok IN ({_TERMS_SQL})
+            GROUP BY doc_id, tok
+        ), df AS (
+            SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), dl AS (
+            SELECT doc_id, {_WORD_COUNT_SQL} AS dl FROM documents
+        ), scored AS (
+            SELECT t.doc_id,
+                   COUNT(*) AS n_terms,
+                   CAST(ROUND(SUM(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (t.tf * ({BM25_K1} + 1.0))
+                       / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+                   ) * 1e6) AS BIGINT) AS score_e6
+            FROM tf t
+            JOIN df f ON t.tok = f.tok
+            JOIN dl d ON t.doc_id = d.doc_id
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_terms, score_e6
+        FROM scored
+        ORDER BY score_e6 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+)
+def index_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from aws_flight_data_pipeline_spark.sources import invindex
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    key = f"{sf_dir}#single"
+    old = _INDEX_DIRS.pop(key, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="afdp-invidx-single-")
+    _INDEX_DIRS[key] = root
+    dpath, ipath = f"{root}/docs", f"{root}/index"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # pre-built base: everything except the increment
+    vt.commit(
+        docs.where(F.col("doc_id") % 6 != 3).repartitionByRange(4, "doc_id"),
+        dpath,
+        stats_cols=("doc_id",),
+    )
+    invindex.refresh_index(spark, dpath, ipath)
+
+    # THE measured operation: one append + one O(churn) refresh
+    vt.commit(
+        docs.where(F.col("doc_id") % 6 == 3).repartitionByRange(2, "doc_id"),
+        dpath,
+        mode="append",
+        stats_cols=("doc_id",),
+    )
+    invindex.refresh_index(spark, dpath, ipath)
+
+    return invindex.bm25_topk_from_index(
+        spark, ipath, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    ).select("doc_id", F.col("n_terms").cast("bigint").alias("n_terms"), "score_e6")

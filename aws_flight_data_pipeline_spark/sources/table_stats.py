@@ -221,6 +221,7 @@ def plan_join_tree(
     edges: list[tuple[str, str, str, str]],
     broadcast_threshold_rows: int = 1_000_000,
     ensure_analyzed: bool = True,
+    filters: dict[str, dict] | None = None,
 ):
     """Cost-based LEFT-DEEP ordering + per-edge strategy for a 3+ table
     equi-join over versioned tables, driven entirely by the ANALYZE tier:
@@ -247,6 +248,15 @@ def plan_join_tree(
     contract); otherwise an unsketched key falls back to the table's row
     count (assume-unique — conservative for dimension keys).
 
+    ``filters``: per-table range/equality predicates ``{table: {col:
+    (lo, hi)}}`` — the optimization guide's FILTER-BEFORE-JOIN rule made a
+    planner input: each filtered table is read stats-scoped
+    (``versioned.read(where=...)`` — manifest file skipping + the row
+    filter), and its row count for ordering/broadcast decisions is the
+    FOOTER count of only the surviving files (an upper bound: a kept file
+    may still hold non-matching rows — conservative, so a filter can only
+    demote a table toward broadcast when its pruned size provably allows).
+
     Returns ``(df, facts)``: the joined DataFrame and a plan-facts dict
     (the monitor's evidence format) with the chosen order, per-step
     cardinality estimates, and per-edge strategies.
@@ -260,7 +270,22 @@ def plan_join_tree(
         keys_by_table[a].add(ka)
         keys_by_table[b].add(kb)
 
-    n: dict[str, int] = {t: row_count(p) for t, p in tables.items()}
+    filters = filters or {}
+
+    def _pruned_rows(t: str) -> int:
+        where = filters.get(t)
+        if not where:
+            return row_count(tables[t])
+        import pyarrow.parquet as pq
+
+        path = tables[t]
+        v = versioned.latest_version(path)
+        kept, _ = versioned.plan_files(path, v, where)
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in kept
+        )
+
+    n: dict[str, int] = {t: _pruned_rows(t) for t in tables}
     ndv: dict[str, dict[str, int]] = {}
     for t, p in tables.items():
         cols = tuple(sorted(keys_by_table[t]))
@@ -270,19 +295,21 @@ def plan_join_tree(
         if ensure_analyzed:
             analyze(spark, p, cols)
         st = column_stats(p, cols)
-        # assume-unique fallback for unsketched keys; cap at row count
-        # (an HLL overestimate above n is physically impossible)
+        # assume-unique fallback for unsketched keys; cap at the (possibly
+        # filter-pruned) row count — an NDV above the rows that survive
+        # pruning is impossible among the surviving rows, and capping
+        # tightens the join estimate exactly when a filter made the
+        # table's key set smaller
         ndv[t] = {
             c: min(n[t], st[c]["ndv"]) if st[c]["ndv"] else n[t] for c in cols
         }
 
     fact = max(n, key=lambda t: (n[t], t))
     joined = {fact}
-    df = versioned.read(spark, tables[fact])
+    df = versioned.read(spark, tables[fact], where=filters.get(fact))
     cur = n[fact]
     steps: list[dict] = []
     remaining = list(edges)
-    post_filters: list[tuple[str, str]] = []
 
     while remaining:
         candidates = []
@@ -324,7 +351,7 @@ def plan_join_tree(
             steps.append({"edge": e, "strategy": "filter", "est_rows_out": cur})
             continue
         t, tk, jk = pick
-        right = versioned.read(spark, tables[t])
+        right = versioned.read(spark, tables[t], where=filters.get(t))
         bcast = n[t] <= broadcast_threshold_rows
         right_in = F.broadcast(right) if bcast else right
         df = df.join(right_in, on=F.col(jk) == F.col(tk), how="inner")

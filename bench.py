@@ -223,6 +223,9 @@ HEADLINE = (
     "top_supplier_revenue",
     "large_volume_customers",
     "disjunctive_band_revenue",
+    # round 9: steady-state inverted-index grain (one append + one
+    # change-feed refresh + index-answered BM25; episode stays above)
+    "index_single_refresh",
 )
 
 

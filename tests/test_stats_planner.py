@@ -167,3 +167,56 @@ def test_join_tree_rejects_disconnected_graph(spark, tmp_path):
             {"orders": op, "cust": cp, "nation": np_},
             [("orders", "o_custkey", "cust", "c_custkey")],
         )
+
+
+def test_filter_aware_rows_flip_broadcast_decision(spark, tmp_path):
+    # filter-before-join as a PLANNER input: orders is committed
+    # range-clustered on o_orderkey with footer stats, so a narrow key
+    # range prunes to ~1/4 of its files; the planner's row estimate for
+    # the filtered table is the surviving files' footer count, which
+    # drops it under the broadcast threshold a full-table count exceeds
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    lp, op = str(tmp_path / "li"), str(tmp_path / "orders")
+    vt.commit(li.repartition(2), lp)
+    vt.commit(
+        orders.repartitionByRange(4, "o_orderkey"), op, stats_cols=("o_orderkey",)
+    )
+    n_orders = ts.row_count(op)
+    hi = 300  # a narrow head range: prunes to the first range file
+    tables = {"lineitem": lp, "orders": op}
+    edges = [("lineitem", "l_orderkey", "orders", "o_orderkey")]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # unfiltered: orders (1500 rows) exceeds the 500-row threshold -> SMJ
+        df_full, facts_full = ts.plan_join_tree(
+            spark, tables, edges, broadcast_threshold_rows=500
+        )
+        assert facts_full["row_counts"]["orders"] == n_orders
+        assert "SortMergeJoin" in _plan(df_full)
+
+        # filtered: the pruned footer count enables the broadcast
+        df_f, facts_f = ts.plan_join_tree(
+            spark,
+            tables,
+            edges,
+            broadcast_threshold_rows=500,
+            filters={"orders": {"o_orderkey": (1, hi)}},
+        )
+        assert facts_f["row_counts"]["orders"] < n_orders
+        assert facts_f["row_counts"]["orders"] <= 500
+        plan = _plan(df_f)
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+        # and the result equals the hand-filtered plain join
+        want = li.join(
+            orders.where(F.col("o_orderkey").between(1, hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert sorted(map(tuple, df_f.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
