@@ -309,3 +309,97 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_a", "asset_b")
     )
+
+
+@builder(
+    "multimodal_phash_neardup_wide",
+    tags=("multimodal", "phash", "lsh", "neardup", "scale"),
+    doc="The 60-bit pHash tier's PRODUCTION-SELECTIVITY twin: the scaling "
+    "sweep measured the 60-bit banded self-join super-linear at the 100x "
+    "corpus — exact pigeonhole banding at relative threshold 11/60 forces "
+    "5-bit bands, whose 32-value key space makes bucket sizes grow with "
+    "the corpus. This variant keeps the SAME absolute near-dup contract "
+    "(hamming <= 11, pigeonhole-complete over 12 disjoint bands) on a "
+    "240-bit blockwise hash packed as 12 x 20-bit band values: relative "
+    "threshold 0.046 (where real resize/re-encode near-dups live), "
+    "1M-value band buckets that stay O(1) as the corpus grows, hamming "
+    "as one zip_with xor bit_count fold. Oracle = the all-pairs scan, so "
+    "parity again proves the banded candidates are complete.",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id, (i - 1) * 240 // len(text) AS blk,
+                   ascii(substr(text, i, 1)) AS v
+            FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i)
+        ), blocks AS (
+            SELECT doc_id, blk, SUM(v) AS s, COUNT(*) AS c
+            FROM chars GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, SUM(s) AS ts, SUM(c) AS tc FROM blocks GROUP BY 1
+        ), bandvals AS (
+            SELECT b.doc_id, {_MODALITY_SQL.replace("doc_id", "b.doc_id")} AS modality,
+                   b.blk // 20 AS band,
+                   CAST(SUM(CASE WHEN b.s * t.tc > t.ts * b.c
+                                 THEN CAST(1 AS BIGINT) << (b.blk % 20)
+                                 ELSE 0 END) AS BIGINT) AS bval
+            FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1, 2, 3
+        ), pairham AS (
+            SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, a.modality,
+                   CAST(SUM(bit_count(xor(a.bval, b.bval))) AS BIGINT) AS hamming
+            FROM bandvals a JOIN bandvals b
+              ON a.band = b.band AND a.modality = b.modality
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT asset_a, asset_b, modality, hamming
+        FROM pairham WHERE hamming <= 11
+        ORDER BY asset_a, asset_b
+    """,
+)
+def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
+    from aws_flight_data_pipeline_spark.operators.multimodal import (
+        PHASH_WIDE_BANDS,
+        phash_wide_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    hashes = phash_wide_assets(attach_payloads(docs)).transform(tracked_cache)
+    bands = hashes.select(
+        "asset_id",
+        "modality",
+        "bands",
+        F.posexplode("bands").alias("band", "bval"),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("asset_a"),
+        "modality",
+        F.col("bands").alias("bs_a"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("asset_b"),
+        "modality",
+        F.col("bands").alias("bs_b"),
+        "band",
+        "bval",
+    )
+    cand = (
+        a.join(b, ["modality", "band", "bval"])
+        .where(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "modality", "bs_a", "bs_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("bs_a"), F.col("bs_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= 11)
+        .select("asset_a", "asset_b", "modality", "hamming")
+        .orderBy("asset_a", "asset_b")
+    )

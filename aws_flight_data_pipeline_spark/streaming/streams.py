@@ -1245,3 +1245,73 @@ def prune_state_versions(state_path: str, keep_last: int = 8) -> dict:
     for v in drop:
         shutil.rmtree(os.path.join(state_path, v))
     return {"versions_dropped": len(drop), "versions_kept": len(versions) - len(drop)}
+
+
+def streaming_decontam_gate(
+    docs: DataFrame,
+    eval_index_path: str,
+    corpus_path: str,
+    decisions_path: str,
+    checkpoint_path: str,
+    trigger: dict | None = None,
+):
+    """Streaming DECONTAMINATION gate: every micro-batch of candidate
+    training documents is probed against the eval split's shingle-
+    tokenized inverted index (``plans.curation_queries.decontam_increment``
+    — O(batch + eval), the accumulated corpus is never read); clean docs
+    append to the versioned corpus table, contaminated docs are rejected
+    with ATTRIBUTION (which eval doc leaked, at what exact-ppm Jaccard)
+    in a decisions table. The gate composes three existing tiers — the
+    pluggable-tokenizer inverted index, the lossless one-sided prefix
+    probe, and the batch-stamped exactly-once sink — into the admission
+    flow a training pipeline actually runs at ingest time.
+
+    Statelessness contract: the eval index is FROZEN for the stream's
+    lifetime (benchmark sets change by out-of-band ``refresh_index``
+    calls, including tombstoned retirements), so each document's decision
+    is independent of micro-batch boundaries — stream == batch exactly,
+    pinned in tests. Exactly-once: both tables take batch-stamped commits
+    (``commit_stream_batch``); a crash between the two replays the batch,
+    the decisions commit is skipped as a duplicate, and the corpus commit
+    lands — decisions are deterministic, so the replay writes the same
+    admitted set.
+    """
+    from aws_flight_data_pipeline_spark.plans.curation_queries import (
+        decontam_increment,
+    )
+    from aws_flight_data_pipeline_spark.sources.versioned import (
+        commit_stream_batch,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hits = decontam_increment(
+            spark, eval_index_path, batch_df.select("doc_id", "text")
+        ).select(
+            F.col("train_id").alias("doc_id"),
+            F.col("eval_id").alias("contaminating_eval_id"),
+            "jac_ppm",
+        )
+        decisions = (
+            batch_df.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("contaminating_eval_id").isNull().alias("admitted"),
+                "contaminating_eval_id",
+                "jac_ppm",
+            )
+        )
+        commit_stream_batch(decisions, batch_id, decisions_path)
+        clean = batch_df.join(
+            hits.select("doc_id"), "doc_id", "left_anti"
+        )
+        commit_stream_batch(clean, batch_id, corpus_path)
+
+    writer = docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()

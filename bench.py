@@ -226,6 +226,9 @@ HEADLINE = (
     # round 9: steady-state inverted-index grain (one append + one
     # change-feed refresh + index-answered BM25; episode stays above)
     "index_single_refresh",
+    # round 9: wide (240-bit, 20-bit-band) pHash near-dup — the
+    # production-selectivity twin the 100x sweep finding demanded
+    "multimodal_phash_neardup_wide",
 )
 
 

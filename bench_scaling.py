@@ -77,6 +77,10 @@ HEAVY = (
     "dedup_substring_spans",
     "decontam_fuzzy_pairs",
     "multimodal_phash_neardup",
+    # the 60-bit pHash banding measured SUPER-linear at x100 (5-bit bands
+    # = 32-value buckets that grow with the corpus — see the operator
+    # docstrings); this is the 240-bit/20-bit-band fix, measured alongside
+    "multimodal_phash_neardup_wide",
 )
 SFS = (0.001, 0.01, 0.1)
 RUNS = 3
@@ -85,17 +89,35 @@ LARGE_RUNS = 2
 _SCALE_DIR = "/tmp/afdp_scale"
 
 
+_MARK_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
+
+
+def _copy_marker(k: int) -> str:
+    """Two-char copy marker with a WIDE byte spread (0x30-0x7a), unique for
+    k < 62^2."""
+    return _MARK_ALPHABET[k % 62] + _MARK_ALPHABET[(k // 62) % 62]
+
+
 def _ensure_scaled_corpus(spark, mult: int) -> str:
     """sf_dir holding a documents table ``mult`` x the sf0.1 one. Copy k
     offsets doc_ids by k*10M and suffixes every token (last excepted) with
-    the copy number, so copies never collide in shingle space and the
-    per-copy duplicate structure matches the base corpus exactly."""
+    a copy marker, so copies never collide in SHINGLE space — and the
+    marker's byte value varies widely with k so copies never collide in
+    BYTE space either (the first sweep suffixed digits, which left copies
+    byte-level near-identical: every doc formed a ``mult``-way pHash
+    near-dup cluster, and the pair-grain operator's OUTPUT — quadratic in
+    cluster size by definition — measured as a fake super-linear exponent;
+    a real corpus's duplicate-cluster size does not grow with corpus
+    size). Per-copy duplicate structure matches the base corpus exactly
+    under both feature families."""
     base = "/root/testdata/sf0.1"
     if mult == 1:
         return base
     from pyspark.sql import functions as F
 
-    out = os.path.join(_SCALE_DIR, f"x{mult}")
+    out = os.path.join(_SCALE_DIR, f"x{mult}-v2")
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         docs = spark.read.parquet(f"{base}/documents.parquet")
@@ -104,7 +126,7 @@ def _ensure_scaled_corpus(spark, mult: int) -> str:
             text = (
                 F.col("text")
                 if k == 0
-                else F.regexp_replace("text", " ", f"{k} ")
+                else F.regexp_replace("text", " ", f"{_copy_marker(k)} ")
             )
             copies.append(
                 docs.select(

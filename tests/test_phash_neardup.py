@@ -56,3 +56,51 @@ def test_boundary_pigeonhole_and_modality(spark, tmp_path):
     # absence assertions the dict equality implies, stated for the reader:
     assert (0, 6) not in got     # hamming 12: one past the threshold
     assert (0, 1) not in got     # identical hash but different modality
+
+
+def _pattern240(z_positions: set[int]) -> str:
+    return "".join("z" if i in z_positions else "a" for i in range(240))
+
+
+BASE240 = set(range(0, 120))
+# flips spread across MANY bands (positions 0,20,40,... hit distinct 20-bit
+# bands), so the boundary exercises the cross-band hamming fold
+FLIP11_240 = (BASE240 - {0, 20, 40, 60, 80}) | {120, 140, 160, 180, 200, 220}
+FLIP12_240 = (BASE240 - {0, 20, 40, 60, 80, 100}) | {120, 140, 160, 180, 200, 220}
+
+
+def test_wide_boundary_and_band_selectivity(spark, tmp_path):
+    from aws_flight_data_pipeline_spark.plans.multimodal_queries import (
+        multimodal_phash_neardup_wide,
+    )
+
+    assert len(BASE240 ^ FLIP11_240) == 11 and len(BASE240 ^ FLIP12_240) == 12
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    docs = [
+        (0, _pattern240(BASE240)),
+        (3, _pattern240(FLIP11_240)),  # hamming 11 across 11 bands -> kept
+        (6, _pattern240(FLIP12_240)),  # hamming 12 across 12 bands -> rejected
+        (9, _pattern240(BASE240)),     # exact duplicate
+        (1, _pattern240(BASE240)),     # other modality, same hash -> never paired
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    got = {
+        (r["asset_a"], r["asset_b"]): (r["modality"], r["hamming"])
+        for r in multimodal_phash_neardup_wide(spark, sf).collect()
+    }
+    assert got == {
+        (0, 3): ("image", 11),
+        (0, 9): ("image", 0),
+        (3, 9): ("image", 11),
+        (3, 6): ("image", 1),
+    }
+    assert (0, 6) not in got  # hamming 12: every band differs -> and correctly
+    #                            rejected even though bands DO collide
+    assert (0, 1) not in got  # modality isolation
