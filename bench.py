@@ -324,18 +324,15 @@ def main() -> None:
     # Each query records BOTH the min (the headline statistic; filters
     # episodic host stalls) and every raw run, so the min-of-two filter can
     # never mask a regression trend: round-over-round diffs see the spread.
-    # The sidecar is named per round (BENCH_FULL_rNN.json, NN inferred from
-    # the driver's committed BENCH_rNN history) so past rounds stay diffable;
-    # BENCH_FULL.json remains as the "latest" pointer.
+    # The sidecar is named per round (BENCH_FULL_rNN.json) so past rounds
+    # stay diffable; BENCH_FULL.json remains as the "latest" pointer. The
+    # round number is inferred monotonically over ALL committed BENCH*_r*
+    # families (r9 fix: driver-line history alone lags when a round records
+    # nothing) and can be pinned with SPARK_GRAFT_ROUND.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    import glob as _glob
+    from aws_flight_data_pipeline_spark.functions.rounds import infer_round
 
-    prior = [
-        int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
-        for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-        if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
-    ]
-    round_no = (max(prior) + 1) if prior else 0
+    round_no = infer_round(repo_dir)
     host_meta["timestamp_end"] = time.time()
     host_meta["loadavg_end"] = list(os.getloadavg())
     host_meta["wall_seconds"] = round(

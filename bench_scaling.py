@@ -424,12 +424,9 @@ def main() -> None:
     decontam_incremental = json.loads(dec_proc.stdout.strip().splitlines()[-1])
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prior = [
-        int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
-        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-        if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
-    ]
-    round_no = (max(prior) + 1) if prior else 0
+    from aws_flight_data_pipeline_spark.functions.rounds import infer_round
+
+    round_no = infer_round(repo_dir)
     payload = {
         "metric": "heavy_pipeline_scaling",
         "sfs": list(SFS),

@@ -17,19 +17,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _latest_bench_full() -> str | None:
     """The gitignored BENCH_FULL.json when present (a local bench ran), else
-    the highest-numbered committed BENCH_FULL_r*.json — a fresh clone/CI
-    checkout has only the committed artifacts, and they satisfy the gate
-    as long as they cover the headline list."""
+    the NEWEST committed BENCH_FULL_r*.json by the run's own
+    ``host.timestamp_start`` — not the filename number, which can lag when a
+    driver round records nothing (the round-9 naming inversion put the
+    newest run on the LOWEST number and turned this gate red on a fresh
+    clone). Artifacts predating the host field sort as age 0."""
     path = os.path.join(REPO, "BENCH_FULL.json")
     if os.path.exists(path):
         return path
+
+    def run_started(p: str) -> float:
+        try:
+            with open(p) as f:
+                return float(json.load(f).get("host", {}).get("timestamp_start", 0.0))
+        except (OSError, ValueError, json.JSONDecodeError):
+            return 0.0
+
     committed = [
-        (int(m.group(1)), p)
+        p
         for p in glob.glob(os.path.join(REPO, "BENCH_FULL_r*.json"))
-        if (m := re.search(r"BENCH_FULL_r(\d+)\.json$", p))
+        if re.search(r"BENCH_FULL_r(\d+)\.json$", p)
     ]
     if committed:
-        return max(committed)[1]
+        return max(committed, key=run_started)
     return None
 
 
