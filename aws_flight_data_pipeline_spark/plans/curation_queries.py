@@ -1453,7 +1453,7 @@ _SHINGLE_SQL = """list_filter(list_distinct(list_transform(
     )), x -> x <> '')"""
 
 
-@builder(
+@query(
     "decontam_incremental_probe",
     tags=("curation", "decontamination", "incremental", "index", "scale"),
     doc="Steady-state decontamination: a NEW training increment (the "
@@ -1615,10 +1615,12 @@ def _bpe_apply(
     longs instead of string bytes — measured ~2x on the fold-dominated
     64-merge apply. The merge table is still derived and RANKED on the
     strings (so the rank order, tie-breaks included, is identical to the
-    oracled string path), then hashed; a merged pair becomes a sentinel id
-    disjoint from the hash range by construction, which keeps merged
-    tokens inert for later rounds exactly like the string form's embedded
-    space does. Output (per-source token counts) is identical."""
+    oracled string path), then hashed; a merged pair becomes a per-round
+    sentinel id near -(2^62) — xxhash64 ranges over all of int64, so the
+    separation is collision-negligible rather than disjoint by
+    construction, and it keeps merged tokens inert for later rounds
+    exactly like the string form's embedded space does. Output
+    (per-source token counts) is identical."""
     d = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "source", "text"
     )
@@ -1662,8 +1664,9 @@ def _bpe_apply(
         # fold over token IDS: ma/mb hash to long arrays (rank order
         # already fixed on the strings above); the fold's input is the
         # hashed token array. Sentinels for merged pairs sit at
-        # -(2^62) - r — outside xxhash64's practical collision reach and
-        # unique per round, so merged tokens stay inert for later rounds.
+        # r - 2^62 (i.e. -(2^62) + r, unique per round) — xxhash64 CAN
+        # emit any int64, so this is collision-negligible rather than
+        # provably disjoint; merged tokens stay inert for later rounds.
         merges = merges.select(
             F.transform("ma", lambda x: F.xxhash64(x)).alias("mah"),
             F.transform("mb", lambda x: F.xxhash64(x)).alias("mbh"),

@@ -220,7 +220,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "multimodal_phash_neardup",
     tags=("multimodal", "dedup", "phash", "lsh", "mapinpandas"),
     doc="Perceptual-hash near-duplicate detection over multimodal payloads "
@@ -267,51 +267,131 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     hashes = phash_assets(attach_payloads(docs)).transform(tracked_cache)
+    # Adversarial-skew guard (same motion as the wide tier): collapse
+    # byte-identical hashes before banding, band/join distinct hashes only,
+    # fan pair results back out through the (modality, phash) group map.
+    groups = (
+        hashes.groupBy("modality", "phash")
+        .agg(F.min("asset_id").alias("rep"))
+        .transform(tracked_cache)
+    )
     # band value = 5-bit slice i of the hash; pigeonhole: hamming <= 11
     # over 12 disjoint bands -> at least one band equal, so the candidate
     # set provably contains every qualifying pair. SQL shiftright takes a
     # column-valued shift (the python wrapper only accepts a literal).
     bands = (
-        hashes.select(
-            "asset_id",
+        groups.select(
             "modality",
             "phash",
+            "rep",
             F.explode(F.sequence(F.lit(0), F.lit(11))).alias("band"),
         )
         .withColumn("bval", F.expr("shiftright(phash, band * 5) & 31"))
-        .select("asset_id", "modality", "phash", "band", "bval")
+        .select("modality", "phash", "rep", "band", "bval")
     )
     a = bands.select(
-        F.col("asset_id").alias("asset_a"),
         "modality",
         F.col("phash").alias("ph_a"),
+        F.col("rep").alias("rep_a"),
         "band",
         "bval",
     )
     b = bands.select(
-        F.col("asset_id").alias("asset_b"),
         "modality",
         F.col("phash").alias("ph_b"),
+        F.col("rep").alias("rep_b"),
         "band",
         "bval",
     )
     cand = (
         a.join(b, ["modality", "band", "bval"])
-        .where(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b", "modality", "ph_a", "ph_b")
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("modality", "ph_a", "ph_b", "rep_a", "rep_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        cand.where(hamming <= 11)
-        .select(
-            "asset_a", "asset_b", "modality", hamming.cast("bigint").alias("hamming")
+    pairs = cand.where(hamming <= 11).withColumn(
+        "hamming", hamming.cast("bigint")
+    )
+    cross = (
+        pairs.join(
+            hashes.select(
+                F.col("asset_id").alias("id_a"),
+                "modality",
+                F.col("phash").alias("ph_a"),
+            ),
+            ["modality", "ph_a"],
         )
-        .orderBy("asset_a", "asset_b")
+        .join(
+            hashes.select(
+                F.col("asset_id").alias("id_b"),
+                "modality",
+                F.col("phash").alias("ph_b"),
+            ),
+            ["modality", "ph_b"],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("asset_a"),
+            F.greatest("id_a", "id_b").alias("asset_b"),
+            "modality",
+            "hamming",
+        )
+    )
+    within = (
+        hashes.join(
+            hashes.select(F.col("asset_id").alias("id_b"), "modality", "phash"),
+            ["modality", "phash"],
+        )
+        .where(F.col("asset_id") < F.col("id_b"))
+        .select(
+            F.col("asset_id").alias("asset_a"),
+            F.col("id_b").alias("asset_b"),
+            "modality",
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within).orderBy("asset_a", "asset_b")
+
+
+def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
+    """Banded candidate pairs at GROUP grain (pre-hamming-filter).
+
+    ``groups`` is one row per distinct (modality, bands) hash with ``rep`` =
+    min asset_id of the group. Output: one row per candidate group pair
+    sharing at least one 20-bit band value, columns (modality, bs_a, bs_b,
+    rep_a, rep_b). Exposed separately so the adversarial-skew test can
+    measure that candidate count scales with DISTINCT hashes, not assets —
+    a byte-identical asset replicated N times contributes exactly one row
+    to each bucket here regardless of N."""
+    bands = groups.select(
+        "modality",
+        "bands",
+        "rep",
+        F.posexplode("bands").alias("band", "bval"),
+    )
+    a = bands.select(
+        "modality",
+        F.col("bands").alias("bs_a"),
+        F.col("rep").alias("rep_a"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        "modality",
+        F.col("bands").alias("bs_b"),
+        F.col("rep").alias("rep_b"),
+        "band",
+        "bval",
+    )
+    return (
+        a.join(b, ["modality", "band", "bval"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("modality", "bs_a", "bs_b", "rep_a", "rep_b")
+        .distinct()
     )
 
 
-@builder(
+@query(
     "multimodal_phash_neardup_wide",
     tags=("multimodal", "phash", "lsh", "neardup", "scale"),
     doc="The 60-bit pHash tier's PRODUCTION-SELECTIVITY twin: the scaling "
@@ -323,8 +403,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "240-bit blockwise hash packed as 12 x 20-bit band values: relative "
     "threshold 0.046 (where real resize/re-encode near-dups live), "
     "1M-value band buckets that stay O(1) as the corpus grows, hamming "
-    "as one zip_with xor bit_count fold. Oracle = the all-pairs scan, so "
-    "parity again proves the banded candidates are complete.",
+    "as one zip_with xor bit_count fold. Byte-identical replicas collapse "
+    "to ONE banded hash before the candidate join (the adversarial-skew "
+    "guard: a single asset replicated N times would otherwise make one "
+    "bucket O(N) and the self-join O(N^2) regardless of band width); "
+    "pair results fan back out to assets through the hash group map. "
+    "Oracle = the all-pairs scan, so parity again proves the banded "
+    "candidates are complete. Short-doc guard: bandvals is densified to "
+    "all 12 bands per doc (a <12-char doc leaves some 20-bit bands with "
+    "no contributing block; the Spark side zero-fills them, so the "
+    "oracle LEFT JOINs COALESCE(bval, 0) instead of dropping the band "
+    "from the xor fold).",
     oracle=f"""
         WITH chars AS (
             SELECT doc_id, (i - 1) * 240 // len(text) AS blk,
@@ -335,13 +424,18 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM chars GROUP BY 1, 2
         ), tot AS (
             SELECT doc_id, SUM(s) AS ts, SUM(c) AS tc FROM blocks GROUP BY 1
-        ), bandvals AS (
-            SELECT b.doc_id, {_MODALITY_SQL.replace("doc_id", "b.doc_id")} AS modality,
-                   b.blk // 20 AS band,
+        ), bandbits AS (
+            SELECT b.doc_id, b.blk // 20 AS band,
                    CAST(SUM(CASE WHEN b.s * t.tc > t.ts * b.c
                                  THEN CAST(1 AS BIGINT) << (b.blk % 20)
                                  ELSE 0 END) AS BIGINT) AS bval
-            FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1, 2, 3
+            FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1, 2
+        ), bandvals AS (
+            SELECT t.doc_id, {_MODALITY_SQL.replace("doc_id", "t.doc_id")} AS modality,
+                   g.band, COALESCE(bb.bval, 0) AS bval
+            FROM tot t
+            CROSS JOIN UNNEST(range(0, 12)) AS g(band)
+            LEFT JOIN bandbits bb ON bb.doc_id = t.doc_id AND bb.band = g.band
         ), pairham AS (
             SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, a.modality,
                    CAST(SUM(bit_count(xor(a.bval, b.bval))) AS BIGINT) AS hamming
@@ -364,32 +458,20 @@ def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     hashes = phash_wide_assets(attach_payloads(docs)).transform(tracked_cache)
-    bands = hashes.select(
-        "asset_id",
-        "modality",
-        "bands",
-        F.posexplode("bands").alias("band", "bval"),
+
+    # Adversarial-skew guard: collapse byte-identical hashes BEFORE banding.
+    # Wide bands make buckets O(1) under a uniform hash, but the same asset
+    # replicated N times still lands every replica in one bucket and
+    # re-quadratizes the candidate join — so band and join DISTINCT hashes
+    # only (each group keyed by its min asset_id), then fan pair results
+    # back out to assets through the (modality, bands) group map. Mirrors
+    # the exact-fingerprint pre-dedup in front of the MinHash pipeline.
+    groups = (
+        hashes.groupBy("modality", "bands")
+        .agg(F.min("asset_id").alias("rep"))
+        .transform(tracked_cache)
     )
-    a = bands.select(
-        F.col("asset_id").alias("asset_a"),
-        "modality",
-        F.col("bands").alias("bs_a"),
-        "band",
-        "bval",
-    )
-    b = bands.select(
-        F.col("asset_id").alias("asset_b"),
-        "modality",
-        F.col("bands").alias("bs_b"),
-        "band",
-        "bval",
-    )
-    cand = (
-        a.join(b, ["modality", "band", "bval"])
-        .where(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b", "modality", "bs_a", "bs_b")
-        .distinct()
-    )
+    cand = wide_banded_group_candidates(groups)
     hamming = F.aggregate(
         F.zip_with(
             F.col("bs_a"), F.col("bs_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
@@ -397,9 +479,51 @@ def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
-        cand.withColumn("hamming", hamming.cast("bigint"))
-        .where(F.col("hamming") <= 11)
-        .select("asset_a", "asset_b", "modality", "hamming")
-        .orderBy("asset_a", "asset_b")
+    pairs = cand.withColumn("hamming", hamming.cast("bigint")).where(
+        F.col("hamming") <= 11
     )
+    # Fan-out 1: cross-group qualifying pairs -> every (member_a, member_b).
+    # Each unordered GROUP pair appears exactly once (rep_a < rep_b), so
+    # least/greatest emits each asset pair exactly once.
+    cross = (
+        pairs.join(
+            hashes.select(
+                F.col("asset_id").alias("id_a"),
+                "modality",
+                F.col("bands").alias("bs_a"),
+            ),
+            ["modality", "bs_a"],
+        )
+        .join(
+            hashes.select(
+                F.col("asset_id").alias("id_b"),
+                "modality",
+                F.col("bands").alias("bs_b"),
+            ),
+            ["modality", "bs_b"],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("asset_a"),
+            F.greatest("id_a", "id_b").alias("asset_b"),
+            "modality",
+            "hamming",
+        )
+    )
+    # Fan-out 2: within-group pairs — identical hashes, hamming 0 by
+    # construction (no banding, no xor fold needed).
+    within = (
+        hashes.join(
+            hashes.select(
+                F.col("asset_id").alias("id_b"), "modality", "bands"
+            ),
+            ["modality", "bands"],
+        )
+        .where(F.col("asset_id") < F.col("id_b"))
+        .select(
+            F.col("asset_id").alias("asset_a"),
+            F.col("id_b").alias("asset_b"),
+            "modality",
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within).orderBy("asset_a", "asset_b")

@@ -129,8 +129,13 @@ def _ensure_loaded() -> None:
     import aws_flight_data_pipeline_spark.plans.text_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.vector_queries  # noqa: F401
 
-    # builders only (no @query entries) — imported last so the driver-visible
-    # REGISTRY insertion order above stays exactly as round 1 recorded it
+    # Second import block: originally builders-only, but rotation rounds may
+    # promote entries here to @query (today: decontam_fuzzy_pairs,
+    # bpe_apply_encode, ivm_single_increment, decontam_incremental_probe,
+    # index_single_refresh). Their REGISTRY entries append AFTER the round-1
+    # order above — fine as long as TOTAL registered queries stay <= 50,
+    # since the driver reads only the first 50 (pinned by
+    # tests/test_driver_contract.py).
     import aws_flight_data_pipeline_spark.plans.classifier_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.curation_queries  # noqa: F401
     import aws_flight_data_pipeline_spark.plans.graph_queries  # noqa: F401

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
 from aws_flight_data_pipeline_spark.functions.text import tokens, word_count
-from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.plans.text_queries import _WORD_COUNT_SQL
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
@@ -363,7 +363,7 @@ def inverted_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("n_terms").cast("bigint").alias("n_terms"), "score_e6")
 
 
-@builder(
+@query(
     "index_single_refresh",
     tags=("retrieval", "index", "ivm", "versioned", "scale"),
     doc="The steady-state inverted-index operation at its own grain (the "

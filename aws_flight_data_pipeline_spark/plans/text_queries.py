@@ -242,7 +242,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "dedup_minhash_signatures",
     tags=("dedup", "minhash", "lsh"),
     doc="MinHash signatures (8 md5 hash families) + 2-band LSH bucketing. "

@@ -341,7 +341,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "ann_topk_compare",
     tags=("vector", "similarity", "ann", "ivf", "topk"),
     doc="Similarity search, baseline and scale path in one result: "

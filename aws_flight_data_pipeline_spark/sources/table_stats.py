@@ -312,12 +312,30 @@ def plan_join_tree(
     remaining = list(edges)
 
     while remaining:
+        # Cycle-closing filter edges are FREE and strictly reducing (inner
+        # joins and filters commute), so drain every edge whose both sides
+        # are already joined before scoring join candidates — deferring one
+        # behind a cheap-looking join would leave intermediates needlessly
+        # large and later edge estimates looser. Equality selectivity
+        # ~ 1/max(ndv) — System-R — so the running estimate tightens for
+        # every subsequent candidate score.
+        closable = [e for e in remaining if e[0] in joined and e[2] in joined]
+        for e in sorted(closable, key=str):
+            remaining.remove(e)
+            a, ka, b, kb = e
+            df = df.where(F.col(ka) == F.col(kb))
+            sel_ndv = max(
+                [ndv[x][k] for k in (ka, kb) for x in tables if k in ndv[x]]
+                or [1]
+            )
+            cur = max(1, cur // max(1, sel_ndv))
+            steps.append({"edge": e, "strategy": "filter", "est_rows_out": cur})
+        if not remaining:
+            break
+
         candidates = []
         for e in remaining:
             a, ka, b, kb = e
-            if a in joined and b in joined:
-                candidates.append((cur, e, None))  # cyclic: free filter
-                continue
             if a in joined:
                 t, tk, jk = b, kb, ka
             elif b in joined:
@@ -338,18 +356,6 @@ def plan_join_tree(
         est, e, pick = min(candidates, key=lambda c: (c[0], str(c[1])))
         remaining.remove(e)
         a, ka, b, kb = e
-        if pick is None:
-            # both sides already joined: the cycle-closing predicate.
-            # Equality selectivity ~ 1/max(ndv) — System-R again — so the
-            # running estimate keeps informing later edge choices.
-            df = df.where(F.col(ka) == F.col(kb))
-            sel_ndv = max(
-                [ndv[x][k] for k in (ka, kb) for x in tables if k in ndv[x]]
-                or [1]
-            )
-            cur = max(1, cur // max(1, sel_ndv))
-            steps.append({"edge": e, "strategy": "filter", "est_rows_out": cur})
-            continue
         t, tk, jk = pick
         right = versioned.read(spark, tables[t], where=filters.get(t))
         bcast = n[t] <= broadcast_threshold_rows

@@ -1276,6 +1276,7 @@ def streaming_decontam_gate(
     lands — decisions are deterministic, so the replay writes the same
     admitted set.
     """
+    from aws_flight_data_pipeline_spark.functions.caching import release_tracked
     from aws_flight_data_pipeline_spark.plans.curation_queries import (
         decontam_increment,
     )
@@ -1309,6 +1310,13 @@ def streaming_decontam_gate(
             hits.select("doc_id"), "doc_id", "left_anti"
         )
         commit_stream_batch(clean, batch_id, corpus_path)
+        # decontam_increment tracked_cache's its eval-postings and batch
+        # token frames; the batch registry's _self_cleaning release never
+        # runs on the streaming path, so without this a long-lived stream
+        # accumulates cached blocks per micro-batch without bound. Both
+        # commits above have materialized everything derived from the
+        # caches, so releasing here is safe.
+        release_tracked()
 
     writer = docs.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path

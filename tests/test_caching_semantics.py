@@ -8,10 +8,12 @@ from __future__ import annotations
 from aws_flight_data_pipeline_spark.functions import caching
 from aws_flight_data_pipeline_spark.plans.registry import all_queries
 
-# two cache-using queries: the fuzzy-dedup pipeline tracks bands/cands/
-# cand_docs; the minhash signature table tracks its signature frame
+# two cache-using REGISTERED queries: the fuzzy-dedup pipeline tracks
+# bands/cands/cand_docs; the wide pHash near-dup tracks its hash and
+# distinct-hash-group frames (dedup_minhash_signatures, the previous
+# Q_SECOND, rotated out of the driver registry in round 10)
 Q_FIRST = "dedup_pipeline_end_to_end"
-Q_SECOND = "dedup_minhash_signatures"
+Q_SECOND = "multimodal_phash_neardup_wide"
 
 
 def _storage_used(df) -> bool:

@@ -104,3 +104,49 @@ def test_wide_boundary_and_band_selectivity(spark, tmp_path):
     assert (0, 6) not in got  # hamming 12: every band differs -> and correctly
     #                            rejected even though bands DO collide
     assert (0, 1) not in got  # modality isolation
+
+
+def test_adversarial_identical_replicas_collapse_before_banding(spark, tmp_path):
+    """The 100 TB skew guard: one byte-identical asset replicated N times
+    must contribute ONE row per band bucket (not N) — the banded candidate
+    join stays O(distinct hashes), and the quadratic part of the output is
+    produced only by the trivial within-group fan-out, never by banding."""
+    from pyspark.sql import functions as F
+
+    from aws_flight_data_pipeline_spark.operators.multimodal import (
+        attach_payloads,
+        phash_wide_assets,
+    )
+    from aws_flight_data_pipeline_spark.plans.multimodal_queries import (
+        multimodal_phash_neardup_wide,
+        wide_banded_group_candidates,
+    )
+    from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+    n = 2000  # replicas of ONE asset, all image-modality (doc_id % 3 == 0)
+    docs = [(3 * i, _pattern240(BASE240)) for i in range(n)]
+    docs.append((3 * n, _pattern240(FLIP11_240)))        # near-dup, kept
+    docs.append((3 * (n + 1), _pattern240(FLIP12_240)))  # past threshold
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    hashes = phash_wide_assets(attach_payloads(load_table(spark, sf, "documents")))
+    groups = hashes.groupBy("modality", "bands").agg(F.min("asset_id").alias("rep"))
+    assert groups.count() == 3  # 2000 replicas collapse to one hash
+
+    # the measured guarantee: candidates = O(distinct^2), independent of n
+    n_cand = wide_banded_group_candidates(groups).count()
+    assert n_cand <= 3, f"banded candidates grew with replicas: {n_cand}"
+
+    out = multimodal_phash_neardup_wide(spark, sf)
+    # output contract unchanged: all n*(n-1)/2 identical pairs at hamming 0
+    # plus the near-dup paired with every replica at hamming 11
+    counts = {r["hamming"]: r["c"] for r in
+              out.groupBy("hamming").agg(F.count("*").alias("c")).collect()}
+    assert counts == {0: n * (n - 1) // 2, 11: n, 1: 1}

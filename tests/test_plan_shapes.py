@@ -483,6 +483,16 @@ def test_phash_neardup_buckets_never_all_pairs(spark, sf_dir):
     assert "MapInPandas" in plan and "InMemoryRelation" in plan
 
 
+def test_phash_wide_collapses_groups_and_stays_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_phash_neardup_wide")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # banded join is equi
+    # python only at the declared Arrow boundary (the wide pHash
+    # mapInPandas); the distinct-hash GROUP frame is cached so the skew
+    # guard's group-by runs once for banding, cross fan-out, and within
+    assert "MapInPandas" in plan and "InMemoryRelation" in plan
+
+
 def test_bpe_apply_merge_table_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bpe_apply_encode")
     assert "CartesianProduct" not in plan
