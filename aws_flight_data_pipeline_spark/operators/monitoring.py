@@ -127,6 +127,47 @@ class WorkloadMonitor:
     def __init__(self, spark: SparkSession):
         self._spark = spark
         self._rows: list[QueryMetrics] = []
+        self._plan_rows: list[tuple] = []
+
+    def record_plan_facts(self, name: str, facts: dict) -> None:
+        """Append a stats-planner decision (``plan_join_tree``'s facts dict —
+        ``plans/planner_queries.LAST_PLAN_FACTS`` format) to the monitor's
+        planner-evidence table: one row per planned step with the chosen
+        strategy and the System-R cardinality estimate that drove it. This
+        is the piece the reference's optimizer report cannot have — its
+        history is mined from SQL text after the fact; here the planner's
+        own decisions land in the workload history as queryable rows."""
+        fact_t = facts.get("fact_table")
+        for i, s in enumerate(facts.get("steps", ())):
+            a, ka, b, kb = s["edge"]
+            self._plan_rows.append(
+                (
+                    name,
+                    fact_t,
+                    i,
+                    f"{a}.{ka} = {b}.{kb}",
+                    s["strategy"],
+                    s.get("table"),
+                    s.get("rows"),
+                    s["est_rows_out"],
+                )
+            )
+
+    def run_planned(self, name: str, df: DataFrame, facts: dict) -> QueryMetrics:
+        """run() + record_plan_facts() in one call — the wrapper for a
+        query whose plan came from the stats planner."""
+        self.record_plan_facts(name, facts)
+        return self.run(name, df)
+
+    def plan_history(self) -> DataFrame:
+        """Planner-decision evidence as a DataFrame (one row per planned
+        join/filter step), the companion table to :meth:`history`."""
+        return self._spark.createDataFrame(
+            self._plan_rows,
+            "name string, fact_table string, step int, edge string, "
+            "strategy string, build_table string, build_rows long, "
+            "est_rows_out long",
+        )
 
     def run(self, name: str, df: DataFrame) -> QueryMetrics:
         plan = _formatted_plan(df)

@@ -54,7 +54,7 @@ _BROADCAST_ROWS = 100_000
 #: the committed versioned copies narrow (the planner reads them whole).
 _TABLES = {
     "lineitem": ("lineitem", ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"), 4),
-    "orders": ("orders", ("o_orderkey", "o_custkey"), 4),
+    "orders": ("orders", ("o_orderkey", "o_custkey", "o_orderdate"), 4),
     "customer": ("customer", ("c_custkey", "c_nationkey"), 2),
     "supplier": ("supplier", ("s_suppkey", "s_nationkey"), 2),
     "nation": ("nation", ("n_nationkey", "n_regionkey", "n_name"), 1),
@@ -167,4 +167,55 @@ def stats_planned_join_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents * (100 - disc)).cast("bigint") / 10000.0).alias("revenue"),
         )
         .orderBy("nation")
+    )
+
+
+@builder(
+    "multiway_join_revenue_planned",
+    tags=("join", "planner", "stats", "versioned", "multiway"),
+    doc="The PRODUCTION Q5 path driven by the planner instead of hand-placed "
+    "broadcasts: identical output contract to the registered "
+    "multiway_join_revenue (nation x order-year revenue + distinct order "
+    "counts, cents-exact), but join order and per-edge strategy come from "
+    "plan_join_tree over the committed versioned tables — footer counts pick "
+    "lineitem as the fact, HLL NDV orders the edges, every true dimension "
+    "broadcasts, the cyclic local-supplier predicate lands as a post-join "
+    "filter, and the region filter is a planner input (stats-scoped read), "
+    "not a .where. Oracle = multiway_join_revenue's oracle verbatim, so "
+    "parity proves the planner-driven tree computes exactly the hand-tuned "
+    "production query. The plan-shape test additionally pins that both "
+    "plans share the same strategy skeleton (>= 4 broadcasts, exactly one "
+    "shuffled fact-fact join).",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name, 2
+        ORDER BY nation, order_year
+    """,
+)
+def multiway_join_revenue_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _ = build_planned_join(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        df.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            (F.sum(cents * (100 - disc)).cast("bigint") / 10000.0).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("nation", "order_year")
     )

@@ -229,6 +229,9 @@ HEADLINE = (
     # round 9: wide (240-bit, 20-bit-band) pHash near-dup — the
     # production-selectivity twin the 100x sweep finding demanded
     "multimodal_phash_neardup_wide",
+    # round 10: the production Q5 served by the stats planner (same output
+    # contract as multiway_join_revenue, order/strategies from plan_join_tree)
+    "multiway_join_revenue_planned",
 )
 
 
