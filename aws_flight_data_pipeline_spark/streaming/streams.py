@@ -580,6 +580,85 @@ def streaming_corpus_admission(
     ).select(*_ADMISSION_PUBLIC_COLS)
 
 
+def _fold_admission_state(
+    spark: SparkSession,
+    fp_index: DataFrame,
+    band_buckets: DataFrame,
+    state_path: str,
+    batch_id: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold every prior batch's admitted-doc index DELTA (versions strictly
+    ``< batch_id`` — replay-safe) into the base index: fingerprints union
+    into ``fp_index``; band entries regroup into ``band_buckets``
+    (flatten-merge of bucket arrays on the band key). Shared by the
+    incremental admission tier and the unified gate."""
+    state = read_admission_state(spark, state_path, before_batch=batch_id)
+    if state is None:
+        return fp_index, band_buckets
+    fp_comb = fp_index.unionByName(
+        state.select("fp").withColumn("is_exact", F.lit(True))
+    ).dropDuplicates(["fp"])
+    state_buckets = (
+        state.select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.array("b0", "b1")).alias("band_id", "band_key"),
+        )
+        .groupBy("band_id", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("doc_id").alias("e_doc"),
+                    F.col("toks").alias("e_toks"),
+                )
+            ).alias("bucket")
+        )
+    )
+    buckets_comb = (
+        band_buckets.unionByName(state_buckets)
+        .groupBy("band_id", "band_key")
+        .agg(F.flatten(F.collect_list("bucket")).alias("bucket"))
+    )
+    return fp_comb, buckets_comb
+
+
+def _intra_batch_reject_ids(survivors: DataFrame) -> DataFrame:
+    """Keep-first election among one batch's dedup survivors: a survivor
+    is rejected if an EARLIER doc of the same batch (doc_id ascending —
+    the arrival-order stand-in, same convention as the batch
+    ``dedup_pipeline_end_to_end`` keep-first) shares its fingerprint or
+    verifies as a near-dup through a shared LSH band. Banded self-join on
+    the batch's survivors only — O(batch), never O(corpus). ``survivors``
+    needs columns (doc_id, fp, toks, b0, b1); returns distinct doc_ids to
+    reject."""
+    earlier_fp = survivors.alias("a").join(
+        survivors.alias("b"),
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    bands_long = survivors.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.array("b0", "b1")).alias("band_id", "band_key"),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    earlier_near = (
+        bands_long.alias("a")
+        .join(
+            bands_long.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where((2 * inter) >= (F.size("a.toks") + F.size("b.toks") - inter))
+    )
+    return (
+        earlier_fp.select(F.col("b.doc_id").alias("doc_id"))
+        .unionByName(earlier_near.select(F.col("b.doc_id").alias("doc_id")))
+        .distinct()
+    )
+
+
 def streaming_corpus_admission_incremental(
     docs: DataFrame,
     fp_index: DataFrame,
@@ -625,72 +704,16 @@ def streaming_corpus_admission_incremental(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        fp_comb, buckets_comb = fp_index, band_buckets
-        state = read_admission_state(spark, state_path, before_batch=batch_id)
-        if state is not None:
-            fp_comb = fp_comb.unionByName(
-                state.select("fp").withColumn("is_exact", F.lit(True))
-            ).dropDuplicates(["fp"])
-            state_buckets = (
-                state.select(
-                    "doc_id",
-                    "toks",
-                    F.posexplode(F.array("b0", "b1")).alias("band_id", "band_key"),
-                )
-                .groupBy("band_id", "band_key")
-                .agg(
-                    F.collect_list(
-                        F.struct(
-                            F.col("doc_id").alias("e_doc"),
-                            F.col("toks").alias("e_toks"),
-                        )
-                    ).alias("bucket")
-                )
-            )
-            buckets_comb = (
-                buckets_comb.unionByName(state_buckets)
-                .groupBy("band_id", "band_key")
-                .agg(F.flatten(F.collect_list("bucket")).alias("bucket"))
-            )
-
+        fp_comb, buckets_comb = _fold_admission_state(
+            spark, fp_index, band_buckets, state_path, batch_id
+        )
         decided = _admission_decide(
             _admission_enrich(batch_df), fp_comb, buckets_comb
         )
         survivors = decided.where("admitted").select(
             "doc_id", "fp", "toks", "b0", "b1"
         )
-        # intra-batch keep-first: exact (shared fp) OR banded+verified near
-        # dup of an earlier same-batch survivor. Self-joins on the batch's
-        # survivor set only.
-        earlier_fp = survivors.alias("a").join(
-            survivors.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        bands_long = survivors.select(
-            "doc_id",
-            "toks",
-            F.posexplode(F.array("b0", "b1")).alias("band_id", "band_key"),
-        )
-        inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-        earlier_near = (
-            bands_long.alias("a")
-            .join(
-                bands_long.alias("b"),
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .where(
-                (2 * inter)
-                >= (F.size("a.toks") + F.size("b.toks") - inter)
-            )
-        )
-        rejected_ids = (
-            earlier_fp.select(F.col("b.doc_id").alias("doc_id"))
-            .unionByName(earlier_near.select(F.col("b.doc_id").alias("doc_id")))
-            .distinct()
-        )
+        rejected_ids = _intra_batch_reject_ids(survivors)
         final = decided.join(
             rejected_ids.withColumn("intra_batch_dup", F.lit(True)),
             "doc_id",
@@ -1323,3 +1346,186 @@ def streaming_decontam_gate(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def unified_admission_decisions(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    eval_index_path: str,
+    fp_comb: DataFrame,
+    buckets_comb: DataFrame,
+) -> DataFrame:
+    """ONE batch's decisions through the composed admission pipeline —
+    quality funnel, then decontamination, then near-dup election — as a
+    single DataFrame plan. Shared verbatim by the streaming gate (per
+    micro-batch, against the state-folded index) and the batch twin
+    (:func:`unified_admission_batch`), so stream == batch is one code
+    path, not two implementations that happen to agree.
+
+    Stage order is cheapest-first and makes decisions micro-batch-
+    boundary-invariant: quality is stateless per-row expressions over the
+    whole batch; decontamination probes only quality survivors against
+    the FROZEN eval index (O(survivors + eval)); the near-dup election —
+    the only stage whose index LEARNS — runs last, over only the clean
+    survivors, so the learning state's contents are exactly the finally
+    admitted documents and a replayed/re-split stream elects the same
+    winners.
+
+    Output: one row per input document —
+    (doc_id, source, passed_quality, contaminating_eval_id, jac_ppm,
+    is_exact, is_near, intra_batch_dup, admitted, reject_stage). Stages a
+    document never reached are NULL (short-circuit is part of the
+    contract: a quality-rejected document is not probed, not elected).
+    """
+    from aws_flight_data_pipeline_spark.plans.curation_queries import (
+        decontam_increment,
+    )
+
+    q = streaming_quality_gate(batch_df).select("doc_id", "passed")
+    qpass = batch_df.join(q.where("passed").select("doc_id"), "doc_id")
+
+    hits = decontam_increment(
+        spark, eval_index_path, qpass.select("doc_id", "text")
+    ).select(
+        F.col("train_id").alias("doc_id"),
+        F.col("eval_id").alias("contaminating_eval_id"),
+        "jac_ppm",
+    )
+    clean = qpass.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+    decided = _admission_decide(
+        _admission_enrich(clean), fp_comb, buckets_comb
+    )
+    survivors = decided.where("admitted").select("doc_id", "fp", "toks", "b0", "b1")
+    intra = _intra_batch_reject_ids(survivors).withColumn(
+        "intra_dup", F.lit(True)
+    )
+    dedup = (
+        decided.join(intra, "doc_id", "left")
+        .withColumn("intra_batch_dup", F.coalesce("intra_dup", F.lit(False)))
+        .select(
+            "doc_id",
+            "is_exact",
+            "is_near",
+            "intra_batch_dup",
+            (F.col("admitted") & ~F.col("intra_batch_dup")).alias("dedup_ok"),
+        )
+    )
+
+    out = (
+        batch_df.select("doc_id", "source")
+        .join(q, "doc_id", "left")
+        .withColumnRenamed("passed", "passed_quality")
+        .join(hits, "doc_id", "left")
+        .join(dedup, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "passed_quality",
+        "contaminating_eval_id",
+        "jac_ppm",
+        "is_exact",
+        "is_near",
+        "intra_batch_dup",
+        F.coalesce(F.col("dedup_ok"), F.lit(False)).alias("admitted"),
+        F.when(~F.col("passed_quality"), F.lit("quality"))
+        .when(F.col("contaminating_eval_id").isNotNull(), F.lit("contaminated"))
+        .when(~F.col("dedup_ok"), F.lit("duplicate"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("reject_stage"),
+    )
+
+
+def streaming_unified_admission_gate(
+    docs: DataFrame,
+    eval_index_path: str,
+    fp_index: DataFrame,
+    band_buckets: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    corpus_path: str,
+    decisions_path: str,
+    trigger: dict | None = None,
+):
+    """The COMPOSED streaming admission gate: quality funnel +
+    decontamination + learning near-dup election on the SAME micro-batch,
+    one pass per batch, ONE batch-stamped commit per output table — the
+    admission flow a training pipeline actually runs at ingest, previously
+    three separate foreachBatch recipes (quality gate, incremental
+    admission, decontam gate).
+
+    Per micro-batch: fold the admitted-doc index deltas of prior batches
+    into the base near-dup index (:func:`_fold_admission_state`), run
+    :func:`unified_admission_decisions` (the one shared decision plan),
+    then exactly TWO versioned commits — the full decisions frame to
+    ``decisions_path`` and the admitted documents (original columns) to
+    ``corpus_path`` — plus the admitted docs' index rows as the state
+    delta for the next batch. Exactly-once on both tables via
+    ``commit_stream_batch`` (batch-stamped manifests; replays no-op), and
+    the state delta overwrites its own version directory, so at-least-once
+    delivery is idempotent end to end.
+
+    Stream == batch is pinned in tests over a mixed fixture (duplicate +
+    contaminated + low-quality + clean docs): the decisions from N
+    micro-batches equal :func:`unified_admission_batch` over the same
+    documents in one pass, and each table takes exactly one commit per
+    non-empty batch.
+    """
+    from aws_flight_data_pipeline_spark.functions.caching import release_tracked
+    from aws_flight_data_pipeline_spark.sources.versioned import (
+        commit_stream_batch,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fp_comb, buckets_comb = _fold_admission_state(
+            spark, fp_index, band_buckets, state_path, batch_id
+        )
+        decisions = unified_admission_decisions(
+            spark, batch_df, eval_index_path, fp_comb, buckets_comb
+        ).withColumn("batch_id", F.lit(batch_id))
+
+        admitted_ids = decisions.where("admitted").select("doc_id")
+        commit_stream_batch(decisions, batch_id, decisions_path)
+        commit_stream_batch(
+            batch_df.join(admitted_ids, "doc_id"), batch_id, corpus_path
+        )
+
+        import os as _os
+
+        _os.makedirs(state_path, exist_ok=True)
+        with open(f"{state_path}/{DELTA_LAYOUT_MARKER}", "w") as fh:
+            fh.write("delta")  # versions are DELTAS — never prune
+        _admission_enrich(batch_df.join(admitted_ids, "doc_id")).select(
+            "doc_id", "fp", "toks", "b0", "b1"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/v{batch_id:09d}"
+        )
+        # same cache discipline as streaming_decontam_gate: the probe
+        # tracked_cache's frames with no batch-registry release point
+        release_tracked()
+
+    writer = docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def unified_admission_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    eval_index_path: str,
+    fp_index: DataFrame,
+    band_buckets: DataFrame,
+) -> DataFrame:
+    """The unified gate's BATCH twin: the whole input as one batch against
+    the base index only (no accumulated state — the intra-batch keep-first
+    election subsumes it when every document is in the same batch). Used by
+    the stream==batch equivalence tests and as the backfill entry point."""
+    return unified_admission_decisions(
+        spark, docs, eval_index_path, fp_index, band_buckets
+    )

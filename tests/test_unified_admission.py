@@ -1,0 +1,164 @@
+"""Unified streaming admission gate (streams.streaming_unified_admission_gate):
+quality funnel + decontamination + learning near-dup election composed into
+ONE pass per micro-batch, one batch-stamped commit per output table.
+
+Pinned over a mixed fixture (clean + low-quality + contaminated + intra- and
+cross-batch duplicates): the DECISION columns (passed_quality, contamination
+attribution, admitted, reject_stage) are micro-batch-boundary invariant —
+stream over N batches equals unified_admission_batch over the same docs in
+one pass. The dedup MECHANISM flags legitimately differ by boundary (a
+cross-batch dup shows is_exact=true vs the learned state; the same pair in
+one batch shows intra_batch_dup=true), which is why they are separate
+columns from the decision."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from aws_flight_data_pipeline_spark.plans.curation_queries import shingle_tokenizer
+from aws_flight_data_pipeline_spark.sources import invindex as ix
+from aws_flight_data_pipeline_spark.sources import versioned as vt
+from aws_flight_data_pipeline_spark.streaming.streams import (
+    corpus_admission_index,
+    stream_documents,
+    streaming_unified_admission_gate,
+    unified_admission_batch,
+)
+
+SCHEMA = "doc_id long, text string, source string, lang string"
+
+
+def _qdoc(seed: str) -> str:
+    """A document that PASSES every quality rule: 30 words ('the a' + 28
+    distinct 5-char words), avg word length in [4,6], all 2-grams distinct."""
+    assert len(seed) == 3
+    return " ".join(["the", "a"] + [f"{seed}{j:02d}" for j in range(28)])
+
+
+EVAL_TEXT = _qdoc("evl")
+C1, C2 = _qdoc("cl1"), _qdoc("cl2")
+
+# batch 1: clean, contaminated (quality-passing eval copy), low-quality,
+# intra-batch exact dup of doc 1.  batch 2: cross-batch exact dup of doc 1,
+# a second clean doc, contaminated again.
+B1 = [
+    (1, C1, "inc", "en"),
+    (2, EVAL_TEXT, "inc", "en"),
+    (3, "tiny low quality", "inc", "en"),
+    (4, C1, "inc", "en"),
+]
+B2 = [
+    (5, C1, "inc", "en"),
+    (6, C2, "inc", "en"),
+    (7, EVAL_TEXT, "inc", "en"),
+]
+
+EXPECT = {
+    1: (True, None, True, None),
+    2: (True, 900, False, "contaminated"),
+    3: (False, None, False, "quality"),
+    4: (True, None, False, "duplicate"),
+    5: (True, None, False, "duplicate"),
+    6: (True, None, True, None),
+    7: (True, 900, False, "contaminated"),
+}
+
+
+def _eval_index(spark, tmp_path) -> str:
+    dpath, ipath = str(tmp_path / "eval"), str(tmp_path / "eidx")
+    ev = spark.createDataFrame([(900, EVAL_TEXT)], "doc_id long, text string")
+    vt.commit(ev, dpath, stats_cols=("doc_id",))
+    ix.refresh_index(spark, dpath, ipath, tokenizer=shingle_tokenizer)
+    return ipath
+
+
+def _base_index(spark):
+    corpus = spark.createDataFrame(
+        [(800 + i, f"background block {i} " * 5, "base") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    return corpus_admission_index(corpus)
+
+
+def _write_batches(spark, src: str):
+    for rows in (B1, B2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)
+    files = sorted(
+        (os.path.getmtime(f"{src}/{f}"), f"{src}/{f}")
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    now = time.time()
+    for i, (_, path) in enumerate(files):
+        os.utime(path, (now + i * 30, now + i * 30))
+
+
+def _decision_key(r) -> tuple:
+    return (
+        r["passed_quality"],
+        r["contaminating_eval_id"],
+        r["admitted"],
+        r["reject_stage"],
+    )
+
+
+def test_unified_gate_stream_equals_batch_one_commit_per_table(spark, tmp_path):
+    ipath = _eval_index(spark, tmp_path)
+    fp_index, band_buckets = _base_index(spark)
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    decisions = str(tmp_path / "decisions")
+    state = str(tmp_path / "state")
+    _write_batches(spark, src)
+
+    q = streaming_unified_admission_gate(
+        stream_documents(spark, src, max_files_per_trigger=1),
+        ipath,
+        fp_index,
+        band_buckets,
+        state,
+        str(tmp_path / "ckpt"),
+        corpus,
+        decisions,
+    )
+    q.awaitTermination(180)
+
+    dec = {r["doc_id"]: r for r in vt.read(spark, decisions).collect()}
+    assert set(dec) == set(EXPECT)
+    for doc_id, want in EXPECT.items():
+        assert _decision_key(dec[doc_id]) == want, (doc_id, dec[doc_id])
+    # contamination carries attribution at full exact-ppm Jaccard
+    assert dec[2]["jac_ppm"] == 1_000_000 and dec[7]["jac_ppm"] == 1_000_000
+    # the cross-batch dup was caught by the LEARNED state (exact match),
+    # the intra-batch dup by the same-batch election
+    assert dec[5]["is_exact"] and not dec[5]["intra_batch_dup"]
+    assert dec[4]["intra_batch_dup"] and not dec[4]["is_exact"]
+
+    got_corpus = {r["doc_id"] for r in vt.read(spark, corpus).collect()}
+    assert got_corpus == {1, 6}
+
+    # exactly ONE batch-stamped commit per table per non-empty micro-batch
+    assert vt._batch_versions(corpus) == {0, 1}
+    assert vt._batch_versions(decisions) == {0, 1}
+    # and a replay of an already-committed batch is a no-op on both tables
+    replay = spark.createDataFrame(B1, SCHEMA)
+    head_c, head_d = vt.latest_version(corpus), vt.latest_version(decisions)
+    assert vt.commit_stream_batch(replay, 0, corpus) is None
+    assert vt.commit_stream_batch(replay, 0, decisions) is None
+    assert vt.latest_version(corpus) == head_c
+    assert vt.latest_version(decisions) == head_d
+
+    # stream == batch: the whole fixture through the batch twin in ONE pass
+    # produces identical decision columns for every document
+    all_docs = spark.createDataFrame(B1 + B2, SCHEMA)
+    batch_dec = {
+        r["doc_id"]: _decision_key(r)
+        for r in unified_admission_batch(
+            spark, all_docs, ipath, fp_index, band_buckets
+        ).collect()
+    }
+    assert batch_dec == {d: _decision_key(dec[d]) for d in dec}
