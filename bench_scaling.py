@@ -88,6 +88,16 @@ MULTS = (1, 10, 100)  # large-scale sweep: x the sf0.1 documents table
 LARGE_RUNS = 2
 _SCALE_DIR = "/tmp/afdp_scale"
 
+#: One decade further (x1000 = 5M docs) for the two pipelines whose
+#: exponents matter most at 100 TB: the end-to-end fuzzy dedup and the wide
+#: pHash tier (the round-9 sweep's fix, whose x10->x100 exponent of 1.04
+#: needs confirmation that it HOLDS rather than being the knee of a curve).
+#: x1000 is expensive (minutes per run), so it is opt-in per query, timed
+#: without a dedicated warm-up (JIT is warm from the smaller mults), and
+#: exponent_last_decade moves to the 100->1000 decade for these.
+XLARGE_QUERIES = ("dedup_pipeline_end_to_end", "multimodal_phash_neardup_wide")
+XLARGE_MULT = 1000
+
 
 _MARK_ALPHABET = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
@@ -120,29 +130,30 @@ def _ensure_scaled_corpus(spark, mult: int) -> str:
     out = os.path.join(_SCALE_DIR, f"x{mult}-v2")
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
+        # One crossJoin against range(mult) instead of a mult-way union —
+        # content-identical to the per-copy loop (same doc_id offsets, same
+        # _copy_marker characters), but the plan stays O(1) in mult, which
+        # the x1000 decade needs (a 1000-branch union won't even analyze).
         docs = spark.read.parquet(f"{base}/documents.parquet")
-        copies = []
-        for k in range(mult):
-            text = (
-                F.col("text")
-                if k == 0
-                else F.regexp_replace("text", " ", f"{_copy_marker(k)} ")
-            )
-            copies.append(
-                docs.select(
-                    (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
-                    text.alias("text"),
-                    "lang",
-                    "source",
-                    F.length(text).cast("long").alias("n_chars"),
-                )
-            )
-        union = copies[0]
-        for c in copies[1:]:
-            union = union.unionByName(c)
-        union.repartition(32).write.mode("overwrite").parquet(
-            f"{out}/documents.parquet"
+        ks = spark.range(mult).select(F.col("id").alias("k"))
+        alpha = f"'{_MARK_ALPHABET}'"
+        mark = F.expr(
+            f"concat(substr({alpha}, CAST(k % 62 AS INT) + 1, 1), "
+            f"substr({alpha}, CAST((k DIV 62) % 62 AS INT) + 1, 1))"
         )
+        text = F.when(F.col("k") == 0, F.col("text")).otherwise(
+            F.regexp_replace(F.col("text"), F.lit(" "), F.concat(mark, F.lit(" ")))
+        )
+        scaled = docs.crossJoin(ks).select(
+            (F.col("doc_id") + F.col("k") * F.lit(10_000_000)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).cast("long").alias("n_chars"),
+        )
+        scaled.repartition(32 if mult <= 100 else 64).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/documents.parquet")
     return out
 
 
@@ -208,11 +219,13 @@ def measure_query(name: str) -> dict:
             "data work indistinguishable from fixed overhead at these sfs"
         )
 
+    mults = MULTS + ((XLARGE_MULT,) if name in XLARGE_QUERIES else ())
     secs: dict[str, float] = {}
-    for mult in MULTS:
+    for mult in mults:
         sf_dir = _ensure_scaled_corpus(spark, mult)
-        run(sf_dir)  # warm-up
-        release_tracked()
+        if mult < XLARGE_MULT:
+            run(sf_dir)  # warm-up (JIT/codegen; skipped at x1000 — warm
+            release_tracked()  # from the smaller mults, and minutes-costly)
         best = math.inf
         for _ in range(LARGE_RUNS):
             clear_snapshots()
@@ -221,11 +234,16 @@ def measure_query(name: str) -> dict:
             best = min(best, time.perf_counter() - t0)
             release_tracked()
         secs[f"x{mult}"] = round(best, 3)
-    slope = _fit_slope([(m, secs[f"x{m}"]) for m in MULTS])
-    last = round(math.log10(secs[f"x{MULTS[2]}"] / secs[f"x{MULTS[1]}"]), 3)
+    slope = _fit_slope([(m, secs[f"x{m}"]) for m in mults])
+    by_decade = {
+        f"x{lo}->x{hi}": round(math.log10(secs[f"x{hi}"] / secs[f"x{lo}"]), 3)
+        for lo, hi in zip(mults[1:], mults[2:])
+    }
+    last = round(math.log10(secs[f"x{mults[-1]}"] / secs[f"x{mults[-2]}"]), 3)
     large = {
         "cold_seconds_by_mult": secs,
         "exponent_raw": round(slope, 3),
+        "exponent_by_decade": by_decade,
         "exponent_last_decade": last,
     }
     return {"small_sf": small, "large_scale": large}
