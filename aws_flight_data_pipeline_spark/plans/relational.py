@@ -2136,3 +2136,311 @@ def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev).cast("bigint") / 10000.0).alias("revenue"),
         )
     )
+
+
+@builder(
+    "shipping_priority_topk",
+    tags=("join", "topk", "tpch-q3", "broadcast"),
+    doc="TPC-H Q3-shaped shipping priority: unshipped-revenue per order for "
+    "one market segment — customer dim broadcast onto orders, ONE shuffle "
+    "join between the two facts (orders ⋈ lineitem on orderkey, the same "
+    "co-locatable edge as Q5), revenue cents-exact, and the top-10 cut as "
+    "TakeOrderedAndProject (LIMIT over a total order: revenue cents desc, "
+    "then orderkey — ties at the boundary are deterministic in both "
+    "engines, which a bare ORDER BY revenue would not guarantee).",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DESC,
+                 l_orderkey
+        LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("bigint").alias("rev_e4"))
+        .orderBy(F.desc("rev_e4"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("rev_e4") / 10000.0).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@builder(
+    "bilateral_shipping_volume",
+    tags=("join", "dim-pair", "tpch-q7", "broadcast"),
+    doc="TPC-H Q7-shaped bilateral shipping volume: revenue between one "
+    "PAIR of nations by supplier-nation/customer-nation/ship-year — the "
+    "supplier and customer sides each resolve their nation through a "
+    "broadcast dim join, the pair predicate keeps BOTH directions, and "
+    "the only shuffles are the two fact joins (lineitem ⋈ orders, "
+    "⋈-customer) plus the final 4-group aggregate. Revenue cents-exact, "
+    "divided once.",
+    oracle="""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def bilateral_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = n.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("s_nationkey"),
+                                    F.col("n_name").alias("supp_nation"))),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("c_nationkey"),
+                                    F.col("n_name").alias("cust_nation"))),
+            "c_nationkey",
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg((F.sum(rev).cast("bigint") / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@builder(
+    "nation_market_share",
+    tags=("join", "ratio", "tpch-q8", "broadcast"),
+    doc="TPC-H Q8-shaped market share: one supplier nation's share of a "
+    "region's market for one part type, per order year — the share is a "
+    "conditional sum over ONE joined frame (never two scans), both the "
+    "numerator and denominator travel as exact BIGINT e4-cents, and the "
+    "ratio is the only float (identical IEEE division on identical "
+    "integers in both engines, rounded to ppm). Part, customer-side "
+    "nation/region, and supplier-side nation all broadcast; the fact "
+    "joins are the same two shuffles as Q3/Q5.",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CASE WHEN ns.n_name = 'NATION_5' THEN
+                        CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                      ELSE 0 END) AS BIGINT) AS nation_volume_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_volume_e4,
+               CAST(ROUND(1000000.0
+                    * SUM(CASE WHEN ns.n_name = 'NATION_5' THEN
+                            CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                          ELSE 0 END)
+                    / SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))))
+                    AS BIGINT) AS share_ppm
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = nc.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+                    F.col("n_nationkey").alias("c_nationkey")
+                )
+            ),
+            "c_nationkey",
+        )
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("nation_volume_e4"),
+            F.sum(rev).cast("bigint").alias("total_volume_e4"),
+        )
+        .select(
+            "order_year",
+            "nation_volume_e4",
+            "total_volume_e4",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("nation_volume_e4")
+                / F.col("total_volume_e4")
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@builder(
+    "returned_item_customers",
+    tags=("join", "topk", "tpch-q10", "broadcast"),
+    doc="TPC-H Q10-shaped returned-item reporting: revenue lost to "
+    "returned items (l_returnflag = 'R') per customer over one quarter, "
+    "top 20 by lost revenue — nation broadcast onto customer, orders "
+    "date-pruned at the scan, the orderkey fact join the one real "
+    "shuffle, and the cut a TakeOrderedAndProject over the total order "
+    "(revenue cents desc, custkey) so boundary ties are deterministic.",
+    oracle="""
+        SELECT c_custkey, c_name, n_name AS nation,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DESC,
+                 c_custkey
+        LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_name", "n_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("bigint").alias("rev_e4"))
+        .orderBy(F.desc("rev_e4"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            (F.col("rev_e4") / 10000.0).alias("revenue"),
+        )
+    )

@@ -232,6 +232,13 @@ HEADLINE = (
     # round 10: the production Q5 served by the stats planner (same output
     # contract as multiway_join_revenue, order/strategies from plan_join_tree)
     "multiway_join_revenue_planned",
+    # round 10: TPC-H shape completion — Q3 unshipped-revenue top-k, Q7
+    # bilateral nation-pair volume, Q8 market-share ratio, Q10 returned-item
+    # top-k (Q2/Q9/Q11/Q16/Q20 need partsupp, absent from the testdata)
+    "shipping_priority_topk",
+    "bilateral_shipping_volume",
+    "nation_market_share",
+    "returned_item_customers",
 )
 
 
