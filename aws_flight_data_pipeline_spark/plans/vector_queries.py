@@ -1153,3 +1153,159 @@ def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: ivf_single_refresh episode roots, replaced (not reused) per call — the
+#: measured operation includes the commit, so state must be fresh.
+_IVF_DIRS: dict[str, str] = {}
+
+
+@builder(
+    "ivf_single_refresh",
+    tags=("vector", "ann", "ivf", "ivm", "versioned", "scale"),
+    doc="The steady-state ANN-index operation at its own grain — the vector "
+    "side's twin of index_single_refresh: a pre-built IVF index (one "
+    "versioned table of (vec_id, cell, embedding), cell stats for "
+    "stat-scoped probes) takes ONE increment of new vectors, each assigned "
+    "to its nearest FROZEN centroid (O(increment x cells) — the quantizer "
+    "is not retrained per batch, exactly like a production IVF store), "
+    "appended as ONE commit; a probe query is then answered from the "
+    "refreshed index (3 nearest cells by centroid distance, exact cosine "
+    "top-10 inside probed cells only, increment rows eligible "
+    "immediately). The oracle recomputes the whole episode wholesale — "
+    "centroids from the base split, argmin assignment, probe — so parity "
+    "proves the O(churn) refresh converges to the from-scratch build. "
+    "Distances and similarities round to 4 dp with id tiebreaks so "
+    "summation-order ulps cannot flip an argmin or the top-k boundary.",
+    oracle="""
+        WITH elems AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ), base AS (
+            SELECT * FROM elems WHERE vec_id % 17 <> 3
+        ), inc AS (
+            SELECT * FROM elems WHERE vec_id % 17 = 3
+        ), centroids AS (
+            SELECT label AS cell, pos, AVG(val) AS cval
+            FROM base GROUP BY 1, 2
+        ), q AS (
+            SELECT pos, val FROM elems WHERE vec_id = 0
+        ), inc_dist AS (
+            SELECT i.vec_id, c.cell,
+                   ROUND(SQRT(SUM((i.val - c.cval) * (i.val - c.cval))), 4) AS d
+            FROM inc i JOIN centroids c ON i.pos = c.pos
+            GROUP BY 1, 2
+        ), inc_assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                FROM inc_dist)
+            WHERE rn = 1
+        ), allrows AS (
+            SELECT DISTINCT vec_id, label AS cell FROM base
+            UNION ALL
+            SELECT vec_id, cell FROM inc_assign
+        ), probed AS (
+            SELECT cell FROM (
+                SELECT c.cell,
+                       ROUND(SQRT(SUM((q.val - c.cval) * (q.val - c.cval))), 4) AS d
+                FROM centroids c JOIN q ON c.pos = q.pos
+                GROUP BY c.cell)
+            ORDER BY d, cell LIMIT 3
+        ), cos AS (
+            SELECT e.vec_id, a.cell,
+                   ROUND(SUM(e.val * q.val)
+                         / (SQRT(SUM(e.val * e.val)) * SQRT(SUM(q.val * q.val))),
+                         4) AS cosine_sim
+            FROM elems e
+            JOIN allrows a ON e.vec_id = a.vec_id
+            JOIN q ON e.pos = q.pos
+            WHERE a.cell IN (SELECT cell FROM probed) AND e.vec_id <> 0
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, cell, cosine_sim, vec_id % 17 = 3 AS is_new
+        FROM cos
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT 10
+    """,
+)
+def ivf_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    key = f"{sf_dir}#ivf-single"
+    old = _IVF_DIRS.pop(key, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="afdp-ivf-single-")
+    _IVF_DIRS[key] = root
+    ipath = f"{root}/ivf"
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 17 != 3).select(
+        "vec_id", F.col("label").alias("cell"), "embedding"
+    )
+    vt.commit(base.repartition(4, "cell"), ipath, stats_cols=("cell",))
+
+    # frozen coarse quantizer: per-cell element means over the COMMITTED
+    # base (vt.read pins the manifest, so this plan stays on the base
+    # version even though it evaluates after the append below)
+    committed = vt.read(spark, ipath)
+    elems = committed.select(
+        "cell", F.posexplode("embedding").alias("pos", "rv")
+    ).withColumn("val", F.col("rv").cast("double"))
+    centroids = (
+        elems.groupBy("cell", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.cval,
+            ).alias("centroid")
+        )
+        .transform(tracked_cache)
+    )
+
+    # THE measured operation: assign the increment against the frozen
+    # centroids (argmin over rounded distance, cell tiebreak) + ONE append
+    inc = e.where(F.col("vec_id") % 17 == 3).select("vec_id", "embedding")
+    w = Window.partitionBy("vec_id").orderBy(F.round(F.col("d"), 4), "cell")
+    assigned = (
+        inc.crossJoin(F.broadcast(centroids))
+        .withColumn("d", l2_distance(F.col("embedding"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+    vt.commit(
+        assigned.repartition(2, "cell"), ipath, mode="append", stats_cols=("cell",)
+    )
+
+    # probe answered from the refreshed index, increment rows eligible
+    refreshed = vt.read(spark, ipath)
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cell", l2_distance(F.col("centroid"), F.col("qe")).alias("cd"))
+        .orderBy(F.round("cd", 4), "cell")
+        .limit(3)
+        .select("cell")
+    )
+    return (
+        refreshed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probed), "cell")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            _r4(cosine(F.col("embedding"), F.col("qe"))).alias("cosine_sim"),
+            (F.col("vec_id") % 17 == 3).alias("is_new"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )

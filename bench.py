@@ -239,6 +239,9 @@ HEADLINE = (
     "bilateral_shipping_volume",
     "nation_market_share",
     "returned_item_customers",
+    # round 10: steady-state ANN grain — one increment assigned to frozen
+    # IVF centroids + one append commit + a probe from the refreshed index
+    "ivf_single_refresh",
 )
 
 
