@@ -527,6 +527,34 @@ def test_tpch_shape_block_plans(spark, sf_dir):
     assert "Union" not in plan
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
 
+    # Q3: customer dim broadcast, date windows pushed to BOTH fact scans,
+    # the top-10 cut a TakeOrdered (never a global sort materialization)
+    plan = _plan(spark, sf_dir, "shipping_priority_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+    # Q7: both nation sides broadcast; the only sort-merge edge (if any)
+    # is fact-fact; never a cartesian for the pair predicate
+    plan = _plan(spark, sf_dir, "bilateral_shipping_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+    # Q8: the share is ONE aggregate over one joined frame — a single
+    # lineitem scan (x2 in formatted explain), no second pass for the
+    # denominator
+    plan = _plan(spark, sf_dir, "nation_market_share")
+    assert plan.count("lineitem.parquet") == 1  # one lineitem scan location
+    assert "CartesianProduct" not in plan
+
+    # Q10: top-20 as TakeOrdered; order date window pushed
+    plan = _plan(spark, sf_dir, "returned_item_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    assert "CartesianProduct" not in plan
+
 
 def test_top_supplier_view_not_recomputed(spark, sf_dir):
     # Q15's trap: evaluating the revenue view twice (once for MAX, once for
