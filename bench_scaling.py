@@ -414,14 +414,25 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     large: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name in HEAVY:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        # one transient child failure (OOM pressure from a prior JVM's
+        # teardown, a host stall) must not void an hour of completed
+        # measurements: retry once in a fresh process; record a double
+        # failure in the artifact instead of crashing the sweep.
+        out = None
+        for attempt in (1, 2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                out = json.loads(proc.stdout.strip().splitlines()[-1])
+                break
+            errors[name] = proc.stderr.strip().splitlines()[-1][:300] if proc.stderr else f"exit {proc.returncode}"
+        if out is None:
+            continue
         results[name] = out["small_sf"]
         large[name] = out["large_scale"]
 
@@ -458,6 +469,7 @@ def main() -> None:
         "index_refresh": index_refresh,
         "decontam_incremental": decontam_incremental,
         "bar": "exponent_last_decade <= 1.2 (linear-ish); raw is a conservative bound",
+        "child_errors": errors,
     }
     with open(
         os.path.join(repo_dir, f"BENCH_SCALING_r{round_no:02d}.json"), "w"
