@@ -77,9 +77,11 @@ HEAVY = (
     "dedup_substring_spans",
     "decontam_fuzzy_pairs",
     "multimodal_phash_neardup",
-    # the 60-bit pHash banding measured SUPER-linear at x100 (5-bit bands
-    # = 32-value buckets that grow with the corpus — see the operator
-    # docstrings); this is the 240-bit/20-bit-band fix, measured alongside
+    # the 60-bit pHash banding measured SUPER-linear at x100 in round 9
+    # (5-bit bands = 32-value buckets); the round-10 identical-hash
+    # collapse repaired its measurement (0.964) — kept in the sweep so the
+    # repair stays re-verified. The 240-bit/20-bit-band tier below is the
+    # production path (O(1) buckets by construction, x1000-verified).
     "multimodal_phash_neardup_wide",
 )
 SFS = (0.001, 0.01, 0.1)
