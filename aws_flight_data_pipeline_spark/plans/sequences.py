@@ -738,3 +738,192 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("full_conv_ppm"),
     )
+
+
+@builder(
+    "cohort_retention",
+    tags=("sequence", "cohort", "behavioral", "agg"),
+    doc="Weekly cohort-retention matrix over the events stream — the "
+    "classic product-analytics operator the reference's dashboard layer "
+    "has no primitive for: each user's cohort is their FIRST active week "
+    "(Monday-truncated — Spark and DuckDB agree on ISO week starts), "
+    "activity is distinct (user, week), and the matrix counts active "
+    "users per (cohort week, whole weeks since) with retention as exact "
+    "ppm of the cohort's size. Scale shape: one per-user min (map-side "
+    "combinable), one distinct on (user, week) (same), one matrix "
+    "aggregate — three shuffles total, all on user-or-cohort keys, no "
+    "window over the raw event grain and nothing driver-side. Week "
+    "differences are exact multiples of 7 days by construction, so the "
+    "weeks_since integer division is engine-exact.",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events
+        ), first AS (
+            SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM first GROUP BY cohort_wk
+        ), mat AS (
+            SELECT f.cohort_wk,
+                   CAST(date_diff('day', f.cohort_wk, a.wk) // 7 AS INT)
+                       AS weeks_since,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+            FROM act a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        )
+        SELECT strftime(m.cohort_wk, '%Y-%m-%d') AS cohort_week,
+               m.weeks_since, m.active_users, s.cohort_size,
+               CAST(ROUND(1000000.0 * m.active_users / s.cohort_size)
+                    AS BIGINT) AS retention_ppm
+        FROM mat m JOIN sizes s ON m.cohort_wk = s.cohort_wk
+        ORDER BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    mat = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+    return (
+        mat.join(sizes, "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.lit(1_000_000.0) * F.col("active_users") / F.col("cohort_size")
+            )
+            .cast("bigint")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@builder(
+    "ab_test_lift",
+    tags=("sequence", "experiment", "agg", "behavioral"),
+    doc="A/B-experiment readout over the events stream: users assigned by "
+    "user_id parity (control = even, treatment = odd — deterministic in "
+    "any engine), metric = purchases per user (a conversion-rate metric "
+    "saturates on this corpus — every user buys — so the readout is the "
+    "two-sample difference of MEANS, the test a revenue dashboard runs). "
+    "One pass: per-user purchase counts, ONE 2-row arm rollup carrying "
+    "exact integer sums and sums of squares, arms pivoted to a single "
+    "comparison row by conditional sums (no self-join). Means, lift, and "
+    "the pooled-variance z-statistic are computed from identical BIGINTs "
+    "in both engines — IEEE-identical doubles — and rounded to 1e-4.",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS arm,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k
+            FROM events GROUP BY user_id
+        ), arms AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS s1,
+                   CAST(SUM(k * k) AS BIGINT) AS s2
+            FROM per_user GROUP BY arm
+        ), flat AS (
+            SELECT CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS control_users,
+                   CAST(SUM(CASE WHEN arm = 0 THEN s1 END) AS BIGINT) AS control_purchases,
+                   CAST(SUM(CASE WHEN arm = 0 THEN s2 END) AS BIGINT) AS c_s2,
+                   CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS treat_users,
+                   CAST(SUM(CASE WHEN arm = 1 THEN s1 END) AS BIGINT) AS treat_purchases,
+                   CAST(SUM(CASE WHEN arm = 1 THEN s2 END) AS BIGINT) AS t_s2
+            FROM arms
+        )
+        SELECT control_users, control_purchases, treat_users, treat_purchases,
+               CAST(ROUND(10000.0 * control_purchases / control_users) AS BIGINT)
+                   AS control_mean_e4,
+               CAST(ROUND(10000.0 * treat_purchases / treat_users) AS BIGINT)
+                   AS treat_mean_e4,
+               CAST(ROUND(10000.0 * treat_purchases / treat_users
+                    - 10000.0 * control_purchases / control_users) AS BIGINT)
+                   AS lift_e4,
+               CAST(ROUND(
+                   (1.0 * treat_purchases / treat_users
+                    - 1.0 * control_purchases / control_users)
+                   / SQRT(((c_s2 - 1.0 * control_purchases * control_purchases / control_users)
+                           + (t_s2 - 1.0 * treat_purchases * treat_purchases / treat_users))
+                          / (control_users + treat_users - 2)
+                          * (1.0 / control_users + 1.0 / treat_users))
+                   * 10000.0) AS BIGINT) AS z_e4
+        FROM flat
+    """,
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "k")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("s2"),
+    )
+    flat = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("control_users"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s1"))).cast("bigint").alias("control_purchases"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s2"))).cast("bigint").alias("c_s2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("treat_users"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s1"))).cast("bigint").alias("treat_purchases"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s2"))).cast("bigint").alias("t_s2"),
+    )
+    m_c = F.lit(1.0) * F.col("control_purchases") / F.col("control_users")
+    m_t = F.lit(1.0) * F.col("treat_purchases") / F.col("treat_users")
+    var_pool = (
+        (
+            F.col("c_s2")
+            - F.lit(1.0) * F.col("control_purchases") * F.col("control_purchases") / F.col("control_users")
+        )
+        + (
+            F.col("t_s2")
+            - F.lit(1.0) * F.col("treat_purchases") * F.col("treat_purchases") / F.col("treat_users")
+        )
+    ) / (F.col("control_users") + F.col("treat_users") - 2)
+    z = (m_t - m_c) / F.sqrt(
+        var_pool
+        * (F.lit(1.0) / F.col("control_users") + F.lit(1.0) / F.col("treat_users"))
+    )
+    return flat.select(
+        "control_users",
+        "control_purchases",
+        "treat_users",
+        "treat_purchases",
+        F.round(F.lit(10000.0) * m_c).cast("bigint").alias("control_mean_e4"),
+        F.round(F.lit(10000.0) * m_t).cast("bigint").alias("treat_mean_e4"),
+        F.round(F.lit(10000.0) * m_t - F.lit(10000.0) * m_c)
+        .cast("bigint")
+        .alias("lift_e4"),
+        F.round(z * 10000.0).cast("bigint").alias("z_e4"),
+    )

@@ -242,6 +242,10 @@ HEADLINE = (
     # round 10: steady-state ANN grain — one increment assigned to frozen
     # IVF centroids + one append commit + a probe from the refreshed index
     "ivf_single_refresh",
+    # round 10: behavioral-analytics shapes over the events stream —
+    # weekly cohort-retention matrix and the A/B mean-lift readout
+    "cohort_retention",
+    "ab_test_lift",
 )
 
 
