@@ -220,6 +220,85 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_group_candidates(
+    bands: DataFrame, hash_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Candidate pairs at DISTINCT-HASH group grain from an exploded band
+    frame ``(modality, <hash_col>, rep, band, bval)``: self-join on the
+    band bucket, canonical orientation rep_a < rep_b, distinct. Shared by
+    both pHash tiers — only the band GENERATION differs (5-bit shiftright
+    slices vs 20-bit posexploded array values)."""
+    a = bands.select(
+        "modality",
+        F.col(hash_col).alias(a_name),
+        F.col("rep").alias("rep_a"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        "modality",
+        F.col(hash_col).alias(b_name),
+        F.col("rep").alias("rep_b"),
+        "band",
+        "bval",
+    )
+    return (
+        a.join(b, ["modality", "band", "bval"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("modality", a_name, b_name, "rep_a", "rep_b")
+        .distinct()
+    )
+
+
+def _group_pair_fanout(
+    hashes: DataFrame, pairs: DataFrame, hash_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Fan group-grain qualifying pairs back out to assets (shared by both
+    pHash tiers). ``pairs``: (modality, <a_name>, <b_name>, hamming) with
+    each unordered GROUP pair appearing exactly once (rep_a < rep_b), so
+    least/greatest emits each asset pair exactly once. Within-group pairs
+    (identical hashes) are hamming 0 by construction — no banding, no xor
+    fold."""
+    cross = (
+        pairs.join(
+            hashes.select(
+                F.col("asset_id").alias("id_a"),
+                "modality",
+                F.col(hash_col).alias(a_name),
+            ),
+            ["modality", a_name],
+        )
+        .join(
+            hashes.select(
+                F.col("asset_id").alias("id_b"),
+                "modality",
+                F.col(hash_col).alias(b_name),
+            ),
+            ["modality", b_name],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("asset_a"),
+            F.greatest("id_a", "id_b").alias("asset_b"),
+            "modality",
+            "hamming",
+        )
+    )
+    within = (
+        hashes.join(
+            hashes.select(F.col("asset_id").alias("id_b"), "modality", hash_col),
+            ["modality", hash_col],
+        )
+        .where(F.col("asset_id") < F.col("id_b"))
+        .select(
+            F.col("asset_id").alias("asset_a"),
+            F.col("id_b").alias("asset_b"),
+            "modality",
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within).orderBy("asset_a", "asset_b")
+
+
 @builder(
     "multimodal_phash_neardup",
     tags=("multimodal", "dedup", "phash", "lsh", "mapinpandas"),
@@ -296,68 +375,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bval", F.expr("shiftright(phash, band * 5) & 31"))
         .select("modality", "phash", "rep", "band", "bval")
     )
-    a = bands.select(
-        "modality",
-        F.col("phash").alias("ph_a"),
-        F.col("rep").alias("rep_a"),
-        "band",
-        "bval",
-    )
-    b = bands.select(
-        "modality",
-        F.col("phash").alias("ph_b"),
-        F.col("rep").alias("rep_b"),
-        "band",
-        "bval",
-    )
-    cand = (
-        a.join(b, ["modality", "band", "bval"])
-        .where(F.col("rep_a") < F.col("rep_b"))
-        .select("modality", "ph_a", "ph_b", "rep_a", "rep_b")
-        .distinct()
-    )
+    cand = _banded_group_candidates(bands, "phash", "ph_a", "ph_b")
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     pairs = cand.where(hamming <= 11).withColumn(
         "hamming", hamming.cast("bigint")
     )
-    cross = (
-        pairs.join(
-            hashes.select(
-                F.col("asset_id").alias("id_a"),
-                "modality",
-                F.col("phash").alias("ph_a"),
-            ),
-            ["modality", "ph_a"],
-        )
-        .join(
-            hashes.select(
-                F.col("asset_id").alias("id_b"),
-                "modality",
-                F.col("phash").alias("ph_b"),
-            ),
-            ["modality", "ph_b"],
-        )
-        .select(
-            F.least("id_a", "id_b").alias("asset_a"),
-            F.greatest("id_a", "id_b").alias("asset_b"),
-            "modality",
-            "hamming",
-        )
-    )
-    within = (
-        hashes.join(
-            hashes.select(F.col("asset_id").alias("id_b"), "modality", "phash"),
-            ["modality", "phash"],
-        )
-        .where(F.col("asset_id") < F.col("id_b"))
-        .select(
-            F.col("asset_id").alias("asset_a"),
-            F.col("id_b").alias("asset_b"),
-            "modality",
-            F.lit(0).cast("bigint").alias("hamming"),
-        )
-    )
-    return cross.unionByName(within).orderBy("asset_a", "asset_b")
+    return _group_pair_fanout(hashes, pairs, "phash", "ph_a", "ph_b")
 
 
 def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
@@ -376,26 +399,7 @@ def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
         "rep",
         F.posexplode("bands").alias("band", "bval"),
     )
-    a = bands.select(
-        "modality",
-        F.col("bands").alias("bs_a"),
-        F.col("rep").alias("rep_a"),
-        "band",
-        "bval",
-    )
-    b = bands.select(
-        "modality",
-        F.col("bands").alias("bs_b"),
-        F.col("rep").alias("rep_b"),
-        "band",
-        "bval",
-    )
-    return (
-        a.join(b, ["modality", "band", "bval"])
-        .where(F.col("rep_a") < F.col("rep_b"))
-        .select("modality", "bs_a", "bs_b", "rep_a", "rep_b")
-        .distinct()
-    )
+    return _banded_group_candidates(bands, "bands", "bs_a", "bs_b")
 
 
 @query(
@@ -459,7 +463,6 @@ def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
 def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
     from aws_flight_data_pipeline_spark.operators.multimodal import (
-        PHASH_WIDE_BANDS,
         phash_wide_assets,
     )
 
@@ -489,48 +492,4 @@ def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = cand.withColumn("hamming", hamming.cast("bigint")).where(
         F.col("hamming") <= 11
     )
-    # Fan-out 1: cross-group qualifying pairs -> every (member_a, member_b).
-    # Each unordered GROUP pair appears exactly once (rep_a < rep_b), so
-    # least/greatest emits each asset pair exactly once.
-    cross = (
-        pairs.join(
-            hashes.select(
-                F.col("asset_id").alias("id_a"),
-                "modality",
-                F.col("bands").alias("bs_a"),
-            ),
-            ["modality", "bs_a"],
-        )
-        .join(
-            hashes.select(
-                F.col("asset_id").alias("id_b"),
-                "modality",
-                F.col("bands").alias("bs_b"),
-            ),
-            ["modality", "bs_b"],
-        )
-        .select(
-            F.least("id_a", "id_b").alias("asset_a"),
-            F.greatest("id_a", "id_b").alias("asset_b"),
-            "modality",
-            "hamming",
-        )
-    )
-    # Fan-out 2: within-group pairs — identical hashes, hamming 0 by
-    # construction (no banding, no xor fold needed).
-    within = (
-        hashes.join(
-            hashes.select(
-                F.col("asset_id").alias("id_b"), "modality", "bands"
-            ),
-            ["modality", "bands"],
-        )
-        .where(F.col("asset_id") < F.col("id_b"))
-        .select(
-            F.col("asset_id").alias("asset_a"),
-            F.col("id_b").alias("asset_b"),
-            "modality",
-            F.lit(0).cast("bigint").alias("hamming"),
-        )
-    )
-    return cross.unionByName(within).orderBy("asset_a", "asset_b")
+    return _group_pair_fanout(hashes, pairs, "bands", "bs_a", "bs_b")

@@ -1484,9 +1484,19 @@ def streaming_unified_admission_gate(
         fp_comb, buckets_comb = _fold_admission_state(
             spark, fp_index, band_buckets, state_path, batch_id
         )
-        decisions = unified_admission_decisions(
-            spark, batch_df, eval_index_path, fp_comb, buckets_comb
-        ).withColumn("batch_id", F.lit(batch_id))
+        from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
+
+        # three consumers share this plan (decisions commit, corpus commit,
+        # state delta) — cache it or every micro-batch pays the quality
+        # gate + eval probe + banded election three times; released by the
+        # release_tracked() below once all three writes have materialized
+        decisions = (
+            unified_admission_decisions(
+                spark, batch_df, eval_index_path, fp_comb, buckets_comb
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .transform(tracked_cache)
+        )
 
         admitted_ids = decisions.where("admitted").select("doc_id")
         commit_stream_batch(decisions, batch_id, decisions_path)

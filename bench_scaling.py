@@ -431,6 +431,7 @@ def main() -> None:
             )
             if proc.returncode == 0:
                 out = json.loads(proc.stdout.strip().splitlines()[-1])
+                errors.pop(name, None)  # a successful retry is not an error
                 break
             errors[name] = proc.stderr.strip().splitlines()[-1][:300] if proc.stderr else f"exit {proc.returncode}"
         if out is None:

@@ -1,0 +1,50 @@
+"""infer_round: monotonic across driver gaps, stable within one session's
+multiple benches, pinnable via SPARK_GRAFT_ROUND."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from aws_flight_data_pipeline_spark.functions.rounds import infer_round
+
+
+def _touch(d, name):
+    with open(os.path.join(d, name), "w") as f:
+        json.dump({}, f)
+
+
+def test_driver_artifacts_drive_plus_one(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    d = str(tmp_path)
+    _touch(d, "BENCH_r07.json")
+    _touch(d, "CORRECTNESS_r09.json")  # driver gap at r08: still monotonic
+    assert infer_round(d) == 10
+
+
+def test_own_sidecars_do_not_increment_within_a_session(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    d = str(tmp_path)
+    _touch(d, "CORRECTNESS_r09.json")
+    assert infer_round(d) == 10
+    _touch(d, "BENCH_FULL_r10.json")  # this session's first bench
+    assert infer_round(d) == 10  # the scaling sweep stays on r10
+    _touch(d, "BENCH_SCALING_r10.json")
+    assert infer_round(d) == 10
+
+
+def test_sidecars_floor_prevents_backward_naming(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    d = str(tmp_path)
+    # the r9 inversion scenario: driver history ends at r07, but a sidecar
+    # from a later session is already committed as r09
+    _touch(d, "BENCH_r07.json")
+    _touch(d, "BENCH_FULL_r09.json")
+    assert infer_round(d) == 9  # never write below an existing sidecar
+
+
+def test_env_pin_wins(tmp_path, monkeypatch):
+    d = str(tmp_path)
+    _touch(d, "CORRECTNESS_r09.json")
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
+    assert infer_round(d) == 12
