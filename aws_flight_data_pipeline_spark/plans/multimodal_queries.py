@@ -173,7 +173,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "multimodal_feature_extract",
     tags=("multimodal", "mapinpandas", "features"),
     doc="Feature extraction (stub featurizer: L1-normalized 16-bin byte "

@@ -30,7 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_flight_data_pipeline_spark.plans.registry import builder
+from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources import table_stats as ts
 from aws_flight_data_pipeline_spark.sources import versioned as vt
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
@@ -170,7 +170,7 @@ def stats_planned_join_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "multiway_join_revenue_planned",
     tags=("join", "planner", "stats", "versioned", "multiway"),
     doc="The PRODUCTION Q5 path driven by the planner instead of hand-placed "

@@ -335,7 +335,7 @@ def multilevel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "rollup_subtotals",
     tags=("agg", "rollup"),
     doc="ROLLUP subtotal hierarchy (grand total → per-flag → per-flag-status) "
@@ -519,7 +519,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "zscore_anomalies",
     tags=("join", "anomaly", "crossjoin"),
     doc="Scalar-stats cross join + z-score top-k — the reference's statistical "
@@ -766,7 +766,7 @@ def daily_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "peak_hour_per_day",
     tags=("window", "agg"),
     doc="MAX(COUNT(*)) OVER partition — the peak-hour-flights pattern "

@@ -740,7 +740,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "cohort_retention",
     tags=("sequence", "cohort", "behavioral", "agg"),
     doc="Weekly cohort-retention matrix over the events stream — the "
@@ -821,7 +821,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "ab_test_lift",
     tags=("sequence", "experiment", "agg", "behavioral"),
     doc="A/B-experiment readout over the events stream: users assigned by "

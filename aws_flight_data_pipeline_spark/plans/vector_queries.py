@@ -1160,7 +1160,7 @@ def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_DIRS: dict[str, str] = {}
 
 
-@builder(
+@query(
     "ivf_single_refresh",
     tags=("vector", "ann", "ivf", "ivm", "versioned", "scale"),
     doc="The steady-state ANN-index operation at its own grain — the vector "
