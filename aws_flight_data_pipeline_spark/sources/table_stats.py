@@ -215,13 +215,235 @@ def row_count(path: str, version: int | None = None) -> int:
     )
 
 
+#: Session-lifetime NDV cache for PLAIN-PARQUET planner inputs, keyed by the
+#: file list's (path, mtime, size) fingerprint — the parquet analog of the
+#: versioned table's ``_stats/hll.json`` sidecar, held in memory because raw
+#: inputs may be read-only (the testdata mount is). A rewrite of any file
+#: changes the fingerprint and invalidates exactly that table's entry.
+_PARQUET_NDV_CACHE: dict[tuple, dict[str, int]] = {}
+
+
+def _parquet_ndv(
+    spark: SparkSession, path: str, files: list[str], cols: tuple[str, ...]
+) -> dict[str, int]:
+    """ANALYZE-on-demand for a plain-parquet table: one column-pruned pass
+    computing ``approx_count_distinct`` (Spark's JVM-side HLL++) for every
+    requested column at once, cached for the session (see
+    ``_PARQUET_NDV_CACHE``). Only the key columns are scanned — at 100 TB
+    this reads the key columns' pages once per session, not per query."""
+    fp = tuple(
+        (f, os.path.getmtime(f), os.path.getsize(f)) for f in sorted(files)
+    )
+    cached = _PARQUET_NDV_CACHE.setdefault((os.path.realpath(path), fp), {})
+    missing = [c for c in cols if c not in cached]
+    if missing:
+        row = (
+            spark.read.parquet(*files)
+            .select([F.approx_count_distinct(c).alias(c) for c in missing])
+            .first()
+        )
+        for c in missing:
+            cached[c] = int(row[c])
+    return {c: cached[c] for c in cols}
+
+
+def _row_group_may_match(group, where: dict) -> bool:
+    """Row-group-level footer pruning for plain parquet: False only when a
+    recorded [min, max] is provably disjoint from the requested inclusive
+    range. Missing stats or incomparable bound types keep the group
+    (conservative, exactly like the manifest's ``plan_files``)."""
+    mm: dict[str, tuple] = {}
+    for i in range(group.num_columns):
+        c = group.column(i)
+        s = c.statistics
+        if s is not None and s.has_min_max:
+            mm[c.path_in_schema] = (s.min, s.max)
+    for col, (lo, hi) in where.items():
+        rng = mm.get(col)
+        if rng is None:
+            continue
+        try:
+            if rng[1] < lo or rng[0] > hi:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+class _Relation:
+    """One planner input table, behind a uniform stats/read surface.
+
+    ``spec`` is a path string, or ``{"path": ..., "select": {src: alias}}``
+    for projected/renamed reads — how the same base table joins a plan
+    twice under different roles (Q8's customer-nation vs supplier-nation).
+    Two kinds, auto-detected:
+
+    - VERSIONED table (has a committed manifest): exact footer row counts
+      via the manifest, filter pruning via ``plan_files`` footer stats,
+      NDV from the maintained per-file HLL sketches (``analyze`` tops up
+      uncovered files, O(churn)).
+    - PLAIN PARQUET file/directory: footer row counts via file listing
+      (row-group stats prune under a filter), NDV computed on demand and
+      session-cached (``_parquet_ndv``) — raw inputs may be read-only, so
+      no sidecar is written.
+
+    ``filters`` / ``where`` always name SOURCE columns (they apply before
+    the projection); join keys and ``out_columns`` live in ALIAS space.
+    """
+
+    def __init__(self, name: str, spec):
+        if isinstance(spec, str):
+            self.path, self.select = spec, None
+        else:
+            self.path = spec["path"]
+            self.select = spec.get("select")
+        self.name = name
+        self.versioned = versioned.latest_version(self.path) is not None
+        if not self.versioned and not os.path.exists(self.path):
+            raise FileNotFoundError(
+                f"planner table {name!r}: {self.path} is neither a versioned "
+                "table nor an existing parquet path"
+            )
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet")
+            )
+        return [self.path]
+
+    def out_columns(self) -> list[str]:
+        if self.select:
+            return list(self.select.values())
+        import pyarrow.parquet as pq
+
+        if self.versioned:
+            v = versioned.latest_version(self.path)
+            files = versioned._read_manifest(self.path, v)["files"]
+            if not files:
+                return []
+            first = os.path.join(self.path, files[0])
+        else:
+            first = self._files()[0]
+        return list(pq.ParquetFile(first).schema_arrow.names)
+
+    def src_of(self, alias: str) -> str:
+        if not self.select:
+            return alias
+        inv = {a: s for s, a in self.select.items()}
+        return inv[alias]
+
+    def rows(self, where: dict | None = None) -> int:
+        import pyarrow.parquet as pq
+
+        if self.versioned:
+            v = versioned.latest_version(self.path)
+            if where:
+                kept, _ = versioned.plan_files(self.path, v, where)
+            else:
+                kept = versioned._read_manifest(self.path, v)["files"]
+            return sum(
+                pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+                for f in kept
+            )
+        total = 0
+        for f in self._files():
+            md = pq.ParquetFile(f).metadata
+            if not where:
+                total += md.num_rows
+                continue
+            for i in range(md.num_row_groups):
+                g = md.row_group(i)
+                if _row_group_may_match(g, where):
+                    total += g.num_rows
+        return total
+
+    def read(self, spark: SparkSession, where: dict | None = None):
+        if self.versioned:
+            df = versioned.read(spark, self.path, where=where)
+        else:
+            # event-time parity with load_table: extraction functions over
+            # timestamp columns must see the same (UTC) session zone
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = spark.read.parquet(*self._files())
+            for col, (lo, hi) in (where or {}).items():
+                df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        if self.select:
+            df = df.select(*[F.col(s).alias(a) for s, a in self.select.items()])
+        return df
+
+    def ndv(
+        self, spark: SparkSession, alias_cols, ensure_analyzed: bool = True
+    ) -> dict[str, int | None]:
+        src = tuple(sorted({self.src_of(c) for c in alias_cols}))
+        if self.versioned:
+            if ensure_analyzed:
+                analyze(spark, self.path, src)
+            st = column_stats(self.path, src)
+            return {a: st[self.src_of(a)]["ndv"] for a in alias_cols}
+        if not ensure_analyzed:
+            return {a: None for a in alias_cols}
+        est = _parquet_ndv(spark, self.path, self._files(), src)
+        return {a: est[self.src_of(a)] for a in alias_cols}
+
+
+def edges_from_predicates(
+    predicates: list[str], columns_by_table: dict[str, list[str]]
+) -> list[tuple[str, str, str, str]]:
+    """Derive ``plan_join_tree``'s edge list from equi-join predicates —
+    the strings a SQL frontend's ON/WHERE conjunction would yield, so a
+    caller declares ``"l_orderkey = o_orderkey"`` instead of hand-building
+    4-tuples. Each side is ``col`` (resolved to its owning table, which
+    must be unique across the plan) or ``table.col`` (explicit). Column
+    names here are the tables' OUTPUT (alias-space) names."""
+    owner: dict[str, list[str]] = {}
+    for t, cols in columns_by_table.items():
+        for c in cols:
+            owner.setdefault(c, []).append(t)
+
+    def resolve(tok: str) -> tuple[str, str]:
+        tok = tok.strip()
+        if "." in tok:
+            t, c = tok.split(".", 1)
+            if t not in columns_by_table or c not in columns_by_table[t]:
+                raise ValueError(f"unknown qualified column {tok!r}")
+            return t, c
+        owners = owner.get(tok, [])
+        if not owners:
+            raise ValueError(f"unknown column {tok!r} in join predicate")
+        if len(owners) > 1:
+            raise ValueError(
+                f"ambiguous column {tok!r} (owned by {sorted(owners)}); "
+                "qualify it as table.col or alias one side's columns"
+            )
+        return owners[0], tok
+
+    edges = []
+    for p in predicates:
+        sides = p.split("=")
+        if len(sides) != 2:
+            raise ValueError(f"not an equi-join predicate: {p!r}")
+        ta, ka = resolve(sides[0])
+        tb, kb = resolve(sides[1])
+        if ta == tb:
+            raise ValueError(
+                f"predicate {p!r} references one table twice; a self-join "
+                "needs the table registered under two aliased names"
+            )
+        edges.append((ta, ka, tb, kb))
+    return edges
+
+
 def plan_join_tree(
     spark: SparkSession,
-    tables: dict[str, str],
-    edges: list[tuple[str, str, str, str]],
+    tables: dict[str, str | dict],
+    edges: list[tuple[str, str, str, str]] | None = None,
     broadcast_threshold_rows: int = 1_000_000,
     ensure_analyzed: bool = True,
     filters: dict[str, dict] | None = None,
+    predicates: list[str] | None = None,
 ):
     """Cost-based LEFT-DEEP ordering + per-edge strategy for a 3+ table
     equi-join over versioned tables, driven entirely by the ANALYZE tier:
@@ -239,14 +461,22 @@ def plan_join_tree(
     (``sql/athena/07_optimization_guide.sql:193-234``), automated from
     maintained statistics instead of hand-written per query.
 
-    ``tables``: name -> versioned table path. ``edges``: equi-join
-    conditions ``(table_a, key_a, table_b, key_b)``; the edge set must
+    ``tables``: name -> versioned table path, plain-parquet path, or a
+    ``{"path", "select": {src: alias}}`` spec (see :class:`_Relation` —
+    plain parquet gets footer row counts via file listing and NDV on
+    demand; ``select`` lets one base table join the plan twice under
+    different roles). ``edges``: equi-join conditions ``(table_a, key_a,
+    table_b, key_b)`` — or pass ``predicates`` (``"l_orderkey =
+    o_orderkey"`` strings, the form a SQL frontend's ON conjunction
+    yields) and the edge list is derived by resolving each column to its
+    owning table (:func:`edges_from_predicates`). The edge set must
     connect all tables (tree or cyclic — a cyclic edge whose both sides
     are already joined is applied as a post-filter). When
     ``ensure_analyzed`` is set, join-key columns missing an HLL sketch are
-    analyzed first (O(uncovered files), the ANALYZE tier's top-up
-    contract); otherwise an unsketched key falls back to the table's row
-    count (assume-unique — conservative for dimension keys).
+    analyzed first (O(uncovered files) for versioned tables, one cached
+    ``approx_count_distinct`` pass for plain parquet); otherwise an
+    unsketched key falls back to the table's row count (assume-unique —
+    conservative for dimension keys).
 
     ``filters``: per-table range/equality predicates ``{table: {col:
     (lo, hi)}}`` — the optimization guide's FILTER-BEFORE-JOIN rule made a
@@ -263,6 +493,15 @@ def plan_join_tree(
     """
     if len(tables) < 2:
         raise ValueError("plan_join_tree needs at least two tables")
+    rels = {t: _Relation(t, spec) for t, spec in tables.items()}
+    if predicates is not None:
+        if edges is not None:
+            raise ValueError("pass edges or predicates, not both")
+        edges = edges_from_predicates(
+            predicates, {t: r.out_columns() for t, r in rels.items()}
+        )
+    if edges is None:
+        raise ValueError("plan_join_tree needs edges or predicates")
     keys_by_table: dict[str, set[str]] = {t: set() for t in tables}
     for a, ka, b, kb in edges:
         if a not in tables or b not in tables:
@@ -272,41 +511,24 @@ def plan_join_tree(
 
     filters = filters or {}
 
-    def _pruned_rows(t: str) -> int:
-        where = filters.get(t)
-        if not where:
-            return row_count(tables[t])
-        import pyarrow.parquet as pq
-
-        path = tables[t]
-        v = versioned.latest_version(path)
-        kept, _ = versioned.plan_files(path, v, where)
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in kept
-        )
-
-    n: dict[str, int] = {t: _pruned_rows(t) for t in tables}
+    n: dict[str, int] = {t: rels[t].rows(filters.get(t)) for t in tables}
     ndv: dict[str, dict[str, int]] = {}
-    for t, p in tables.items():
+    for t, rel in rels.items():
         cols = tuple(sorted(keys_by_table[t]))
         if not cols:
             ndv[t] = {}
             continue
-        if ensure_analyzed:
-            analyze(spark, p, cols)
-        st = column_stats(p, cols)
+        st = rel.ndv(spark, cols, ensure_analyzed)
         # assume-unique fallback for unsketched keys; cap at the (possibly
         # filter-pruned) row count — an NDV above the rows that survive
         # pruning is impossible among the surviving rows, and capping
         # tightens the join estimate exactly when a filter made the
         # table's key set smaller
-        ndv[t] = {
-            c: min(n[t], st[c]["ndv"]) if st[c]["ndv"] else n[t] for c in cols
-        }
+        ndv[t] = {c: min(n[t], st[c]) if st[c] else n[t] for c in cols}
 
     fact = max(n, key=lambda t: (n[t], t))
     joined = {fact}
-    df = versioned.read(spark, tables[fact], where=filters.get(fact))
+    df = rels[fact].read(spark, filters.get(fact))
     cur = n[fact]
     steps: list[dict] = []
     remaining = list(edges)
@@ -357,7 +579,7 @@ def plan_join_tree(
         remaining.remove(e)
         a, ka, b, kb = e
         t, tk, jk = pick
-        right = versioned.read(spark, tables[t], where=filters.get(t))
+        right = rels[t].read(spark, filters.get(t))
         bcast = n[t] <= broadcast_threshold_rows
         right_in = F.broadcast(right) if bcast else right
         df = df.join(right_in, on=F.col(jk) == F.col(tk), how="inner")

@@ -242,6 +242,9 @@ HEADLINE = (
     # round 10: steady-state ANN grain — one increment assigned to frozen
     # IVF centroids + one append commit + a probe from the refreshed index
     "ivf_single_refresh",
+    # round 11: the planner's SECOND consumer — Q8 (eight tables, nation
+    # twice) planned from RAW parquet with predicate-derived edges
+    "nation_market_share_planned",
     # round 10: behavioral-analytics shapes over the events stream —
     # weekly cohort-retention matrix and the A/B mean-lift readout
     "cohort_retention",
