@@ -1745,3 +1745,204 @@ def _bpe_apply(
 )
 def bpe_apply_encode_deep64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_apply(spark, sf_dir, 64, hashed=True)
+
+
+#: Unfiltered distinct 3-shingles — the near-dup election's token sets
+#: (functions.text.shingles(text, 3) verbatim; the decontamination side
+#: filters '' via _SHINGLE_SQL, the admission index does not).
+_USH_SQL = """list_distinct(list_transform(
+        range(1, GREATEST(len(string_split(text, ' ')) - 2, 1) + 1),
+        i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"""
+
+#: word 2-grams WITH multiplicity (functions.text.word_ngrams(text, 2)) —
+#: the streaming quality gate's repetition rule counts duplicate
+#: OCCURRENCES, not duplicate characters.
+_G2_SQL = """list_transform(
+        range(1, GREATEST(len(string_split(text, ' ')) - 1, 1) + 1),
+        i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))"""
+
+
+def _unified_admission_oracle() -> str:
+    from aws_flight_data_pipeline_spark.functions.text import minhash_fast_sql
+
+    sig = minhash_fast_sql("sh", 8)
+    jac_ppm = (
+        "CAST(ROUND(1000000.0 * n_common / (sz_t + sz_e - n_common)) AS BIGINT)"
+    )
+    return f"""
+        WITH batch AS (
+            SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 1
+        ), qf AS (
+            SELECT doc_id, source,
+                   (wc BETWEEN 25 AND 90)
+                   AND (4 * wc <= nchars AND nchars <= 6 * wc)
+                   AND has_stop
+                   AND (5 * dt >= 2 * wc)
+                   AND (10 * (len(g2) - len(list_distinct(g2))) < len(g2))
+                       AS passed_quality
+            FROM (
+                SELECT doc_id, source,
+                       {_WORD_COUNT_SQL} AS wc,
+                       LENGTH(text) - ({_WORD_COUNT_SQL} - 1) AS nchars,
+                       len(list_distinct(string_split(text, ' '))) AS dt,
+                       (contains(' ' || text || ' ', ' the ')
+                        AND contains(' ' || text || ' ', ' a ')) AS has_stop,
+                       {_G2_SQL} AS g2
+                FROM batch
+            )
+        ), eval_sh AS (
+            SELECT doc_id AS eval_id, {_SHINGLE_SQL} AS esh
+            FROM documents WHERE doc_id % 7 = 0
+        ), qp AS (
+            SELECT b.doc_id, {_SHINGLE_SQL} AS tsh
+            FROM batch b JOIN qf ON qf.doc_id = b.doc_id AND qf.passed_quality
+        ), hits AS (
+            SELECT doc_id, eval_id, n_common, sz_t, sz_e
+            FROM (
+                SELECT t.doc_id, e.eval_id,
+                       len(list_intersect(t.tsh, e.esh)) AS n_common,
+                       len(t.tsh) AS sz_t, len(e.esh) AS sz_e
+                FROM qp t, eval_sh e
+            ) WHERE 10 * n_common >= 7 * (sz_t + sz_e - n_common)
+        ), best AS (
+            SELECT doc_id, eval_id AS contaminating_eval_id, jac_ppm
+            FROM (
+                SELECT doc_id, eval_id, {jac_ppm} AS jac_ppm,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY {jac_ppm} DESC, eval_id
+                       ) AS rk
+                FROM hits
+            ) WHERE rk = 1
+        ), cen AS (
+            SELECT doc_id, fp, sh, {sig} AS sig
+            FROM (
+                SELECT b.doc_id, md5(lower(trim(b.text))) AS fp, {_USH_SQL} AS sh
+                FROM batch b
+                JOIN qf ON qf.doc_id = b.doc_id AND qf.passed_quality
+                LEFT JOIN best ON best.doc_id = b.doc_id
+                WHERE best.doc_id IS NULL
+            )
+        ), cbands AS (
+            SELECT doc_id, fp, sh, 0 AS band_id,
+                   md5(array_to_string(sig[1:4], '|')) AS band_key FROM cen
+            UNION ALL
+            SELECT doc_id, fp, sh, 1, md5(array_to_string(sig[5:8], '|')) FROM cen
+        ), base AS (
+            SELECT doc_id, fp, sh, {sig} AS sig
+            FROM (
+                SELECT doc_id, md5(lower(trim(text))) AS fp, {_USH_SQL} AS sh
+                FROM documents WHERE doc_id % 7 = 1
+            )
+        ), bbands AS (
+            SELECT sh, 0 AS band_id,
+                   md5(array_to_string(sig[1:4], '|')) AS band_key FROM base
+            UNION ALL
+            SELECT sh, 1, md5(array_to_string(sig[5:8], '|')) FROM base
+        ), vs_base AS (
+            SELECT c.doc_id,
+                   c.fp IN (SELECT fp FROM base) AS is_exact,
+                   EXISTS (
+                       SELECT 1 FROM cbands cb
+                       JOIN bbands bb ON bb.band_id = cb.band_id
+                                     AND bb.band_key = cb.band_key
+                       WHERE cb.doc_id = c.doc_id
+                         AND 2 * len(list_intersect(cb.sh, bb.sh))
+                             >= len(cb.sh) + len(bb.sh)
+                                - len(list_intersect(cb.sh, bb.sh))
+                   ) AS is_near
+            FROM cen c
+        ), surv AS (
+            SELECT c.doc_id, c.fp, c.sh FROM cen c
+            JOIN vs_base v ON v.doc_id = c.doc_id
+            WHERE NOT v.is_exact AND NOT v.is_near
+        ), sbands AS (
+            SELECT s.doc_id, s.sh, cb.band_id, cb.band_key
+            FROM surv s JOIN cbands cb ON cb.doc_id = s.doc_id
+        ), intra AS (
+            SELECT b.doc_id FROM surv a
+            JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            UNION
+            SELECT b.doc_id FROM sbands a
+            JOIN sbands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id
+            WHERE 2 * len(list_intersect(a.sh, b.sh))
+                  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        ), nd AS (
+            SELECT v.doc_id, v.is_exact, v.is_near,
+                   (i.doc_id IS NOT NULL) AS intra_batch_dup,
+                   (NOT v.is_exact AND NOT v.is_near AND i.doc_id IS NULL)
+                       AS dedup_ok
+            FROM vs_base v LEFT JOIN (SELECT DISTINCT doc_id FROM intra) i
+                ON i.doc_id = v.doc_id
+        )
+        SELECT b.doc_id, b.source,
+               qf.passed_quality,
+               best.contaminating_eval_id,
+               best.jac_ppm,
+               CAST(nd.is_exact AS INTEGER) AS is_exact,
+               CAST(nd.is_near AS INTEGER) AS is_near,
+               CAST(nd.intra_batch_dup AS INTEGER) AS intra_batch_dup,
+               COALESCE(nd.dedup_ok, FALSE) AS admitted,
+               CASE WHEN NOT qf.passed_quality THEN 'quality'
+                    WHEN best.contaminating_eval_id IS NOT NULL THEN 'contaminated'
+                    WHEN NOT nd.dedup_ok THEN 'duplicate'
+                    ELSE NULL END AS reject_stage
+        FROM batch b
+        JOIN qf ON qf.doc_id = b.doc_id
+        LEFT JOIN best ON best.doc_id = b.doc_id
+        LEFT JOIN nd ON nd.doc_id = b.doc_id
+        ORDER BY b.doc_id
+    """
+
+
+@builder(
+    "unified_admission_decision_table",
+    oracle=_unified_admission_oracle(),
+    tags=("curation", "admission", "quality", "decontamination", "dedup"),
+    doc="The unified streaming admission gate's BATCH TWIN as an oracled "
+    "per-document decision table (verdict-r10 #6): quality funnel -> "
+    "frozen-eval decontamination probe -> near-dup election vs a base "
+    "corpus index + intra-batch keep-first, composed in ONE DataFrame "
+    "plan (streams.unified_admission_decisions — the SAME code path the "
+    "streaming gate runs per micro-batch, so driver-verified semantics "
+    "here ARE the gate's semantics). Deterministic splits of the "
+    "documents table: eval = doc_id %% 7 == 0 (indexed via the versioned "
+    "inverted index, exactly like decontam_incremental_probe), base "
+    "corpus = doc_id %% 7 == 1 (fingerprint + 2x4-band MinHash admission "
+    "index), batch = everything else — eval docs ride along as planted "
+    "contamination (J = 1 self-matches). The oracle recomputes every "
+    "stage value-exactly: md5 fingerprints, md5-family fast-MinHash "
+    "bands, integer-exact Jaccard thresholds (2|I| >= |A|+|B|-|I| for "
+    "J>=0.5; 10|I| >= 7|U| for J>=0.7), ppm attribution with the rounded "
+    "tie-break, short-circuit NULLs for stages a document never reached "
+    "(the three mechanism flags travel as INTEGER 1/0/NULL — nullable "
+    "booleans round-trip asymmetrically through pandas, nullable ints "
+    "don't).",
+)
+def unified_admission_decision_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.streaming.streams import (
+        corpus_admission_index,
+        unified_admission_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    eval_index_path = _decontam_eval_index(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % 7 == 1).select("doc_id", "text", "source")
+    fp_index, band_buckets = corpus_admission_index(base)
+    batch = docs.where(F.col("doc_id") % 7 != 1)
+    out = unified_admission_batch(
+        spark, batch, eval_index_path, fp_index, band_buckets
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "passed_quality",
+        "contaminating_eval_id",
+        "jac_ppm",
+        F.col("is_exact").cast("int").alias("is_exact"),
+        F.col("is_near").cast("int").alias("is_near"),
+        F.col("intra_batch_dup").cast("int").alias("intra_batch_dup"),
+        "admitted",
+        "reject_stage",
+    ).orderBy("doc_id")

@@ -245,6 +245,9 @@ HEADLINE = (
     # round 11: the planner's SECOND consumer — Q8 (eight tables, nation
     # twice) planned from RAW parquet with predicate-derived edges
     "nation_market_share_planned",
+    # round 11: the unified admission gate's batch twin — the per-document
+    # decision table (quality -> decontam -> near-dup election) oracled
+    "unified_admission_decision_table",
     # round 10: behavioral-analytics shapes over the events stream —
     # weekly cohort-retention matrix and the A/B mean-lift readout
     "cohort_retention",
