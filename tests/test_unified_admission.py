@@ -162,3 +162,95 @@ def test_unified_gate_stream_equals_batch_one_commit_per_table(spark, tmp_path):
         ).collect()
     }
     assert batch_dec == {d: _decision_key(dec[d]) for d in dec}
+
+
+def test_unified_gate_soak_bounded_state_flat_latency(spark, tmp_path):
+    """Verdict-r10 #7: a 50-micro-batch soak over the unified gate. The
+    per-batch release_tracked() discipline only holds if the CURVE is
+    flat — bounded cached blocks, bounded temp-view catalog, and
+    per-batch latency that does not grow with batch count (the state
+    fold reads all prior deltas, but as ONE multi-path scan whose
+    per-delta cost is a tiny file, so steady state must stay flat)."""
+    ipath = _eval_index(spark, tmp_path)
+    fp_index, band_buckets = _base_index(spark)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+
+    # 50 single-file drops, 2 docs each: one unique clean doc (admitted,
+    # so the learned state GROWS every batch — the leak-prone path) and
+    # one rotating role: every 5th batch replays batch 0's doc (rejected
+    # by the learned state), otherwise another unique clean doc.
+    now = time.time()
+    for b in range(50):
+        second = (
+            (10_000, _qdoc("s00"), "inc", "en")
+            if b % 5 == 4
+            else (20_000 + b, _qdoc(f"u{b:02d}"), "inc", "en")
+        )
+        rows = [(10_000 + b, _qdoc(f"s{b:02d}"), "inc", "en"), second]
+        path = f"{src}/b{b:03d}.parquet"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path + ".tmp")
+        os.rename(
+            next(
+                f"{path}.tmp/{f}"
+                for f in os.listdir(path + ".tmp")
+                if f.endswith(".parquet")
+            ),
+            path,
+        )
+        os.utime(path, (now + b * 30, now + b * 30))
+    import shutil
+
+    for b in range(50):
+        shutil.rmtree(f"{src}/b{b:03d}.parquet.tmp", ignore_errors=True)
+
+    views_before = len(spark.catalog.listTables())
+    # tiny per-batch data, 50 batches: 32-way shuffles would be pure
+    # scheduling overhead x thousands of stages — 4 is still plural
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = streaming_unified_admission_gate(
+            stream_documents(spark, src, max_files_per_trigger=1),
+            ipath,
+            fp_index,
+            band_buckets,
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "corpus"),
+            str(tmp_path / "decisions"),
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    progress = [
+        p
+        for p in (q.recentProgress or [])
+        if p and p["numInputRows"] > 0
+    ]
+    assert len(progress) >= 45  # 50 file-drops, allow trigger coalescing
+
+    # 100 decision rows (2 per batch); the ten batch-0 replays were
+    # rejected by the LEARNED state (is_exact via the folded deltas),
+    # the original was admitted once
+    rows = vt.read(spark, str(tmp_path / "decisions")).collect()
+    assert len(rows) == 100
+    replicas = [r for r in rows if r["doc_id"] == 10_000]
+    dups = [r for r in rows if r["reject_stage"] == "duplicate"]
+    assert len(dups) == 10 and all(r["is_exact"] for r in dups)
+    assert all(r["doc_id"] == 10_000 for r in dups)
+    assert len(replicas) == 11 and sum(r["admitted"] for r in replicas) == 1
+
+    # bounded state: zero leaked cached blocks, no temp-view growth
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert len(spark.catalog.listTables()) <= views_before
+
+    # flat latency: steady-state batches must not pay for batch count.
+    # Means over the 2nd and 5th deciles (skip the warmup decile) — a
+    # per-batch leak that grows the curve shows up as tail >> head.
+    durs = [p["durationMs"]["triggerExecution"] for p in progress]
+    head = sum(durs[5:15]) / 10.0
+    tail = sum(durs[-10:]) / 10.0
+    assert tail <= 2.0 * head, (head, tail, durs)
