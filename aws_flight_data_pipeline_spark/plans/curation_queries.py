@@ -1319,14 +1319,17 @@ def decontam_increment(
 
     One-sided prefix filter, provably lossless: if ``J(t, e) >= 0.7`` then
     ``|t ∩ e| >= 0.7|e|``, so ``t`` misses at most ``|e| - ceil(0.7|e|)``
-    of ``e``'s shingles and MUST contain one of the ``|e| - ceil(0.7|e|)
-    + 1`` rarest (the eval prefix). Candidates therefore come from the
-    increment's shingles joined to the broadcast eval PREFIX index; the
-    verify join against the full eval postings is also broadcast (the
-    eval split is the tiny relation by design). Rarity ranks by the eval
-    index's own document frequency — fixed once the index is refreshed,
-    no union-corpus re-rank per increment. Tombstoned eval docs (a
-    retired benchmark) drop out via the index's own mask.
+    of ``e``'s shingles and MUST contain one of ANY ``|e| - ceil(0.7|e|)
+    + 1``-subset (the eval prefix) — losslessness does not depend on which
+    subset is chosen, so the prefix orders by a fixed per-token hash and
+    falls out of ONE aggregation over the postings (a df-rarity order is
+    marginally more selective but cost three eval-sized shuffles per
+    probe). Candidates come from the increment's shingles joined to the
+    eval prefix (broadcast while the footer count says the eval index is
+    small); verification STREAMS the full postings past a broadcast
+    candidate-scoped probe set, so the eval side is never shuffled or
+    hash-built. Tombstoned eval docs (a retired benchmark) drop out via
+    the index's own mask.
 
     ``increment`` needs columns ``(doc_id, text)``; output matches
     ``decontam_fuzzy_pairs``: best-matching eval doc per contaminated
@@ -1360,15 +1363,35 @@ def decontam_increment(
 
     def _build_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if _eval_is_small else df.hint("merge")
-    sz_e = epost.groupBy("eval_id").agg(F.count("*").cast("bigint").alias("sz_eval"))
-    df_e = epost.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    we = Window.partitionBy("eval_id").orderBy("df", "tok")
+
+    # The pigeonhole prefix: if J(t, e) >= 0.7 then t misses at most
+    # sz_e - ceil(0.7·sz_e) of e's shingles, so it must contain one of ANY
+    # (sz_e - ceil(0.7·sz_e) + 1)-subset — losslessness does not depend on
+    # WHICH subset is chosen. Ordering by a fixed per-token hash (df-rarity
+    # order is marginally more selective) lets the prefix AND the set size
+    # come out of ONE aggregation over the postings, replacing the df
+    # roll-up + three-way join + per-doc rank sort that made every probe
+    # pay three eval-sized shuffles — the eval-growth cost the r10 scaling
+    # sweep flagged (probe ×100/×1 = 2.76, verdict-r10 #3).
     eval_prefix = (
-        epost.join(df_e, "tok")
-        .join(sz_e, "eval_id")
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") <= F.col("sz_eval") - F.expr("(7 * sz_eval + 9) div 10") + 1)
-        .select("eval_id", "tok", "sz_eval")
+        epost.groupBy("eval_id")
+        .agg(
+            F.count("*").cast("bigint").alias("sz_eval"),
+            F.array_sort(
+                F.collect_list(F.struct(F.xxhash64("tok").alias("h"), F.col("tok")))
+            ).alias("by_hash"),
+        )
+        .select(
+            "eval_id",
+            "sz_eval",
+            F.explode(
+                F.expr(
+                    "slice(by_hash, 1,"
+                    " cast(sz_eval - ((7 * sz_eval + 9) div 10) + 1 as int))"
+                )
+            ).alias("p"),
+        )
+        .select("eval_id", F.col("p.tok").alias("tok"), "sz_eval")
     )
 
     ttok = (
@@ -1389,13 +1412,21 @@ def decontam_increment(
         )
         .select("train_id", "eval_id", "sz_train", "sz_eval")
         .distinct()
+        .transform(tracked_cache)
     )
+    # Verify streams the postings PAST a candidate-scoped probe set: the
+    # eval side is never shuffled or broadcast here (the r10 probe
+    # broadcast the FULL postings — an eval-sized hash build per probe).
+    # The probe build side is measured, not assumed: the candidate count
+    # is a cheap count over the cached candidate frame, with a shuffle
+    # fallback for pathological increments.
+    n_cand = cand.count()
+    probe = cand.join(ttok, "train_id").select(
+        "train_id", "eval_id", "sz_train", "sz_eval", "tok"
+    )
+    probe_in = F.broadcast(probe) if n_cand <= 100_000 else probe.hint("merge")
     inter = (
-        cand.join(ttok, "train_id")
-        .join(
-            _build_side(epost),
-            ["eval_id", "tok"],
-        )
+        epost.join(probe_in, ["eval_id", "tok"])
         .groupBy("train_id", "eval_id", "sz_train", "sz_eval")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )

@@ -866,11 +866,17 @@ SCORED_PAIRS_CTES = f"""shing AS (
         )"""
 
 
-def scored_pair_frame(d: DataFrame) -> DataFrame:
+def scored_pair_frame(d: DataFrame, _stage_sink: dict | None = None) -> DataFrame:
     """Stages 1-3 of the fuzzy-dedup pipeline over a documents frame:
     shingle-MinHash LSH candidate generation + exploded-shingle Jaccard
     verification. Returns ``(doc_a, doc_b, j)`` for every candidate pair
-    (doc_a < doc_b). The Spark twin of :data:`SCORED_PAIRS_CTES`."""
+    (doc_a < doc_b). The Spark twin of :data:`SCORED_PAIRS_CTES`.
+
+    ``_stage_sink``: measurement hook — when a dict is passed, the three
+    cached stage frames (``bands``, ``cands``, ``cand_docs``) are exposed
+    through it so the scaling sidecar can materialize and time each stage
+    separately (bench_scaling's per-stage breakdown). Never used by
+    queries."""
     toks_arr = shingles(F.col("text"), 3)
 
     # stage 1: signatures + banding (per-row HOFs, zero shuffle). The md5
@@ -943,6 +949,8 @@ def scored_pair_frame(d: DataFrame) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_tok_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_tok_b"))
     n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    if _stage_sink is not None:
+        _stage_sink.update(bands=bands, cands=cands, cand_docs=cand_docs)
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -402,6 +402,104 @@ def measure_decontam_refresh() -> dict:
     }
 
 
+def measure_dedup_stages() -> dict:
+    """Per-stage breakdown of ``dedup_pipeline_end_to_end`` at x100 and
+    x1000 (verdict-r10 #2: the x1000 decade exponent crept 0.868 -> 1.034;
+    name the stage whose cost grows super-linearly before it crosses the
+    1.2 bar). Stage frames come from ``scored_pair_frame``'s measurement
+    hook and are materialized in dependency order, so each timing is the
+    marginal cost of exactly one stage: (1) signatures+banding, (2) the
+    banded candidate self-join, (3) the candidate-doc semi-join + shingle
+    re-derivation, (4) verification joins + survivor rollup (the full
+    query over the warm caches). Row counts per stage say WHICH
+    intermediate grows faster than the corpus."""
+    from pyspark.sql import functions as F
+
+    from aws_flight_data_pipeline_spark.plans.registry import resolve
+    from aws_flight_data_pipeline_spark.plans.text_queries import scored_pair_frame
+    from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+    _ensure_loaded()
+    spark = get_spark("afdp-spark-bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict] = {}
+    for mult in (100, XLARGE_MULT):
+        sf_dir = _ensure_scaled_corpus(spark, mult)
+        shutil.rmtree(_SNAPSHOT_ROOT, ignore_errors=True)
+        d = load_table(spark, sf_dir, "documents", fan_out=True)
+        sink: dict = {}
+        scored = scored_pair_frame(d, sink)
+
+        stages: dict[str, dict] = {}
+
+        def _stage(label: str, df, size_col=None) -> None:
+            t0 = time.perf_counter()
+            n = df.count()
+            rec: dict = {"seconds": round(time.perf_counter() - t0, 3), "rows": n}
+            if size_col is not None:
+                rec["token_rows"] = int(
+                    df.select(F.sum(F.size(size_col))).first()[0] or 0
+                )
+            stages[label] = rec
+
+        _stage("1_signatures_banding", sink["bands"])
+        _stage("2_band_candidate_join", sink["cands"])
+        _stage("3_candidate_doc_semijoin", sink["cand_docs"], size_col="toks")
+        t0 = time.perf_counter()
+        scored.write.format("noop").mode("overwrite").save()
+        stages["4_verify_joins"] = {
+            "seconds": round(time.perf_counter() - t0, 3),
+            "rows": stages["2_band_candidate_join"]["rows"],
+        }
+        t0 = time.perf_counter()
+        resolve("dedup_pipeline_end_to_end")(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        stages["5_full_query_warm_caches"] = {
+            "seconds": round(time.perf_counter() - t0, 3)
+        }
+        release_tracked()
+        out[f"x{mult}"] = stages
+
+    growth = {
+        k: round(
+            out[f"x{XLARGE_MULT}"][k]["seconds"]
+            / max(out["x100"][k]["seconds"], 1e-9),
+            2,
+        )
+        for k in out["x100"]
+    }
+    return {
+        "stages_by_mult": out,
+        "seconds_growth_x1000_over_x100": growth,
+        "corpus_growth": float(XLARGE_MULT) / 100.0,
+        "note": "a stage whose seconds-growth exceeds corpus_growth is the "
+        "super-linear stage; token_rows/rows show whether the INTERMEDIATE "
+        "grew or the per-row cost did",
+    }
+
+
+def measure_dedup_xxlarge() -> dict:
+    """One decade further for the watch-listed pipeline only (verdict-r10
+    #8): a single cold x2000 (10M docs) timing of
+    ``dedup_pipeline_end_to_end``, no warm-up (JIT is warm from the corpus
+    build), one run (minutes-costly; min-of-N is the smaller error source
+    at this scale)."""
+    _ensure_loaded()
+    spark = get_spark("afdp-spark-bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = _ensure_scaled_corpus(spark, 2000)
+    shutil.rmtree(_SNAPSHOT_ROOT, ignore_errors=True)
+    t0 = time.perf_counter()
+    resolve("dedup_pipeline_end_to_end")(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    secs = round(time.perf_counter() - t0, 3)
+    release_tracked()
+    return {"mult": 2000, "docs": 2000 * 5000, "seconds": secs}
+
+
 def main() -> None:
     if len(sys.argv) == 3 and sys.argv[1] == "--one":
         # child mode: one query in this fresh process; last stdout line = JSON
@@ -412,6 +510,12 @@ def main() -> None:
         return
     if len(sys.argv) == 2 and sys.argv[1] == "--decontam-increment":
         print(json.dumps(measure_decontam_refresh(), separators=(",", ":")))
+        return
+    if len(sys.argv) == 2 and sys.argv[1] == "--dedup-stages":
+        print(json.dumps(measure_dedup_stages(), separators=(",", ":")))
+        return
+    if len(sys.argv) == 2 and sys.argv[1] == "--dedup-xxlarge":
+        print(json.dumps(measure_dedup_xxlarge(), separators=(",", ":")))
         return
 
     results: dict[str, dict] = {}
@@ -455,6 +559,27 @@ def main() -> None:
     )
     decontam_incremental = json.loads(dec_proc.stdout.strip().splitlines()[-1])
 
+    # verdict-r10 #2/#8: per-stage dedup breakdown + the x2000 point — own
+    # child JVMs like every other measurement; a failure records, not voids
+    extras: dict[str, dict] = {}
+    for flag, key in (
+        ("--dedup-stages", "dedup_stage_breakdown"),
+        ("--dedup-xxlarge", "dedup_xxlarge"),
+    ):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode == 0:
+            extras[key] = json.loads(proc.stdout.strip().splitlines()[-1])
+        else:
+            errors[key] = (
+                proc.stderr.strip().splitlines()[-1][:300]
+                if proc.stderr
+                else f"exit {proc.returncode}"
+            )
+
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     from aws_flight_data_pipeline_spark.functions.rounds import infer_round
 
@@ -471,6 +596,7 @@ def main() -> None:
         },
         "index_refresh": index_refresh,
         "decontam_incremental": decontam_incremental,
+        **extras,
         "bar": "exponent_last_decade <= 1.2 (linear-ish); raw is a conservative bound",
         "child_errors": errors,
     }
