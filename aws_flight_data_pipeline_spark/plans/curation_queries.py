@@ -1317,19 +1317,19 @@ def decontam_increment(
     steady-state production twin, matching the ``corpus_merge_increment``
     contract).
 
-    One-sided prefix filter, provably lossless: if ``J(t, e) >= 0.7`` then
-    ``|t ∩ e| >= 0.7|e|``, so ``t`` misses at most ``|e| - ceil(0.7|e|)``
-    of ``e``'s shingles and MUST contain one of ANY ``|e| - ceil(0.7|e|)
-    + 1``-subset (the eval prefix) — losslessness does not depend on which
-    subset is chosen, so the prefix orders by a fixed per-token hash and
-    falls out of ONE aggregation over the postings (a df-rarity order is
-    marginally more selective but cost three eval-sized shuffles per
-    probe). Candidates come from the increment's shingles joined to the
-    eval prefix (broadcast while the footer count says the eval index is
-    small); verification STREAMS the full postings past a broadcast
-    candidate-scoped probe set, so the eval side is never shuffled or
-    hash-built. Tombstoned eval docs (a retired benchmark) drop out via
-    the index's own mask.
+    Exact and trivially lossless: the probe is ONE streamed pass of the
+    postings against the increment's broadcast shingle vocabulary —
+    both sides are distinct per (doc, tok), so the matched-pair row count
+    IS the exact intersection size and the J >= 0.7 cut applies directly;
+    there is no candidate stage and no separate verify. A second streamed
+    pass (semi-joined by the pair set) fetches set sizes for only the
+    eval docs that shared a shingle. The eval side is never shuffled,
+    sorted, or hash-built per probe — the eval-growth cost the r10
+    scaling sweep flagged. A classic PPJoin-style prefix filter earns its
+    keep when BOTH sides are corpus-scale (``decontam_fuzzy_pairs``); an
+    increment is batch-bounded by the ingestion contract, so its
+    vocabulary broadcast stays KB–MB. Tombstoned eval docs (a retired
+    benchmark) drop out via the index's own mask.
 
     ``increment`` needs columns ``(doc_id, text)``; output matches
     ``decontam_fuzzy_pairs``: best-matching eval doc per contaminated
@@ -1351,49 +1351,6 @@ def decontam_increment(
         tracked_cache
     )
 
-    # stats-driven build-side decision (the planner's footer-count rule):
-    # eval benchmark sets are bounded by contract, so the broadcast probe
-    # is the design point — but the decision is MEASURED, not assumed.
-    # An eval index that outgrew the bound (posting rows from parquet
-    # footers, no scan) falls back to shuffle joins instead of OOMing the
-    # broadcast build.
-    from aws_flight_data_pipeline_spark.sources.table_stats import row_count
-
-    _eval_is_small = row_count(eval_index_path) <= 2_000_000
-
-    def _build_side(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if _eval_is_small else df.hint("merge")
-
-    # The pigeonhole prefix: if J(t, e) >= 0.7 then t misses at most
-    # sz_e - ceil(0.7·sz_e) of e's shingles, so it must contain one of ANY
-    # (sz_e - ceil(0.7·sz_e) + 1)-subset — losslessness does not depend on
-    # WHICH subset is chosen. Ordering by a fixed per-token hash (df-rarity
-    # order is marginally more selective) lets the prefix AND the set size
-    # come out of ONE aggregation over the postings, replacing the df
-    # roll-up + three-way join + per-doc rank sort that made every probe
-    # pay three eval-sized shuffles — the eval-growth cost the r10 scaling
-    # sweep flagged (probe ×100/×1 = 2.76, verdict-r10 #3).
-    eval_prefix = (
-        epost.groupBy("eval_id")
-        .agg(
-            F.count("*").cast("bigint").alias("sz_eval"),
-            F.array_sort(
-                F.collect_list(F.struct(F.xxhash64("tok").alias("h"), F.col("tok")))
-            ).alias("by_hash"),
-        )
-        .select(
-            "eval_id",
-            "sz_eval",
-            F.explode(
-                F.expr(
-                    "slice(by_hash, 1,"
-                    " cast(sz_eval - ((7 * sz_eval + 9) div 10) + 1 as int))"
-                )
-            ).alias("p"),
-        )
-        .select("eval_id", F.col("p.tok").alias("tok"), "sz_eval")
-    )
-
     ttok = (
         increment.select(
             F.col("doc_id").alias("train_id"),
@@ -1403,32 +1360,41 @@ def decontam_increment(
     )
     sz_t = ttok.groupBy("train_id").agg(F.count("*").cast("bigint").alias("sz_train"))
 
-    cand = (
-        ttok.join(_build_side(eval_prefix), "tok")
-        .join(sz_t, "train_id")
-        .where(
-            (10 * F.col("sz_train") >= 7 * F.col("sz_eval"))
-            & (10 * F.col("sz_eval") >= 7 * F.col("sz_train"))
-        )
-        .select("train_id", "eval_id", "sz_train", "sz_eval")
-        .distinct()
+    # ONE streamed pass of the postings against the increment's BROADCAST
+    # vocabulary: since postings and increment shingles are both distinct
+    # per (doc, tok), count(*) per matched pair IS the exact intersection
+    # size — no candidate stage, no separate verify. The r10 shape (df-
+    # ranked eval prefix + candidate join + postings-broadcast verify)
+    # paid three eval-sized shuffles plus an eval-sized hash build per
+    # probe; profiled at eval ×100 the prefix derivation alone (one
+    # aggregation + an MB-scale broadcast) cost more than this whole
+    # pass (verdict-r10 #3: probe ×100/×1 was 2.76). The classic prefix
+    # filter earns its keep when BOTH sides are corpus-scale
+    # (decontam_fuzzy_pairs); an increment is batch-bounded by the
+    # ingestion contract, so its vocabulary broadcast is KB–MB.
+    pairs = (
+        epost.join(F.broadcast(ttok), "tok")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
         .transform(tracked_cache)
     )
-    # Verify streams the postings PAST a candidate-scoped probe set: the
-    # eval side is never shuffled or broadcast here (the r10 probe
-    # broadcast the FULL postings — an eval-sized hash build per probe).
-    # The probe build side is measured, not assumed: the candidate count
-    # is a cheap count over the cached candidate frame, with a shuffle
-    # fallback for pathological increments.
-    n_cand = cand.count()
-    probe = cand.join(ttok, "train_id").select(
-        "train_id", "eval_id", "sz_train", "sz_eval", "tok"
+    # set sizes only for the eval docs that share at least one shingle —
+    # a second streamed pass, semi-joined by the (candidate-bounded) pair
+    # set; the build side is measured, with a shuffle fallback
+    n_pairs = pairs.count()
+
+    def _pair_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_pairs <= 1_000_000 else df.hint("merge")
+
+    sz_e = (
+        epost.join(
+            _pair_side(pairs.select("eval_id").distinct()), "eval_id", "left_semi"
+        )
+        .groupBy("eval_id")
+        .agg(F.count("*").cast("bigint").alias("sz_eval"))
     )
-    probe_in = F.broadcast(probe) if n_cand <= 100_000 else probe.hint("merge")
-    inter = (
-        epost.join(probe_in, ["eval_id", "tok"])
-        .groupBy("train_id", "eval_id", "sz_train", "sz_eval")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+    inter = pairs.join(_pair_side(sz_e), "eval_id").join(
+        F.broadcast(sz_t), "train_id"
     )
     union_sz = F.col("sz_train") + F.col("sz_eval") - F.col("n_common")
     hit = inter.where(10 * F.col("n_common") >= 7 * union_sz).withColumn(
@@ -1927,7 +1893,7 @@ def _unified_admission_oracle() -> str:
     """
 
 
-@builder(
+@query(
     "unified_admission_decision_table",
     oracle=_unified_admission_oracle(),
     tags=("curation", "admission", "quality", "decontamination", "dedup"),

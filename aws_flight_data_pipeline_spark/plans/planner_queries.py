@@ -316,7 +316,7 @@ def build_planned_q8(
     return df, facts
 
 
-@builder(
+@query(
     "nation_market_share_planned",
     tags=("join", "planner", "stats", "tpch-q8", "multiway"),
     doc="The SECOND planner consumer (verdict-r10 #4): TPC-H Q8's "

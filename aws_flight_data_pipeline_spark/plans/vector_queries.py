@@ -454,7 +454,7 @@ def centroid_assignment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "ann_kmeans_train",
     tags=("vector", "ann", "iterative"),
     doc="IVF coarse-quantizer TRAINING: k-means via 3 deterministic Lloyd "
@@ -562,7 +562,7 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "vector_storage_profile",
     tags=("vector", "quantization", "agg"),
     doc="Embedding storage profile per label, merging the L2-norm sanity scan "

@@ -396,9 +396,11 @@ def measure_decontam_refresh() -> dict:
         "probe_x100_over_x1": round(
             probe_secs[f"x{MULTS[2]}"] / max(probe_secs[f"x{MULTS[0]}"], 1e-9), 3
         ),
-        "bar": "refresh_x100_over_x1 <= 2 (O(churn)); probe tracks EVAL size "
-        "only (fixed in practice), never the accumulated training corpus — "
-        "contrast decontam_fuzzy_pairs' large_scale curve",
+        "bar": "refresh_x100_over_x1 <= 2 (O(churn)); probe_x100_over_x1 "
+        "<= 2 (one-pass probe: the eval side is never shuffled, sorted, or "
+        "hash-built per probe — r11 fix; r10 measured 2.76) and never "
+        "tracks the accumulated training corpus — contrast "
+        "decontam_fuzzy_pairs' large_scale curve",
     }
 
 
