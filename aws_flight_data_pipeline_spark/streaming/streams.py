@@ -1377,11 +1377,21 @@ def unified_admission_decisions(
     document never reached are NULL (short-circuit is part of the
     contract: a quality-rejected document is not probed, not elected).
     """
+    from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
     from aws_flight_data_pipeline_spark.plans.curation_queries import (
         decontam_increment,
     )
 
-    q = streaming_quality_gate(batch_df).select("doc_id", "passed")
+    # the quality verdict frame is tiny (doc_id, passed) but its subtree
+    # (2-gram arrays, distinct-token folds over every document) is consumed
+    # by FOUR downstream joins — cache it or the gate re-scores the batch
+    # once per consumer (measured 4x at sf0.1); released per micro-batch
+    # by the gate's release_tracked()
+    q = (
+        streaming_quality_gate(batch_df)
+        .select("doc_id", "passed")
+        .transform(tracked_cache)
+    )
     qpass = batch_df.join(q.where("passed").select("doc_id"), "doc_id")
 
     hits = decontam_increment(
@@ -1393,9 +1403,12 @@ def unified_admission_decisions(
     )
     clean = qpass.join(hits.select("doc_id"), "doc_id", "left_anti")
 
+    # decided feeds both the survivor election and the decision assembly —
+    # cache it or the enrich+bucket-join subtree (shingle + MinHash per doc)
+    # runs twice; released per micro-batch like q above
     decided = _admission_decide(
         _admission_enrich(clean), fp_comb, buckets_comb
-    )
+    ).transform(tracked_cache)
     survivors = decided.where("admitted").select("doc_id", "fp", "toks", "b0", "b1")
     intra = _intra_batch_reject_ids(survivors).withColumn(
         "intra_dup", F.lit(True)
