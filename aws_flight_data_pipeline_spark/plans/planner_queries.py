@@ -388,3 +388,99 @@ def nation_market_share_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@builder(
+    "returned_item_customers_planned",
+    tags=("join", "planner", "stats", "tpch-q10", "topk"),
+    doc="The planner's THIRD consumer — TPC-H Q10 from raw parquet with "
+    "predicate-derived edges and planner-input filters (l_returnflag on "
+    "the FACT side, the quarter's date range on orders): plan_join_tree "
+    "picks lineitem as the fact from footer counts, broadcasts every "
+    "dimension, and the builder applies only the aggregation and the "
+    "deterministic top-20 cut (revenue cents desc, custkey). Oracle "
+    "verbatim from the hand-tuned returned_item_customers, so parity "
+    "proves the planned tree computes exactly the production query.",
+    oracle="""
+        SELECT c_custkey, c_name, n_name AS nation,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DESC,
+                 c_custkey
+        LIMIT 20
+    """,
+)
+def returned_item_customers_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    t = lambda name: f"{sf_dir}/{name}.parquet"  # noqa: E731
+    tables = {
+        "lineitem": {
+            "path": t("lineitem"),
+            "select": {
+                "l_orderkey": "l_orderkey",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+        },
+        "orders": {
+            "path": t("orders"),
+            "select": {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey"},
+        },
+        "customer": {
+            "path": t("customer"),
+            "select": {
+                "c_custkey": "c_custkey",
+                "c_name": "c_name",
+                "c_nationkey": "c_nationkey",
+            },
+        },
+        "nation": {
+            "path": t("nation"),
+            "select": {"n_nationkey": "n_nationkey", "n_name": "n_name"},
+        },
+    }
+    df, _ = ts.plan_join_tree(
+        spark,
+        tables,
+        predicates=[
+            "l_orderkey = o_orderkey",
+            "o_custkey = c_custkey",
+            "c_nationkey = n_nationkey",
+        ],
+        broadcast_threshold_rows=_BROADCAST_ROWS,
+        filters={
+            "lineitem": {"l_returnflag": ("R", "R")},
+            "orders": {
+                "o_orderdate": (
+                    _dt.datetime(1996, 1, 1),
+                    _dt.datetime(1996, 3, 31, 23, 59, 59, 999999),
+                )
+            },
+        },
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        df.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("bigint").alias("rev_e4"))
+        .orderBy(F.desc("rev_e4"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            (F.col("rev_e4") / 10000.0).alias("revenue"),
+        )
+    )

@@ -248,6 +248,9 @@ HEADLINE = (
     # round 11: the unified admission gate's batch twin — the per-document
     # decision table (quality -> decontam -> near-dup election) oracled
     "unified_admission_decision_table",
+    # round 11: the planner's third consumer — Q10 top-20 from raw parquet,
+    # fact-side returnflag filter + date range as planner inputs
+    "returned_item_customers_planned",
     # round 10: behavioral-analytics shapes over the events stream —
     # weekly cohort-retention matrix and the A/B mean-lift readout
     "cohort_retention",

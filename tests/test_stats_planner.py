@@ -386,3 +386,17 @@ def test_planned_q8_matches_hand_tuned_production_query(spark):
     assert len(rows) == len(facts["steps"])
     assert all(r["name"] == "nation_market_share_planned" for r in rows)
     assert all(r["fact_table"] == "lineitem" for r in rows)
+
+
+def test_planned_q10_matches_hand_tuned_and_broadcasts_dims(spark):
+    """Third planner consumer: Q10 from raw parquet — value-equal to the
+    hand-tuned top-20, lineitem the fact, every dimension broadcast."""
+    from aws_flight_data_pipeline_spark.plans.planner_queries import (
+        returned_item_customers_planned,
+    )
+    from aws_flight_data_pipeline_spark.plans.registry import resolve
+
+    sf = "/root/testdata/sf0.01"
+    got = returned_item_customers_planned(spark, sf)
+    want = resolve("returned_item_customers")(spark, sf)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]

@@ -170,7 +170,38 @@ def test_unified_gate_soak_bounded_state_flat_latency(spark, tmp_path):
     flat — bounded cached blocks, bounded temp-view catalog, and
     per-batch latency that does not grow with batch count (the state
     fold reads all prior deltas, but as ONE multi-path scan whose
-    per-delta cost is a tiny file, so steady state must stay flat)."""
+    per-delta cost is a tiny file, so steady state must stay flat).
+
+    Runs in its OWN pytest child process (fresh JVM): it measures a
+    latency CURVE and asserts absolute cache/catalog state, both of
+    which the end of a 30-minute shared suite session distorts
+    (thousands of accumulated stages slow the tail decile; another
+    test's in-flight caches are not this gate's leak) — the same
+    isolation rationale as bench_scaling's per-query subprocesses."""
+    import subprocess
+    import sys
+
+    if os.environ.get("AFDP_SOAK_CHILD") != "1":
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pytest",
+                "-q",
+                "-x",
+                f"{__file__}::test_unified_gate_soak_bounded_state_flat_latency",
+            ],
+            env={**os.environ, "AFDP_SOAK_CHILD": "1"},
+            capture_output=True,
+            text=True,
+            timeout=1500,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert proc.returncode == 0, (proc.stdout or "")[-3000:] + (
+            proc.stderr or ""
+        )[-1500:]
+        return
+
     ipath = _eval_index(spark, tmp_path)
     fp_index, band_buckets = _base_index(spark)
     src = str(tmp_path / "incoming")
