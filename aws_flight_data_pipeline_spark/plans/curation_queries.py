@@ -1988,3 +1988,149 @@ def unified_admission_decision_table(spark: SparkSession, sf_dir: str) -> DataFr
         "admitted",
         "reject_stage",
     ).orderBy("doc_id")
+
+
+@query(
+    "leakage_safe_split",
+    tags=("curation", "split", "dedup", "graph", "leakage"),
+    doc="Cluster-aware train/validation/test split — the leakage-safe "
+    "upgrade of dataset_split_assign: hashing each document independently "
+    "lets two near-duplicates straddle the train/test boundary (the classic "
+    "eval-contamination path dedup alone does not close, because split "
+    "assignment usually runs BEFORE the near-dup pruning decision is "
+    "final). Here every document is assigned the split of its near-dup "
+    "CLUSTER: verified pairs (the shared scored-pair snapshot, J >= 0.5) "
+    "become components via the same 3-round Hash-Min unrolling as "
+    "dedup_cluster_components, and the md5 bucket is taken over the CLUSTER "
+    "label (80/10/10), so a whole component lands in exactly one split by "
+    "construction. Output: per-split doc/token/cluster accounting plus the "
+    "audit the operator exists for — straddled_clusters under naive per-doc "
+    "hashing vs under cluster hashing (the latter computed, not assumed, "
+    "and equal to 0) and the number of documents the cluster rule "
+    "reassigned. Scale shape: CC is the existing distributed operator "
+    "(one equi-join + one map-side-combinable min per round); everything "
+    "after it is two hashes and three hash aggregates over (doc, label) — "
+    "no new shuffle class at 100 TB, and the audit aggregates are "
+    "map-side combinable.",
+    oracle=f"""
+        WITH {SCORED_PAIRS_CTES}, dup_edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM scored WHERE j >= 0.5
+            UNION ALL
+            SELECT doc_b, doc_a FROM scored WHERE j >= 0.5
+        ), lab0 AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+        ), {_label_iteration_sql("lab0", "lab1")},
+        {_label_iteration_sql("lab1", "lab2")},
+        {_label_iteration_sql("lab2", "lab3")},
+        assigned AS (
+            SELECT l.node AS doc_id, l.label,
+                   {_WORD_COUNT_SQL} AS toks,
+                   CASE WHEN {_md5_bucket_sql("l.node", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket_sql("l.node", 100)} < 90 THEN 'validation'
+                        ELSE 'test' END AS naive_split,
+                   CASE WHEN {_md5_bucket_sql("l.label", 100)} < 80 THEN 'train'
+                        WHEN {_md5_bucket_sql("l.label", 100)} < 90 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM lab{_CC_ITERATIONS} l JOIN documents d ON d.doc_id = l.node
+        ),
+        per_split AS (
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS doc_count,
+                   CAST(SUM(toks) AS BIGINT) AS token_total,
+                   CAST(COUNT(DISTINCT label) AS BIGINT) AS cluster_count
+            FROM assigned GROUP BY split
+        ),
+        cl AS (
+            SELECT label, COUNT(*) AS n,
+                   COUNT(DISTINCT naive_split) AS ns,
+                   COUNT(DISTINCT split) AS ss
+            FROM assigned GROUP BY label
+        ),
+        straddle AS (
+            SELECT CAST(SUM(CASE WHEN n >= 2 AND ns > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS naive_straddled_clusters,
+                   CAST(SUM(CASE WHEN n >= 2 AND ss > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS safe_straddled_clusters
+            FROM cl
+        ),
+        mv AS (
+            SELECT CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_reassigned
+            FROM assigned
+        )
+        SELECT p.split, p.doc_count, p.token_total, p.cluster_count,
+               g.naive_straddled_clusters, g.safe_straddled_clusters,
+               m.docs_reassigned
+        FROM per_split p, straddle g, mv m
+        ORDER BY p.split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.operators.graph import connected_components
+
+    scored = scored_pairs_table(spark, sf_dir)
+    edges = symmetrize(
+        scored.filter(F.col("j") >= 0.5).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    ).transform(tracked_cache)
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(
+        d.select(F.col("doc_id").alias("node")), edges, _CC_ITERATIONS
+    )
+
+    def split_of(bucket: Column) -> Column:
+        return (
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("validation"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = (
+        labels.join(d, labels["node"] == d["doc_id"])
+        .select(
+            F.col("node").alias("doc_id"),
+            "label",
+            word_count(F.col("text")).alias("toks"),
+            split_of(_md5_bucket(F.col("node"), 100)).alias("naive_split"),
+            split_of(_md5_bucket(F.col("label"), 100)).alias("split"),
+        )
+        .transform(tracked_cache)
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("toks").cast("bigint").alias("token_total"),
+        F.countDistinct("label").alias("cluster_count"),
+    )
+    cl = assigned.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("naive_split").alias("ns"),
+        F.countDistinct("split").alias("ss"),
+    )
+    glob = cl.agg(
+        F.sum(F.when((F.col("n") >= 2) & (F.col("ns") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("naive_straddled_clusters"),
+        F.sum(F.when((F.col("n") >= 2) & (F.col("ss") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("safe_straddled_clusters"),
+    )
+    moved = assigned.agg(
+        F.sum(F.when(F.col("naive_split") != F.col("split"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_reassigned")
+    )
+    return (
+        per_split.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(moved))
+        .select(
+            "split",
+            "doc_count",
+            "token_total",
+            "cluster_count",
+            "naive_straddled_clusters",
+            "safe_straddled_clusters",
+            "docs_reassigned",
+        )
+        .orderBy("split")
+    )

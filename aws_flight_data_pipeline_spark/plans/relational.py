@@ -291,11 +291,14 @@ def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@builder(
     "multilevel_rollup",
     tags=("agg", "rollup"),
     doc="Hourly→daily two-level aggregation — the reference's CTE "
-    "hourly_stats→daily_stats rollup (07:377-401, 06:183-233).",
+    "hourly_stats→daily_stats rollup (07:377-401, 06:183-233). Rotated to "
+    "builder status in round 11 (oracle retained, strict parity): the "
+    "window-over-agg family stays gate-covered by window_rank_suite and "
+    "the grouping-set family by salted_skew_aggregate.",
     oracle="""
         WITH hourly AS (
             SELECT strftime(ts, '%Y-%m-%d') AS event_day,
@@ -378,12 +381,16 @@ def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
+@builder(
     "dim_join_rollup",
     tags=("join", "broadcast"),
     doc="Fact ⋈ small-dimension chain with broadcast hints — the reference's "
     "processed⋈aircraft_reference pattern (05:48-49, 07:205-224). At 100 TB the "
-    "dims broadcast; zero fact-side shuffle before the agg.",
+    "dims broadcast; zero fact-side shuffle before the agg. Rotated to "
+    "builder status in round 11 (oracle retained, strict parity): the "
+    "broadcast-dim-join family stays gate-covered by left_join_missing_dim "
+    "and the planner-served multiway_join_revenue_planned (4 dim "
+    "broadcasts, plan-pinned).",
     oracle="""
         SELECT r.r_name AS region_name, n.n_name AS nation_name,
                COUNT(*) AS customer_count,

@@ -1309,3 +1309,204 @@ def ivf_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(10)
     )
+
+
+_SEMDEDUP_K = 32
+_SEMDEDUP_ITERS = 2
+#: Pruning threshold in cosine micro-units. The SemDeDup paper picks
+#: epsilon to hit a TARGET REMOVAL FRACTION (App. A: epsilon swept until
+#: the kept-data budget is met), not from first principles. This synthetic
+#: corpus plants no true embedding near-dups (max within-cluster cosine
+#: ~0.49 at sf0.01), so the calibrated threshold sits at the ~99th
+#: percentile of within-cluster similarity: ~1% of candidate pairs fire,
+#: which keeps every downstream code path (election, pruned accounting)
+#: exercised with real positives on both engines.
+_SEMDEDUP_TAU_E6 = 350000
+
+
+@query(
+    "semantic_dedup_semdedup",
+    tags=("vector", "dedup", "kmeans", "iterative", "semantic"),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "arXiv:2303.09540): k-means clusters are the BLOCKING structure — "
+    "cosine pairs are evaluated only WITHIN a cluster, never across the "
+    "corpus — and every epsilon-similar group keeps one representative "
+    "(lowest vec_id; the paper keeps the centroid-farthest member, same "
+    "mechanics, different election key). This is the third independent "
+    "near-dup family next to the sign-LSH bucket join "
+    "(embedding_near_dup_lsh) and the MinHash text pipeline: LSH buckets "
+    "catch near-IDENTICAL vectors (all leading signs agree), while k-means "
+    "blocking catches semantic neighborhoods whose members can differ in "
+    "sign pattern. Clustering is the same deterministic Lloyd loop as "
+    "ann_kmeans_train (init = first k vectors, min_by over broadcast "
+    "centroids, posexplode+avg update) at k=32 x 2 iterations, so the "
+    "'iterative' algorithm unrolls into oracle-checkable CTEs. Pair "
+    "similarities travel as ROUND(cos*1e6) BIGINTs (the established "
+    "cross-engine float discipline). Scale shape: assignment is a "
+    "broadcast of k centroids (k*dim doubles) over one linear pass; the "
+    "within-cluster self-join is bounded by cluster size, and at 100 TB "
+    "k grows proportionally to N (SemDeDup trains k ~ sqrt(N) or larger) "
+    "so per-cluster pair counts stay bounded — the shuffle is ONE "
+    "hash-partition by cid, never an all-pairs join.",
+    oracle=f"""
+        WITH {_lloyd_ctes(_SEMDEDUP_K, _SEMDEDUP_ITERS)},
+        final_assign AS (
+            SELECT vec_id, cid FROM a{_SEMDEDUP_ITERS - 1}
+        ),
+        norms AS (
+            SELECT vec_id, SQRT(SUM(val * val)) AS vnorm FROM elems GROUP BY vec_id
+        ),
+        unitv AS (
+            SELECT e.vec_id, e.pos, e.val / n.vnorm AS uval
+            FROM elems e JOIN norms n ON e.vec_id = n.vec_id
+            WHERE n.vnorm > 0
+        ),
+        cands AS (
+            SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM final_assign a
+            JOIN final_assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        ),
+        dots AS (
+            SELECT c.cid, c.id_a, c.id_b,
+                   CAST(ROUND(SUM(ua.uval * ub.uval) * 1e6) AS BIGINT) AS cos_e6
+            FROM cands c
+            JOIN unitv ua ON ua.vec_id = c.id_a
+            JOIN unitv ub ON ub.vec_id = c.id_b AND ub.pos = ua.pos
+            GROUP BY c.cid, c.id_a, c.id_b
+        ),
+        sizes AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM final_assign GROUP BY cid
+        ),
+        pair_stats AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+                   CAST(SUM(CASE WHEN cos_e6 > {_SEMDEDUP_TAU_E6} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS near_dup_pairs
+            FROM dots GROUP BY cid
+        ),
+        pruned AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS pruned_docs,
+                   CAST(SUM(id_b) AS BIGINT) AS pruned_id_sum
+            FROM (SELECT DISTINCT cid, id_b FROM dots WHERE cos_e6 > {_SEMDEDUP_TAU_E6})
+            GROUP BY cid
+        )
+        SELECT s.cid, s.cluster_size,
+               COALESCE(p.candidate_pairs, CAST(0 AS BIGINT)) AS candidate_pairs,
+               COALESCE(p.near_dup_pairs, CAST(0 AS BIGINT)) AS near_dup_pairs,
+               COALESCE(r.pruned_docs, CAST(0 AS BIGINT)) AS pruned_docs,
+               s.cluster_size - COALESCE(r.pruned_docs, CAST(0 AS BIGINT))
+                   AS kept_docs,
+               COALESCE(r.pruned_id_sum, CAST(0 AS BIGINT)) AS pruned_id_sum
+        FROM sizes s
+        LEFT JOIN pair_stats p ON p.cid = s.cid
+        LEFT JOIN pruned r ON r.cid = s.cid
+        ORDER BY s.cid
+    """,
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, iters = _SEMDEDUP_K, _SEMDEDUP_ITERS
+    e = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .transform(tracked_cache)
+    )
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assigned = None
+    for it in range(iters):
+        assigned = (
+            e.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id", "v", "cid",
+                l2_distance(F.col("v"), F.col("c")).alias("dist"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "v"), F.struct("dist", "cid")
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.cid").alias("cid"),
+                F.col("best.v").alias("v"),
+            )
+        )
+        if it < iters - 1:
+            # Lloyd update (identical to ann_kmeans_train): element-wise
+            # mean per cluster, reassembled into ordered arrays
+            centroids = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("val").alias("cval"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                        lambda s: s.cval,
+                    ).alias("c")
+                )
+            )
+    members = with_unit_embedding(assigned, src="v", dst="unit").select(
+        "vec_id", "cid", "unit"
+    ).transform(tracked_cache)
+    a = members.alias("a")
+    b = members.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("unit").alias("b_unit"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b_cid"))
+            & (F.col("a.vec_id") < F.col("b_vec_id")),
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b_vec_id").alias("id_b"),
+            F.round(unit_dot(F.col("a.unit"), F.col("b_unit")) * 1e6)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .transform(tracked_cache)
+    )
+    sizes = members.groupBy("cid").agg(F.count("*").alias("cluster_size"))
+    pair_stats = pairs.groupBy("cid").agg(
+        F.count("*").alias("candidate_pairs"),
+        F.sum(F.when(F.col("cos_e6") > _SEMDEDUP_TAU_E6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("near_dup_pairs"),
+    )
+    pruned = (
+        pairs.filter(F.col("cos_e6") > _SEMDEDUP_TAU_E6)
+        .select("cid", "id_b")
+        .distinct()
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("pruned_docs"),
+            F.sum("id_b").cast("bigint").alias("pruned_id_sum"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        sizes.join(pair_stats, "cid", "left")
+        .join(pruned, "cid", "left")
+        .select(
+            "cid",
+            "cluster_size",
+            F.coalesce("candidate_pairs", zero).alias("candidate_pairs"),
+            F.coalesce("near_dup_pairs", zero).alias("near_dup_pairs"),
+            F.coalesce("pruned_docs", zero).alias("pruned_docs"),
+            (F.col("cluster_size") - F.coalesce("pruned_docs", zero)).alias(
+                "kept_docs"
+            ),
+            F.coalesce("pruned_id_sum", zero).alias("pruned_id_sum"),
+        )
+        .orderBy("cid")
+    )

@@ -255,6 +255,10 @@ HEADLINE = (
     # weekly cohort-retention matrix and the A/B mean-lift readout
     "cohort_retention",
     "ab_test_lift",
+    # round 11: cluster-aware leakage-safe split (CC labels hash as a unit)
+    # and SemDeDup-style k-means-blocked semantic dedup
+    "leakage_safe_split",
+    "semantic_dedup_semdedup",
 )
 
 
