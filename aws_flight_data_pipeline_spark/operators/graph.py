@@ -1,4 +1,4 @@
-"""Connected components via fixed-iteration min-label propagation.
+"""Connected components via min-label propagation (Hash-Min) to FIXPOINT.
 
 The dedup pipeline's keep-first survivor rule flags any doc with a
 smaller-id verified partner — exact when near-dup clusters collide pairwise
@@ -10,9 +10,18 @@ propagated k hops, so components of diameter <= k are exact. Each round is
 one equi-join + one hash aggregate — no driver-side graph, no recursion in
 the engine, and the label frame (2 ints per node) is the only state.
 
-The caller picks ``iterations`` >= the expected component diameter (near-dup
-clusters are tiny); convergence can be asserted by comparing round k with
-k+1 (see tests/test_graph.py and the sf0.01 convergence test).
+Convergence contract (round-12 fix, verdict r11 #1): the distributed branch
+iterates until a round changes ZERO labels — a fixed round count is exact
+only for components of diameter <= k, and a near-dup CHAIN A~B~C~D~E
+(successive edits are common in real corpora) silently splits one true
+component into several internally-consistent label groups, which downstream
+audits (leakage_safe_split's straddle counter) are structurally blind to.
+The fixpoint loop pays one extra join+count per round; round count equals
+the true component diameter + 1, which for near-dup graphs is tiny. Callers
+that need a FIXED dataflow (a lazily unrolled plan with no driver actions)
+can still pass an explicit ``iterations``; every production consumer uses
+the fixpoint default. Pinned by tests/test_graph.py (planted diameter-6
+chain forced down the distributed branch).
 """
 
 from __future__ import annotations
@@ -29,23 +38,41 @@ def symmetrize(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     return fwd.unionAll(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
+def _min_label_round(closed: DataFrame, labels: DataFrame) -> DataFrame:
+    """One Hash-Min round: min of label(k) over the closed neighborhood."""
+    return (
+        closed.join(labels.select(F.col("node").alias("v"), "label"), "v")
+        .groupBy("u")
+        .agg(F.min("label").alias("label"))
+        .select(F.col("u").alias("node"), "label")
+    )
+
+
 def propagate_min_labels(
-    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+    nodes: DataFrame, edges: DataFrame, iterations: int | None = None
 ) -> DataFrame:
-    """Min-label propagation: ``(node, label)`` after ``iterations`` rounds.
+    """Min-label propagation: ``(node, label)``, exact by default.
 
     ``nodes`` is a 1-column frame (``node``); ``edges`` a symmetric 2-column
     frame (``u``, ``v``). Label(0) = node id; label(k+1) = min over the
     CLOSED neighborhood of label(k), expressed via SELF-LOOPS: the closed
     edge list ``edges ∪ {(n, n)}`` makes each round ONE equi-join + ONE
     map-side-combinable min aggregate that references the previous round's
-    frame exactly once. The single-reference chain is what keeps the
-    unrolled plan lazy AND linear — a formulation where a round references
-    its predecessor twice (self side + neighbor side) fans out 2^k cold
-    evaluations when nothing is materialized yet, which a single-action
-    consumer (bench noop write, the driver's collect) pays in full. Only
-    the closed edge list is cached: it is the one subtree referenced by
-    every round.
+    frame exactly once. Only the closed edge list is cached in the unrolled
+    form: it is the one subtree referenced by every round.
+
+    ``iterations=None`` (the default, and what every production consumer
+    uses) iterates to FIXPOINT: each round's label frame is materialized
+    (cached + counted against its predecessor) and the loop stops when a
+    round changes zero labels — exact components at ANY diameter, round
+    count = true diameter + 1, per-round state still 2 ints per active
+    node. Labels only ever decrease, so the changed-row count is a plain
+    equi-join on ``node`` — one extra map-side-combinable count per round.
+
+    An explicit ``iterations=k`` keeps the legacy LAZY unrolling (no driver
+    actions, single declarative plan, exact only for diameter <= k) for
+    consumers that need a fixed dataflow — plan-shape pins and the
+    convergence tests themselves.
     """
     closed = (
         edges.select("u", "v")
@@ -53,18 +80,28 @@ def propagate_min_labels(
         .transform(tracked_cache)
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
-    for _ in range(iterations):
-        labels = (
-            closed.join(labels.select(F.col("node").alias("v"), "label"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("u").alias("node"), "label")
+    if iterations is not None:
+        for _ in range(iterations):
+            labels = _min_label_round(closed, labels)
+        return labels
+    labels = tracked_cache(labels)
+    while True:
+        new_labels = tracked_cache(_min_label_round(closed, labels))
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("prev_label")), "node"
+            )
+            .where(F.col("label") != F.col("prev_label"))
+            .count()
         )
-    return labels
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels
 
 
 def propagate_min_labels_active(
-    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+    nodes: DataFrame, edges: DataFrame, iterations: int | None = None
 ) -> DataFrame:
     """Min-label propagation restricted to the ACTIVE subgraph.
 
@@ -86,6 +123,28 @@ def propagate_min_labels_active(
         "node", F.col("node").alias("label")
     )
     return active_labels.unionByName(untouched)
+
+
+def exact_labels_ctes(nodes_select: str) -> str:
+    """DuckDB oracle mirror of the EXACT component labeling: CTE snippet
+    defining ``reach(node, r)`` (recursive reachability closure — ``UNION``
+    dedup makes it terminate) and ``labels(node, label)`` with
+    ``label = MIN(reachable node)``, the same fixpoint Hash-Min and the
+    union-find path converge to. Requires the enclosing query to open with
+    ``WITH RECURSIVE`` and to define a SYMMETRIC ``dup_edges(u, v)`` CTE.
+    ``nodes_select`` yields the node universe as a 1-column ``node`` set.
+    The closure materializes O(sum of component sizes squared) rows — fine
+    at oracle scale (near-dup components are tiny); the Spark side never
+    builds it.
+    """
+    return f"""reach(node, r) AS (
+            SELECT n.node, n.node FROM ({nodes_select}) n
+            UNION
+            SELECT e.u, reach.r FROM dup_edges e JOIN reach ON reach.node = e.v
+        ),
+        labels AS (
+            SELECT node, MIN(r) AS label FROM reach GROUP BY node
+        )"""
 
 
 #: Strategy threshold for :func:`connected_components`: at or below this many
@@ -127,7 +186,7 @@ def _union_find_min_labels(pairs) -> dict:
 def component_size_histogram(
     edges: DataFrame,
     n_nodes: int,
-    iterations: int = 3,
+    iterations: int | None = None,
     local_max_edges: int = LOCAL_CC_MAX_EDGES,
     size_col: str = "cluster_size",
     count_col: str = "n_clusters",
@@ -145,10 +204,11 @@ def component_size_histogram(
     hundred rows. On the profile that motivated this (sf0.1, 504 edges) the
     per-row work is microseconds while the distributed label/histogram
     chain cost ~1.8 s of pure stage-scheduling latency. Large graphs
-    (> ``local_max_edges``) take the k-round Hash-Min branch, where the
-    histogram IS the distributed aggregate and the singleton bucket is
-    arithmetic unioned in (re-aggregated, so a not-yet-converged label
-    producing its own size-1 row collapses into one bucket).
+    (> ``local_max_edges``) take the distributed Hash-Min branch — run to
+    FIXPOINT by default, so the histogram aggregates TRUE components — and
+    the singleton bucket is arithmetic unioned in (re-aggregated so an
+    explicitly-truncated run's size-1 active labels still collapse into
+    one bucket).
     """
     spark = edges.sparkSession
     if edges.count() <= local_max_edges:
@@ -207,7 +267,7 @@ def component_size_histogram(
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
-    iterations: int = 3,
+    iterations: int | None = None,
     local_max_edges: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Adaptive component labeling: ``(node, label)`` for every node.
@@ -222,9 +282,12 @@ def connected_components(
       one pass, no k-round shuffle chain. A deep chain of near-empty AQE
       query stages costs seconds of sequential planning latency regardless
       of data size, which dominates precisely when the graph is tiny.
-    - **large graph**: k-round distributed Hash-Min over the active
-      subgraph (:func:`propagate_min_labels`) — state O(cluster members),
-      exact for components of diameter <= ``iterations``.
+    - **large graph**: distributed Hash-Min over the active subgraph
+      (:func:`propagate_min_labels`) — state O(cluster members), run to
+      FIXPOINT by default so both strategies are exact at ANY component
+      diameter (the two branches must be interchangeable: a caller's
+      correctness guarantee cannot depend on which side of the threshold
+      the corpus landed on).
 
     Isolated nodes never enter either solve: one anti-join unions them back
     with ``label = node``.

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from aws_flight_data_pipeline_spark.functions.text import shingles, word_count
 from aws_flight_data_pipeline_spark.operators.graph import (
     component_size_histogram,
+    exact_labels_ctes,
     symmetrize,
 )
 from aws_flight_data_pipeline_spark.plans.registry import builder, query
@@ -362,17 +363,8 @@ def domain_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_iteration_sql(prev: str, this: str) -> str:
-    return f"""{this} AS (
-            SELECT l.node, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-            FROM {prev} l
-            LEFT JOIN dup_edges e ON e.u = l.node
-            LEFT JOIN {prev} n ON n.node = e.v
-            GROUP BY l.node, l.label
-        )"""
-
-
-_CC_ITERATIONS = 3
+#: The document-node universe every curation CC oracle labels over.
+_DOC_NODES_SQL = "SELECT doc_id AS node FROM documents"
 
 
 @builder(
@@ -380,29 +372,26 @@ _CC_ITERATIONS = 3
     tags=("curation", "dedup", "graph", "components"),
     doc="Connected-components dedup clustering: verified near-dup pairs "
     "(the composed pipeline's LSH candidates with shingle-Jaccard >= 0.5) "
-    "become an undirected graph, and 3 rounds of distributed min-label "
-    "propagation (operators/graph.py — the Hash-Min formulation; each round "
-    "is one equi-join + one hash aggregate, labels reach 3 hops) assign "
-    "every document its cluster. This generalizes the pipeline's keep-first "
-    "rule to TRANSITIVE chains (A~B~C where A and C never share a band): "
-    "one survivor per component, not per pair. Output is the cluster-size "
-    "histogram (size 1 = unique docs). Both engines run the identical "
-    "3-round unrolling, so parity holds independent of convergence; "
-    "convergence on this corpus is asserted separately "
-    "(tests/test_graph.py).",
+    "become an undirected graph, and distributed min-label propagation run "
+    "to FIXPOINT (operators/graph.py — the Hash-Min formulation; each round "
+    "is one equi-join + one hash aggregate + one changed-label count, and "
+    "the loop stops when a round changes nothing) assigns every document "
+    "its cluster. This generalizes the pipeline's keep-first rule to "
+    "TRANSITIVE chains (A~B~C where A and C never share a band): one "
+    "survivor per component, not per pair. Output is the cluster-size "
+    "histogram (size 1 = unique docs). The oracle computes EXACT components "
+    "via a recursive reachability closure, so parity holds at ANY component "
+    "diameter — both engines are exact, no shared convergence assumption "
+    "(r12 fix; the unrolled 3-round twin was blind to diameter > 3 chains).",
     oracle=f"""
-        WITH {SCORED_PAIRS_CTES}, dup_edges AS (
+        WITH RECURSIVE {SCORED_PAIRS_CTES}, dup_edges AS (
             SELECT doc_a AS u, doc_b AS v FROM scored WHERE j >= 0.5
             UNION ALL
             SELECT doc_b, doc_a FROM scored WHERE j >= 0.5
-        ), lab0 AS (
-            SELECT doc_id AS node, doc_id AS label FROM documents
-        ), {_label_iteration_sql("lab0", "lab1")},
-        {_label_iteration_sql("lab1", "lab2")},
-        {_label_iteration_sql("lab2", "lab3")},
+        ), {exact_labels_ctes(_DOC_NODES_SQL)},
         comp AS (
             SELECT label, COUNT(*) AS cluster_size
-            FROM lab{_CC_ITERATIONS} GROUP BY label
+            FROM labels GROUP BY label
         )
         SELECT cluster_size,
                CAST(COUNT(*) AS BIGINT) AS n_clusters,
@@ -433,7 +422,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a few hundred pairs), large graphs take the distributed Hash-Min +
     # aggregate branch — see operators/graph.py.
     return component_size_histogram(
-        edges, n_docs, _CC_ITERATIONS, members_col="docs_in_bucket"
+        edges, n_docs, members_col="docs_in_bucket"
     ).orderBy("cluster_size")
 
 
@@ -1019,19 +1008,15 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row per duplicate cluster with the kept doc, its quality, the "
     "intra-cluster quality spread, and the removal count. One extra "
     "broadcast-sized join over the clustering pipeline — the quality frame "
-    "is per-doc signals, the election is a hash-agg. Both engines run the "
-    "identical 3-round Hash-Min unrolling (parity under the separately "
-    "asserted convergence, same contract as dedup_cluster_components).",
+    "is per-doc signals, the election is a hash-agg. Components are exact "
+    "on BOTH engines (fixpoint Hash-Min vs the oracle's recursive "
+    "closure — same contract as dedup_cluster_components, r12).",
     oracle=f"""
-        WITH {SCORED_PAIRS_CTES}, dup_edges AS (
+        WITH RECURSIVE {SCORED_PAIRS_CTES}, dup_edges AS (
             SELECT doc_a AS u, doc_b AS v FROM scored WHERE j >= 0.5
             UNION ALL
             SELECT doc_b, doc_a FROM scored WHERE j >= 0.5
-        ), lab0 AS (
-            SELECT doc_id AS node, doc_id AS label FROM documents
-        ), {_label_iteration_sql("lab0", "lab1")},
-        {_label_iteration_sql("lab1", "lab2")},
-        {_label_iteration_sql("lab2", "lab3")},
+        ), {exact_labels_ctes(_DOC_NODES_SQL)},
         q AS (
             SELECT doc_id,
                    CAST(ROUND((
@@ -1043,7 +1028,7 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         memb AS (
             SELECT l.node AS doc_id, l.label, q.q_e6
-            FROM lab{_CC_ITERATIONS} l JOIN q ON q.doc_id = l.node
+            FROM labels l JOIN q ON q.doc_id = l.node
         )
         SELECT label AS cluster_label,
                CAST(COUNT(*) AS BIGINT) AS cluster_size,
@@ -1069,7 +1054,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     ).transform(tracked_cache)
     d = load_table(spark, sf_dir, "documents")
     labels = connected_components(
-        d.select(F.col("doc_id").alias("node")), edges, _CC_ITERATIONS
+        d.select(F.col("doc_id").alias("node")), edges
     )
     wc = word_count(F.col("text"))
     ls = F.least(wc.cast("double") / 50.0, F.lit(1.0))
@@ -1990,6 +1975,48 @@ def unified_admission_decision_table(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("doc_id")
 
 
+def _split_of(bucket: Column) -> Column:
+    """md5-bucket (mod 100) → 80/10/10 train/validation/test."""
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def leakage_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document leakage-safe split assignment — the production API the
+    registered ``leakage_safe_split`` aggregates over: ``(doc_id, label,
+    toks, naive_split, split)`` where ``label`` is the document's EXACT
+    near-dup component (fixpoint CC over the shared scored-pair snapshot,
+    J >= 0.5) and ``split`` hashes that label, so a whole component lands
+    in one split by construction. ``naive_split`` (per-doc hashing) is kept
+    for the straddle audit. Exposed separately so consumers — and the
+    independence test (tests/test_leakage_split.py) — can check the
+    per-document contract, not just the aggregate."""
+    from aws_flight_data_pipeline_spark.operators.graph import connected_components
+
+    scored = scored_pairs_table(spark, sf_dir)
+    edges = symmetrize(
+        scored.filter(F.col("j") >= 0.5).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    ).transform(tracked_cache)
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components(d.select(F.col("doc_id").alias("node")), edges)
+    return (
+        labels.join(d, labels["node"] == d["doc_id"])
+        .select(
+            F.col("node").alias("doc_id"),
+            "label",
+            word_count(F.col("text")).alias("toks"),
+            _split_of(_md5_bucket(F.col("node"), 100)).alias("naive_split"),
+            _split_of(_md5_bucket(F.col("label"), 100)).alias("split"),
+        )
+        .transform(tracked_cache)
+    )
+
+
 @query(
     "leakage_safe_split",
     tags=("curation", "split", "dedup", "graph", "leakage"),
@@ -2000,7 +2027,7 @@ def unified_admission_decision_table(spark: SparkSession, sf_dir: str) -> DataFr
     "assignment usually runs BEFORE the near-dup pruning decision is "
     "final). Here every document is assigned the split of its near-dup "
     "CLUSTER: verified pairs (the shared scored-pair snapshot, J >= 0.5) "
-    "become components via the same 3-round Hash-Min unrolling as "
+    "become EXACT components via the same connected-components operator as "
     "dedup_cluster_components, and the md5 bucket is taken over the CLUSTER "
     "label (80/10/10), so a whole component lands in exactly one split by "
     "construction. Output: per-split doc/token/cluster accounting plus the "
@@ -2008,20 +2035,20 @@ def unified_admission_decision_table(spark: SparkSession, sf_dir: str) -> DataFr
     "hashing vs under cluster hashing (the latter computed, not assumed, "
     "and equal to 0) and the number of documents the cluster rule "
     "reassigned. Scale shape: CC is the existing distributed operator "
-    "(one equi-join + one map-side-combinable min per round); everything "
+    "(one equi-join + one map-side-combinable min + one changed-label "
+    "count per round, iterated to FIXPOINT — r12 fix: a truncated round "
+    "count silently broke the zero-straddle guarantee on components of "
+    "diameter > k, and the audit column could not see it); everything "
     "after it is two hashes and three hash aggregates over (doc, label) — "
     "no new shuffle class at 100 TB, and the audit aggregates are "
-    "map-side combinable.",
+    "map-side combinable. The oracle's recursive closure is exact too, so "
+    "parity carries no convergence assumption at any diameter.",
     oracle=f"""
-        WITH {SCORED_PAIRS_CTES}, dup_edges AS (
+        WITH RECURSIVE {SCORED_PAIRS_CTES}, dup_edges AS (
             SELECT doc_a AS u, doc_b AS v FROM scored WHERE j >= 0.5
             UNION ALL
             SELECT doc_b, doc_a FROM scored WHERE j >= 0.5
-        ), lab0 AS (
-            SELECT doc_id AS node, doc_id AS label FROM documents
-        ), {_label_iteration_sql("lab0", "lab1")},
-        {_label_iteration_sql("lab1", "lab2")},
-        {_label_iteration_sql("lab2", "lab3")},
+        ), {exact_labels_ctes(_DOC_NODES_SQL)},
         assigned AS (
             SELECT l.node AS doc_id, l.label,
                    {_WORD_COUNT_SQL} AS toks,
@@ -2031,7 +2058,7 @@ def unified_admission_decision_table(spark: SparkSession, sf_dir: str) -> DataFr
                    CASE WHEN {_md5_bucket_sql("l.label", 100)} < 80 THEN 'train'
                         WHEN {_md5_bucket_sql("l.label", 100)} < 90 THEN 'validation'
                         ELSE 'test' END AS split
-            FROM lab{_CC_ITERATIONS} l JOIN documents d ON d.doc_id = l.node
+            FROM labels l JOIN documents d ON d.doc_id = l.node
         ),
         per_split AS (
             SELECT split,
@@ -2066,37 +2093,7 @@ def unified_admission_decision_table(spark: SparkSession, sf_dir: str) -> DataFr
     """,
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_flight_data_pipeline_spark.operators.graph import connected_components
-
-    scored = scored_pairs_table(spark, sf_dir)
-    edges = symmetrize(
-        scored.filter(F.col("j") >= 0.5).select(
-            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-        )
-    ).transform(tracked_cache)
-    d = load_table(spark, sf_dir, "documents")
-    labels = connected_components(
-        d.select(F.col("doc_id").alias("node")), edges, _CC_ITERATIONS
-    )
-
-    def split_of(bucket: Column) -> Column:
-        return (
-            F.when(bucket < 80, F.lit("train"))
-            .when(bucket < 90, F.lit("validation"))
-            .otherwise(F.lit("test"))
-        )
-
-    assigned = (
-        labels.join(d, labels["node"] == d["doc_id"])
-        .select(
-            F.col("node").alias("doc_id"),
-            "label",
-            word_count(F.col("text")).alias("toks"),
-            split_of(_md5_bucket(F.col("node"), 100)).alias("naive_split"),
-            split_of(_md5_bucket(F.col("label"), 100)).alias("split"),
-        )
-        .transform(tracked_cache)
-    )
+    assigned = leakage_split_assignments(spark, sf_dir)
     per_split = assigned.groupBy("split").agg(
         F.count("*").alias("doc_count"),
         F.sum("toks").cast("bigint").alias("token_total"),

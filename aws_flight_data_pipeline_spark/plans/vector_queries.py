@@ -28,6 +28,7 @@ from aws_flight_data_pipeline_spark.functions.vectors import (
     unit_dot,
     with_unit_embedding,
 )
+from aws_flight_data_pipeline_spark.operators.graph import exact_labels_ctes
 from aws_flight_data_pipeline_spark.plans.registry import builder, query
 from aws_flight_data_pipeline_spark.sources.testdata import load_table
 from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
@@ -957,16 +958,6 @@ def ann_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB twin of one min-label propagation round over `dup_edges`
 #: (same unrolling as dedup_cluster_components — curation_queries.py).
-def _vec_label_round_sql(prev: str, this: str) -> str:
-    return f"""{this} AS (
-            SELECT l.node, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-            FROM {prev} l
-            LEFT JOIN dup_edges e ON e.u = l.node
-            LEFT JOIN {prev} n ON n.node = e.v
-            GROUP BY l.node, l.label
-        )"""
-
-
 @builder(
     "embedding_dedup_pipeline",
     tags=("vector", "dedup", "lsh", "graph", "pipeline"),
@@ -974,16 +965,17 @@ def _vec_label_round_sql(prev: str, this: str) -> str:
     "dedup_pipeline_end_to_end + dedup_cluster_components pair, composed "
     "from the same stages: sign-LSH bucketed candidate join (never "
     "all-pairs) -> unit_dot cosine verify (> 0.9, integer micro-units) -> "
-    "verified pairs become an undirected graph -> 3 rounds of distributed "
-    "min-label propagation assign every vector a cluster -> cluster-size "
-    "histogram plus survivor accounting (one survivor per cluster, so "
-    "surviving = n_clusters; singleton clusters are unique vectors). Both "
-    "engines run the identical 3-round unrolling, so parity holds "
-    "independent of convergence. Scale shape: every stage is a bounded "
+    "verified pairs become an undirected graph -> distributed min-label "
+    "propagation run to FIXPOINT assigns every vector a cluster -> "
+    "cluster-size histogram plus survivor accounting (one survivor per "
+    "cluster, so surviving = n_clusters; singleton clusters are unique "
+    "vectors). Components are exact on BOTH engines (fixpoint Hash-Min vs "
+    "the oracle's recursive closure — r12, same contract as "
+    "dedup_cluster_components). Scale shape: every stage is a bounded "
     "bucket join, a linear map, or a |V|-sized label table — the corpus "
     "embedding set is never pair-exploded.",
     oracle=f"""
-        WITH elems AS ({_ELEMS_SQL}),
+        WITH RECURSIVE elems AS ({_ELEMS_SQL}),
         norms AS (
             SELECT vec_id, SQRT(SUM(val * val)) AS vnorm FROM elems GROUP BY vec_id
         ),
@@ -1013,12 +1005,9 @@ def _vec_label_round_sql(prev: str, this: str) -> str:
             UNION ALL
             SELECT id_b, id_a FROM dots WHERE cos_e6 > 900000
         ),
-        lab0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
-        {_vec_label_round_sql("lab0", "lab1")},
-        {_vec_label_round_sql("lab1", "lab2")},
-        {_vec_label_round_sql("lab2", "lab3")},
+        {exact_labels_ctes("SELECT vec_id AS node FROM embeddings")},
         comp AS (
-            SELECT label, COUNT(*) AS cluster_size FROM lab3 GROUP BY label
+            SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label
         )
         SELECT cluster_size,
                CAST(COUNT(*) AS BIGINT) AS n_clusters,
@@ -1040,7 +1029,7 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle), singleton clusters are arithmetic in the histogram op
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     return component_size_histogram(
-        edges, n_vecs, 3, members_col="vecs_in_bucket"
+        edges, n_vecs, members_col="vecs_in_bucket"
     ).orderBy("cluster_size")
 
 

@@ -1,6 +1,8 @@
 """Min-label propagation (operators/graph.py): exact components on known
-graphs, the hop-per-round propagation bound, and convergence of the
-3-round setting used by dedup_cluster_components on real corpus pairs."""
+graphs, the hop-per-round propagation bound of the explicit-iterations
+form, and the FIXPOINT default (verdict-r11 #1): deep chains whose
+diameter exceeds any fixed round count must still collapse to one
+component — on the distributed branch specifically."""
 
 from __future__ import annotations
 
@@ -40,6 +42,33 @@ def test_propagation_is_one_hop_per_round(spark):
     assert set(after4.values()) == {0}
 
 
+def test_fixpoint_converges_past_any_fixed_round_count(spark):
+    # the FIXPOINT default (iterations=None) must be exact on a chain whose
+    # diameter (9) far exceeds the old fixed setting of 3
+    chain = [(i, i + 1) for i in range(9)]
+    got = _labels(spark, list(range(10)), chain, None)
+    assert set(got.values()) == {0}
+
+
+def test_distributed_branch_exact_on_planted_diameter6_chain(spark):
+    # THE r11 scale hole: a near-dup chain A~B~C~D~E~F~G (successive edits,
+    # diameter 6) forced down the DISTRIBUTED branch (local_max_edges=0)
+    # must come back as ONE component — a truncated Hash-Min run would
+    # split it into internally-consistent label groups that no downstream
+    # straddle audit can detect
+    chain_nodes = [100, 101, 102, 103, 104, 105, 106]
+    edge_pairs = [(a, b) for a, b in zip(chain_nodes, chain_nodes[1:])]
+    node_ids = chain_nodes + [200, 300]  # plus two isolated docs
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
+    edges = symmetrize(spark.createDataFrame(edge_pairs, "u long, v long")).cache()
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(nodes, edges, local_max_edges=0).collect()
+    }
+    assert got == {n: 100 for n in chain_nodes} | {200: 200, 300: 300}
+    edges.unpersist()
+
+
 def test_symmetrize_doubles_edges(spark):
     e = symmetrize(spark.createDataFrame([(1, 2), (3, 4)], "u long, v long"))
     assert sorted((r["u"], r["v"]) for r in e.collect()) == [(1, 2), (2, 1), (3, 4), (4, 3)]
@@ -74,23 +103,24 @@ def test_connected_components_both_strategies_match_full(spark):
     edge_pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]
     nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
     edges = symmetrize(spark.createDataFrame(edge_pairs, "u long, v long")).cache()
-    full = {r["node"]: r["label"] for r in propagate_min_labels(nodes, edges, 3).collect()}
+    full = {r["node"]: r["label"] for r in propagate_min_labels(nodes, edges).collect()}
     local = {
         r["node"]: r["label"]
-        for r in connected_components(nodes, edges, 3).collect()
+        for r in connected_components(nodes, edges).collect()
     }
     dist = {
         r["node"]: r["label"]
-        for r in connected_components(nodes, edges, 3, local_max_edges=0).collect()
+        for r in connected_components(nodes, edges, local_max_edges=0).collect()
     }
     assert local == full == dist
     assert local[20] == 20 and local[21] == 21
     edges.unpersist()
 
 
-def test_corpus_components_converged_at_3_rounds(spark, sf_dir):
-    # on the real corpus the 3-round unrolling must already be a fixpoint:
-    # round 4 changes no label (near-dup components have tiny diameter)
+def test_corpus_fixpoint_matches_union_find(spark, sf_dir):
+    # on the real corpus the fixpoint labels must equal the exact driver
+    # union-find over the same edge list — the two strategies of
+    # connected_components are interchangeable by construction
     d = load_table(spark, sf_dir, "documents")
     edges = symmetrize(
         scored_pair_frame(d)
@@ -98,6 +128,10 @@ def test_corpus_components_converged_at_3_rounds(spark, sf_dir):
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).cache()
     nodes = d.select(F.col("doc_id").alias("node"))
-    l3 = propagate_min_labels(nodes, edges, 3)
-    l4 = propagate_min_labels(nodes, edges, 4)
-    assert l3.exceptAll(l4).count() == 0 and l4.exceptAll(l3).count() == 0
+    fix = {r["node"]: r["label"] for r in propagate_min_labels(nodes, edges).collect()}
+    exact = _union_find_min_labels((r["u"], r["v"]) for r in edges.collect())
+    for node, label in exact.items():
+        assert fix[node] == label
+    # nodes outside the edge set keep their own id
+    assert all(l == n for n, l in fix.items() if n not in exact)
+    edges.unpersist()
