@@ -16,6 +16,18 @@ sidecars instead set a FLOOR (never name a new artifact below an existing
 sidecar), which keeps the result monotonic across driver gaps AND stable
 across multiple benches within one session. ``SPARK_GRAFT_ROUND`` pins it
 exactly.
+
+Round-12 refinement (verdict r11 #2): the driver closes round N by writing
+``CORRECTNESS_rN``, THEN running bench.py, THEN recording its stdout as
+``BENCH_rN`` — so a bench invoked inside that window sees
+``max(CORRECTNESS) > max(BENCH_r)`` and must treat round N as CURRENT
+(name its sidecar rN), not completed (``max+1`` stamped the stray
+``BENCH_FULL_r12`` during round 11's close). The tell is disambiguated by
+the builder's own sidecar: when ``BENCH_FULL/SCALING_rN`` already exists
+the builder demonstrably worked in round N and the half-stamped state IS
+the driver's post-gate bench; when no sidecar for N exists at all, the gap
+is a bench-less driver round (r9's scenario) and the next artifact belongs
+to round N+1.
 """
 
 from __future__ import annotations
@@ -24,7 +36,8 @@ import glob
 import os
 import re
 
-_DRIVER_RE = re.compile(r"^(?:BENCH|CORRECTNESS)_r(\d+)\.json$")
+_CORRECTNESS_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
+_BENCH_LINE_RE = re.compile(r"^BENCH_r(\d+)\.json$")
 _SIDECAR_RE = re.compile(r"^BENCH(?:_FULL|_SCALING)_r(\d+)\.json$")
 
 
@@ -47,8 +60,17 @@ def infer_round(repo_dir: str) -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env and env.isdigit():
         return int(env)
-    driver = _stamps(repo_dir, _DRIVER_RE)
+    correctness = _stamps(repo_dir, _CORRECTNESS_RE)
+    bench_lines = _stamps(repo_dir, _BENCH_LINE_RE)
     sidecars = _stamps(repo_dir, _SIDECAR_RE)
-    inferred = (max(driver) + 1) if driver else 0
+    c = max(correctness) if correctness else -1
+    b = max(bench_lines) if bench_lines else -1
+    if c > b and c in sidecars:
+        # CORRECTNESS_rc stamped but BENCH_rc not yet recorded, and the
+        # builder already benched in round c: this is the driver's own
+        # post-gate bench — round c is CURRENT, not completed.
+        inferred = c
+    else:
+        inferred = max(c, b) + 1 if max(c, b) >= 0 else 0
     floor = max(sidecars) if sidecars else 0
     return max(inferred, floor)

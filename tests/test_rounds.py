@@ -43,6 +43,33 @@ def test_sidecars_floor_prevents_backward_naming(tmp_path, monkeypatch):
     assert infer_round(d) == 9  # never write below an existing sidecar
 
 
+def test_driver_post_gate_bench_stays_on_current_round(tmp_path, monkeypatch):
+    # the r11 stray-artifact scenario: the driver wrote CORRECTNESS_r11,
+    # then ran bench.py BEFORE recording BENCH_r11 — with the builder's
+    # round-11 sidecar already committed, that bench belongs to round 11,
+    # not 12
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    d = str(tmp_path)
+    _touch(d, "BENCH_r10.json")
+    _touch(d, "CORRECTNESS_r10.json")
+    _touch(d, "BENCH_FULL_r11.json")  # builder benched during round 11
+    _touch(d, "CORRECTNESS_r11.json")  # driver just stamped the gate
+    assert infer_round(d) == 11  # BENCH_r11 not yet recorded: round 11 is CURRENT
+    _touch(d, "BENCH_r11.json")  # driver records the bench line: round closed
+    assert infer_round(d) == 12
+
+
+def test_benchless_driver_round_still_advances(tmp_path, monkeypatch):
+    # a gate-only round (CORRECTNESS recorded, bench crashed, and the
+    # builder never benched either — no sidecar): the NEXT artifact belongs
+    # to the next round, not to the closed one
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    d = str(tmp_path)
+    _touch(d, "BENCH_r07.json")
+    _touch(d, "CORRECTNESS_r09.json")
+    assert infer_round(d) == 10
+
+
 def test_env_pin_wins(tmp_path, monkeypatch):
     d = str(tmp_path)
     _touch(d, "CORRECTNESS_r09.json")
