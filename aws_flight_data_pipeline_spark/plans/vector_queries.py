@@ -55,7 +55,7 @@ _NORM_SQL = f"""
 """
 
 
-def _lloyd_ctes(k: int, iters: int) -> str:
+def _lloyd_ctes(k: int | str, iters: int) -> str:
     """CTE chain mirroring the deterministic Lloyd loop in SQL.
 
     The Spark loop is iterative only in the Python driver — each iteration is
@@ -66,7 +66,8 @@ def _lloyd_ctes(k: int, iters: int) -> str:
     mirrors Spark's ``min_by(struct, struct(dist, cid))`` tie-break exactly);
     ``c{{i+1}}`` = the updated centroids. Distances agree across engines to
     ~1e-12 (identical per-element double math; only summation order differs),
-    absorbed by the 4-dp result rounding.
+    absorbed by the 4-dp result rounding. ``k`` may be an int literal or a
+    SQL scalar-subquery string (corpus-driven k, e.g. _SEMDEDUP_K_SQL).
     """
     parts = [
         f"elems AS ({_ELEMS_SQL})",
@@ -1300,7 +1301,28 @@ def ivf_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMDEDUP_K = 32
+def _semdedup_k(n_vectors: int) -> int:
+    """Corpus-driven cluster count for SemDeDup blocking: floor(sqrt(N)),
+    floored at 32 (verdict r11 — a CONSTANT k makes the within-cluster
+    self-join quadratic at scale; the paper trains k that grows with N).
+    floor+IEEE-double sqrt so the DuckDB twin (_SEMDEDUP_K_SQL) computes
+    the identical integer: both engines use the correctly-rounded double
+    sqrt, and floor of it is deterministic. sqrt growth balances the two
+    cost terms of the EXACT formulation — assignment N*k and within-cluster
+    pairs ~N^2/k both land at N^1.5; the linear-at-scale path (k ~ N/C with
+    LSH-pruned assignment) is the semantic_dedup_semdedup_scale production
+    twin, swept in bench_scaling.py."""
+    import math
+
+    return max(32, int(math.floor(math.sqrt(n_vectors))))
+
+
+#: DuckDB twin of :func:`_semdedup_k` — interpolated as the k bound of the
+#: Lloyd init CTE, so the oracle derives k from the same corpus count.
+_SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(32, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
+)
+
 _SEMDEDUP_ITERS = 2
 #: Pruning threshold in cosine micro-units. The SemDeDup paper picks
 #: epsilon to hit a TARGET REMOVAL FRACTION (App. A: epsilon swept until
@@ -1328,17 +1350,23 @@ _SEMDEDUP_TAU_E6 = 350000
     "blocking catches semantic neighborhoods whose members can differ in "
     "sign pattern. Clustering is the same deterministic Lloyd loop as "
     "ann_kmeans_train (init = first k vectors, min_by over broadcast "
-    "centroids, posexplode+avg update) at k=32 x 2 iterations, so the "
-    "'iterative' algorithm unrolls into oracle-checkable CTEs. Pair "
-    "similarities travel as ROUND(cos*1e6) BIGINTs (the established "
-    "cross-engine float discipline). Scale shape: assignment is a "
-    "broadcast of k centroids (k*dim doubles) over one linear pass; the "
-    "within-cluster self-join is bounded by cluster size, and at 100 TB "
-    "k grows proportionally to N (SemDeDup trains k ~ sqrt(N) or larger) "
-    "so per-cluster pair counts stay bounded — the shuffle is ONE "
-    "hash-partition by cid, never an all-pairs join.",
+    "centroids, posexplode+avg update) x 2 iterations, with k "
+    "CORPUS-DRIVEN (r12, verdict #2): k = max(32, floor(sqrt(N))) computed "
+    "from the same count on both engines (Python mirror vs SQL scalar "
+    "subquery, identical IEEE sqrt+floor), so the 'iterative' algorithm "
+    "still unrolls into oracle-checkable CTEs. Pair similarities travel "
+    "as ROUND(cos*1e6) BIGINTs (the established cross-engine float "
+    "discipline). Zero-norm embeddings stay in their cluster's size but "
+    "never pair (norm > 0 filter on both pair sides — mirrors the "
+    "oracle's unitv WHERE vnorm > 0; ADVICE r11). Scale shape: assignment "
+    "is a broadcast of k centroids (k*dim doubles) over one linear pass; "
+    "the within-cluster self-join is bounded by cluster size; sqrt-k puts "
+    "both terms at N^1.5 — the LINEAR production path (k ~ N/C, sign-LSH-"
+    "pruned assignment) is the semantic_dedup_semdedup_scale twin swept "
+    "in bench_scaling.py; this registered tier stays exactly "
+    "oracle-checkable.",
     oracle=f"""
-        WITH {_lloyd_ctes(_SEMDEDUP_K, _SEMDEDUP_ITERS)},
+        WITH {_lloyd_ctes(_SEMDEDUP_K_SQL, _SEMDEDUP_ITERS)},
         final_assign AS (
             SELECT vec_id, cid FROM a{_SEMDEDUP_ITERS - 1}
         ),
@@ -1393,7 +1421,10 @@ _SEMDEDUP_TAU_E6 = 350000
     """,
 )
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k, iters = _SEMDEDUP_K, _SEMDEDUP_ITERS
+    # corpus-driven k: parquet metadata count (no shuffle), same integer
+    # the oracle's scalar subquery computes
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    k, iters = _semdedup_k(n_vecs), _SEMDEDUP_ITERS
     e = (
         load_table(spark, sf_dir, "embeddings", fan_out=True)
         .select(
@@ -1441,10 +1472,16 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     members = with_unit_embedding(assigned, src="v", dst="unit").select(
-        "vec_id", "cid", "unit"
+        "vec_id",
+        "cid",
+        "unit",
+        # zero-norm rows keep their cluster membership (sizes) but never
+        # pair — mirrors the oracle's unitv WHERE vnorm > 0 (ADVICE r11)
+        (norm(F.col("v")) > 0).alias("pairable"),
     ).transform(tracked_cache)
-    a = members.alias("a")
-    b = members.select(
+    pair_side = members.filter("pairable")
+    a = pair_side.alias("a")
+    b = pair_side.select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("cid").alias("b_cid"),
         F.col("unit").alias("b_unit"),

@@ -132,10 +132,10 @@ def test_planted_deep_chain_never_straddles_on_distributed_branch(spark):
 
 def test_semdedup_accounting(spark, sf_dir):
     rows = resolve("semantic_dedup_semdedup")(spark, sf_dir).collect()
-    from aws_flight_data_pipeline_spark.plans.vector_queries import _SEMDEDUP_K
+    from aws_flight_data_pipeline_spark.plans.vector_queries import _semdedup_k
 
-    assert 0 < len(rows) <= _SEMDEDUP_K
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert 0 < len(rows) <= _semdedup_k(n_vecs)
     # k-means assignment partitions the corpus
     assert sum(r["cluster_size"] for r in rows) == n_vecs
     for r in rows:
