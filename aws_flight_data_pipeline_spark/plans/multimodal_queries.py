@@ -424,7 +424,16 @@ def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
     "all 12 bands per doc (a <12-char doc leaves some 20-bit bands with "
     "no contributing block; the Spark side zero-fills them, so the "
     "oracle LEFT JOINs COALESCE(bval, 0) instead of dropping the band "
-    "from the xor fold).",
+    "from the xor fold). Planted probe (r12, verdict #3): the driver "
+    "corpus carries no NATURAL 240-bit near-dup (relative threshold "
+    "0.046 is deliberately tight), so the gate verified a 0-row result "
+    "two rounds running — both engines now also hash a deterministic "
+    "probe twin of the MINIMUM asset (id + 51,000,000 — multiple of 3, "
+    "so the modality cycle is preserved) whose band values 0/5/9 are "
+    "XOR-perturbed by one bit. The probe pair fires at hamming EXACTLY 3 "
+    "through the full production path (9 equal bands -> pigeonhole "
+    "candidate -> zip_with xor fold -> group fan-out) on any corpus; "
+    "natural planted-pair evidence stays in tests/test_phash_neardup.py.",
     oracle=f"""
         WITH chars AS (
             SELECT doc_id, (i - 1) * 240 // len(text) AS blk,
@@ -441,12 +450,20 @@ def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
                                  THEN CAST(1 AS BIGINT) << (b.blk % 20)
                                  ELSE 0 END) AS BIGINT) AS bval
             FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1, 2
-        ), bandvals AS (
+        ), bandvals_src AS (
             SELECT t.doc_id, {_MODALITY_SQL.replace("doc_id", "t.doc_id")} AS modality,
                    g.band, COALESCE(bb.bval, 0) AS bval
             FROM tot t
             CROSS JOIN UNNEST(range(0, 12)) AS g(band)
             LEFT JOIN bandbits bb ON bb.doc_id = t.doc_id AND bb.band = g.band
+        ), probe AS (
+            SELECT doc_id + 51000000 AS doc_id, modality, band,
+                   CASE WHEN band IN (0, 5, 9) THEN xor(bval, 1)
+                        ELSE bval END AS bval
+            FROM bandvals_src
+            WHERE doc_id = (SELECT MIN(doc_id) FROM documents)
+        ), bandvals AS (
+            SELECT * FROM bandvals_src UNION ALL SELECT * FROM probe
         ), pairham AS (
             SELECT a.doc_id AS asset_a, b.doc_id AS asset_b, a.modality,
                    CAST(SUM(bit_count(xor(a.bval, b.bval))) AS BIGINT) AS hamming
@@ -467,7 +484,28 @@ def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    hashes = phash_wide_assets(attach_payloads(docs)).transform(tracked_cache)
+    natural = phash_wide_assets(attach_payloads(docs))
+
+    # Planted probe (see doc): twin of the minimum asset with band values
+    # 0/5/9 XOR-perturbed one bit — hamming exactly 3, fired through the
+    # full banding/verify/fan-out path. id offset 51,000,000 is a multiple
+    # of 3 so the doc_id -> modality cycle is preserved.
+    src_id = natural.agg(F.min("asset_id").alias("src_id"))
+    perturbed = F.transform(
+        "bands",
+        lambda bv, i: F.when(
+            (i == 0) | (i == 5) | (i == 9), bv.bitwiseXOR(F.lit(1))
+        ).otherwise(bv),
+    )
+    probe = (
+        natural.join(F.broadcast(src_id), F.col("asset_id") == F.col("src_id"))
+        .select(
+            (F.col("asset_id") + F.lit(51_000_000)).alias("asset_id"),
+            "modality",
+            perturbed.alias("bands"),
+        )
+    )
+    hashes = natural.unionByName(probe).transform(tracked_cache)
 
     # Adversarial-skew guard: collapse byte-identical hashes BEFORE banding.
     # Wide bands make buckets O(1) under a uniform hash, but the same asset

@@ -100,6 +100,15 @@ def test_wide_boundary_and_band_selectivity(spark, tmp_path):
         (0, 9): ("image", 0),
         (3, 9): ("image", 11),
         (3, 6): ("image", 1),
+        # the registered query's planted probe: a twin of the minimum
+        # asset (id + 51,000,000) with bands 0/5/9 perturbed one bit each —
+        # hamming 3 to asset 0 and its exact duplicate 9; FLIP11's 11 flips
+        # partially overlap the probe's 3 (11 + 3 - 2*2 = 10), FLIP12's 12
+        # flips overlap all 3 (12 + 3 - 2*3 = 9)
+        (0, 51000000): ("image", 3),
+        (9, 51000000): ("image", 3),
+        (3, 51000000): ("image", 10),
+        (6, 51000000): ("image", 9),
     }
     assert (0, 6) not in got  # hamming 12: every band differs -> and correctly
     #                            rejected even though bands DO collide
@@ -145,8 +154,11 @@ def test_adversarial_identical_replicas_collapse_before_banding(spark, tmp_path)
     assert n_cand <= 3, f"banded candidates grew with replicas: {n_cand}"
 
     out = multimodal_phash_neardup_wide(spark, sf)
-    # output contract unchanged: all n*(n-1)/2 identical pairs at hamming 0
-    # plus the near-dup paired with every replica at hamming 11
+    # output contract: all n*(n-1)/2 identical pairs at hamming 0, the
+    # near-dup paired with every replica at hamming 11, plus the registered
+    # query's planted probe — ONE distinct hash 3 bits from BASE240, so it
+    # fans out to every replica at hamming 3 and meets FLIP11/FLIP12 at
+    # 10/9 (their flips overlap the probe's bands 0/5/9)
     counts = {r["hamming"]: r["c"] for r in
               out.groupBy("hamming").agg(F.count("*").alias("c")).collect()}
-    assert counts == {0: n * (n - 1) // 2, 11: n, 1: 1}
+    assert counts == {0: n * (n - 1) // 2, 11: n, 1: 1, 3: n, 10: 1, 9: 1}
