@@ -390,7 +390,7 @@ def nation_market_share_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@builder(
+@query(
     "returned_item_customers_planned",
     tags=("join", "planner", "stats", "tpch-q10", "topk"),
     doc="The planner's THIRD consumer — TPC-H Q10 from raw parquet with "

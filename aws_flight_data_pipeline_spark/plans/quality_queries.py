@@ -130,7 +130,7 @@ _TIMELINESS_SQL = f"""
 """
 
 
-@query(
+@builder(
     "quality_score_profile",
     tags=("quality", "agg"),
     doc="Batch completeness + validity profile per event type, merging the two "
