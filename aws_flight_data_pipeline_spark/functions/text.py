@@ -157,6 +157,50 @@ def minhash_signature_fast(nums: Column, num_hashes: int = 8) -> Column:
     )
 
 
+def token_hashes(text: Column) -> Column:
+    """One xxhash64 per whitespace token — the first stage of the hashed
+    shingle path. MUST be materialized as its own column before
+    :func:`hashed_shingle_nums` consumes it: a lambda that references an
+    inline array expression re-evaluates it per element (measured: the
+    inlined form ran the x100 signature stage >10x slower than the staged
+    one — O(n^2) token hashing)."""
+    return F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+
+def hashed_shingle_nums(th_col: Column, k: int = 3) -> Column:
+    """Production shingle path (verdict r11 #4, redesigned after
+    measurement): shingle identities WITHOUT k-gram strings. The r11
+    per-stage breakdown blamed the dedup pipeline's dominant cost on the
+    'md5 signature stage', but swapping only the digest (xxhash64 over the
+    same shingle strings) bought 1.06x at the x100 corpus — the real
+    constant is building every k-gram STRING (array_join over slices),
+    string array_distinct, and a 32-hex digest+conv per shingle. Here each
+    shingle's identity is xxhash64 over its k consecutive token hashes (a
+    native multi-arg long hash — no string ever materializes), deduped in
+    64-bit space, reduced mod p for the universal-hash families. Measured:
+    72.1 s -> 3.5 s (20x) on the x100 signature stage. Short docs clamp
+    like :func:`shingles` (one truncated shingle via try_element_at NULLs
+    — deterministic identity). md5 strings stay the ORACLE tier; this
+    family is rows-only/property-pinned (the _xx twin precedent)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(th_col) - (k - 1), F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.try_element_at(th_col, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.transform(
+        F.array_distinct(sh), lambda h: F.pmod(h, F.lit(MINHASH_P))
+    )
+
+
+def minhash_band_xx(signature: Column, start: int, length: int) -> Column:
+    """LSH band key via xxhash64 of the signature slice — the production
+    twin of :func:`minhash_band` (same banding semantics, 8-byte key
+    instead of a 32-char hex string through the candidate shuffle)."""
+    return F.xxhash64(F.concat_ws("|", F.slice(signature, start + 1, length)))
+
+
 def minhash_fast_sql(elements_sql: str, num_hashes: int = 8) -> str:
     """DuckDB mirror of :func:`minhash_signature_fast` over a SQL list
     expression — used by oracles so signature VALUES are verified."""

@@ -482,6 +482,81 @@ def measure_dedup_stages() -> dict:
     }
 
 
+def measure_hash_family() -> dict:
+    """md5-string vs hashed-shingle signature family (verdict-r11 #4): the
+    per-stage breakdown showed signatures/banding = 95% of the end-to-end
+    dedup wall-clock at x1000. Measurement drove the final design: swapping
+    only the DIGEST (xxhash64 over the same shingle strings) bought 1.06x —
+    the constant is k-gram string construction + string array_distinct, so
+    the production family hashes tokens once and derives shingle identities
+    as xxhash64 over k consecutive token hashes (no string ever
+    materializes; functions.text.hashed_shingle_nums). This measures the
+    x100 corpus with both families — signature/banding stage (materialize
+    the bands frame) and the rest of the pipeline — min of N after a shared
+    x10 warm-up, same process (the md5 tier runs first, so JIT warmth can
+    only bias AGAINST the reported speedup). Measured r12: signature stage
+    86.7 -> 4.2 s (20.9x), end-to-end 94.1 -> 10.6 s (8.8x)."""
+    from aws_flight_data_pipeline_spark.plans.text_queries import (
+        _dedup_survivor_rollup,
+        scored_pair_frame,
+    )
+    from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+    _ensure_loaded()
+    spark = get_spark("afdp-spark-bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_once(sf_dir: str, family: str) -> dict:
+        shutil.rmtree(_SNAPSHOT_ROOT, ignore_errors=True)
+        d = load_table(spark, sf_dir, "documents", fan_out=True)
+        sink: dict = {}
+        scored = scored_pair_frame(d, sink, hash_family=family)
+        t0 = time.perf_counter()
+        n_bands = sink["bands"].count()
+        sig_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _dedup_survivor_rollup(d, scored).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rest_s = time.perf_counter() - t0
+        release_tracked()
+        return {"sig": sig_s, "rest": rest_s, "band_rows": n_bands}
+
+    warm_dir = _ensure_scaled_corpus(spark, 10)
+    x100_dir = _ensure_scaled_corpus(spark, 100)
+    out: dict[str, dict] = {}
+    for family in ("md5", "xxhash64"):
+        run_once(warm_dir, family)  # JIT/codegen warm-up
+        best_sig, best_rest, band_rows = math.inf, math.inf, 0
+        for _ in range(LARGE_RUNS):
+            r = run_once(x100_dir, family)
+            best_sig = min(best_sig, r["sig"])
+            best_rest = min(best_rest, r["rest"])
+            band_rows = r["band_rows"]
+        out[family] = {
+            "signature_banding_seconds": round(best_sig, 3),
+            "rest_of_pipeline_seconds": round(best_rest, 3),
+            "end_to_end_seconds": round(best_sig + best_rest, 3),
+            "band_rows": band_rows,
+        }
+    return {
+        "mult": 100,
+        "families": out,
+        "signature_speedup_xx_over_md5": round(
+            out["md5"]["signature_banding_seconds"]
+            / max(out["xxhash64"]["signature_banding_seconds"], 1e-9),
+            2,
+        ),
+        "end_to_end_speedup_xx_over_md5": round(
+            out["md5"]["end_to_end_seconds"]
+            / max(out["xxhash64"]["end_to_end_seconds"], 1e-9),
+            2,
+        ),
+        "note": "md5 stays the oracle tier (DuckDB parity); "
+        "dedup_pipeline_end_to_end_xx is the production twin",
+    }
+
+
 def measure_dedup_xxlarge() -> dict:
     """One decade further for the watch-listed pipeline only (verdict-r10
     #8): a single cold x2000 (10M docs) timing of
@@ -518,6 +593,9 @@ def main() -> None:
         return
     if len(sys.argv) == 2 and sys.argv[1] == "--dedup-xxlarge":
         print(json.dumps(measure_dedup_xxlarge(), separators=(",", ":")))
+        return
+    if len(sys.argv) == 2 and sys.argv[1] == "--hash-family":
+        print(json.dumps(measure_hash_family(), separators=(",", ":")))
         return
 
     results: dict[str, dict] = {}
@@ -567,6 +645,7 @@ def main() -> None:
     for flag, key in (
         ("--dedup-stages", "dedup_stage_breakdown"),
         ("--dedup-xxlarge", "dedup_xxlarge"),
+        ("--hash-family", "hash_family_comparison"),
     ):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), flag],
