@@ -70,6 +70,13 @@ HEAVY = (
     "dedup_pipeline_end_to_end",
     "dedup_cluster_components",
     "corpus_merge_increment",
+    # round 12 additions (verdict r11 missing #1/#2): the heaviest
+    # registered text operator that had never been swept, the cluster-aware
+    # split (full CC + audit over the rebuilt pair snapshot when cold), and
+    # the linear-scale SemDeDup twin (k = N/64, sign-LSH-pruned assignment)
+    "set_similarity_join",
+    "leakage_safe_split",
+    "semantic_dedup_semdedup_scale",
     # round 9 additions (the round-7 heavy newcomers): ExactSubstr's gram
     # table is ~words-per-doc x the corpus rows — the one operator whose
     # CONSTANT could surprise at 100 TB even with a sound shape; the
@@ -130,6 +137,7 @@ def _ensure_scaled_corpus(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(_SCALE_DIR, f"x{mult}-v2")
+    _ensure_scaled_embeddings(spark, mult, out)
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         # One crossJoin against range(mult) instead of a mult-way union —
@@ -157,6 +165,32 @@ def _ensure_scaled_corpus(spark, mult: int) -> str:
             "overwrite"
         ).parquet(f"{out}/documents.parquet")
     return out
+
+
+def _ensure_scaled_embeddings(spark, mult: int, out: str) -> None:
+    """embeddings table ``mult`` x the sf0.1 one, in the same scaled dir
+    (added r12 for the SemDeDup scale sweep). Copy k offsets vec_ids by
+    k*10M (the documents convention) and perturbs each copy's vectors with
+    a copy- and dimension-dependent factor, so copies differ in DIRECTION —
+    naive copying would plant mult-way exact semantic dup clusters, the
+    same pathology the token markers prevent for text. Copy 0 is the base
+    corpus bit-exact."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out, "embeddings.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    ks = spark.range(mult).select(F.col("id").alias("k"))
+    perturbed = F.expr(
+        "CASE WHEN k = 0 THEN embedding ELSE transform(embedding, (x, j) -> "
+        "CAST(x * (1.0 + (((k % 97) * (j + 1)) % 13 - 6) * 0.017) AS FLOAT)) END"
+    )
+    emb.crossJoin(ks).select(
+        (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias("vec_id"),
+        perturbed.alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
 def _fit_slope(points: list[tuple[float, float]]) -> float:

@@ -147,6 +147,24 @@ def test_semdedup_accounting(spark, sf_dir):
     assert sum(r["pruned_docs"] for r in rows) > 0
 
 
+def test_semdedup_scale_twin_accounting(spark, sf_dir):
+    """The linear-scale twin (k = N/64, sign-LSH-pruned assignment): the
+    assignment still partitions the corpus, pair accounting is consistent,
+    fallback stays a small minority (blocking recall, not a dumping
+    ground), and cluster sizes stay bounded (the design's whole point)."""
+    rows = resolve("semantic_dedup_semdedup_scale")(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert r["n_vectors"] == n_vecs
+    assert r["pruned_docs"] + r["kept_docs"] == n_vecs
+    assert r["candidate_pairs"] >= r["near_dup_pairs"] >= r["pruned_docs"] >= 0
+    assert r["clusters_used"] <= r["k"] + r["fallback_docs"]
+    assert r["fallback_docs"] * 5 <= n_vecs  # < 20% fallback
+    # constant-target-cluster design: no cluster degenerates to O(N)
+    assert r["max_cluster_size"] * 2 <= n_vecs
+
+
 def test_semdedup_never_prunes_cluster_minimum(spark, sf_dir):
     """Keep-lowest-id election: the smallest vec_id of every cluster always
     survives (it can never appear as the GREATER id of a within-cluster
