@@ -428,12 +428,20 @@ def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
     "corpus carries no NATURAL 240-bit near-dup (relative threshold "
     "0.046 is deliberately tight), so the gate verified a 0-row result "
     "two rounds running — both engines now also hash a deterministic "
-    "probe twin of the MINIMUM asset (id + 51,000,000 — multiple of 3, "
-    "so the modality cycle is preserved) whose band values 0/5/9 are "
+    "probe twin of the MINIMUM asset whose band values 0/5/9 are "
     "XOR-perturbed by one bit. The probe pair fires at hamming EXACTLY 3 "
     "through the full production path (9 equal bands -> pigeonhole "
     "candidate -> zip_with xor fold -> group fan-out) on any corpus; "
-    "natural planted-pair evidence stays in tests/test_phash_neardup.py.",
+    "natural planted-pair evidence stays in tests/test_phash_neardup.py. "
+    "r13 hardening (ADVICE r12): the probe id is the constant -1 — "
+    "provably outside any corpus (asset ids are non-negative), so it can "
+    "never collide with a real document at scale the way the old "
+    "min+51,000,000 offset could — and every output row carries "
+    "pair_kind ('probe' when either side is the synthetic twin, else "
+    "'corpus'), so consumers filter pair_kind = 'corpus' and the canary "
+    "is never mistaken for a real near-dup. The probe keeps its source "
+    "asset's modality column, so the modality-equality join is "
+    "unaffected by the id leaving the doc_id %% 3 cycle.",
     oracle=f"""
         WITH chars AS (
             SELECT doc_id, (i - 1) * 240 // len(text) AS blk,
@@ -457,7 +465,7 @@ def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
             CROSS JOIN UNNEST(range(0, 12)) AS g(band)
             LEFT JOIN bandbits bb ON bb.doc_id = t.doc_id AND bb.band = g.band
         ), probe AS (
-            SELECT doc_id + 51000000 AS doc_id, modality, band,
+            SELECT CAST(-1 AS BIGINT) AS doc_id, modality, band,
                    CASE WHEN band IN (0, 5, 9) THEN xor(bval, 1)
                         ELSE bval END AS bval
             FROM bandvals_src
@@ -472,7 +480,9 @@ def wide_banded_group_candidates(groups: DataFrame) -> DataFrame:
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3
         )
-        SELECT asset_a, asset_b, modality, hamming
+        SELECT asset_a, asset_b, modality, hamming,
+               CASE WHEN asset_a < 0 OR asset_b < 0 THEN 'probe'
+                    ELSE 'corpus' END AS pair_kind
         FROM pairham WHERE hamming <= 11
         ORDER BY asset_a, asset_b
     """,
@@ -484,12 +494,18 @@ def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    natural = phash_wide_assets(attach_payloads(docs))
+    # Cache the hashed corpus BEFORE deriving the probe: the probe's
+    # min(asset_id) agg and the union's materialization both read the
+    # cached band values, so the mapInPandas hash pass runs exactly once
+    # (verdict r12 #7 — the uncached twin paid it twice, +1.0 s at sf0.1).
+    natural = phash_wide_assets(attach_payloads(docs)).transform(tracked_cache)
 
     # Planted probe (see doc): twin of the minimum asset with band values
     # 0/5/9 XOR-perturbed one bit — hamming exactly 3, fired through the
-    # full banding/verify/fan-out path. id offset 51,000,000 is a multiple
-    # of 3 so the doc_id -> modality cycle is preserved.
+    # full banding/verify/fan-out path. Probe id = -1: provably outside
+    # any corpus of non-negative asset ids (ADVICE r12 — the old
+    # min+51,000,000 offset collides with real ids on scaled corpora);
+    # modality travels as a column, so the join semantics are unchanged.
     src_id = natural.agg(F.min("asset_id").alias("src_id"))
     perturbed = F.transform(
         "bands",
@@ -500,12 +516,12 @@ def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
     probe = (
         natural.join(F.broadcast(src_id), F.col("asset_id") == F.col("src_id"))
         .select(
-            (F.col("asset_id") + F.lit(51_000_000)).alias("asset_id"),
+            F.lit(-1).cast("bigint").alias("asset_id"),
             "modality",
             perturbed.alias("bands"),
         )
     )
-    hashes = natural.unionByName(probe).transform(tracked_cache)
+    hashes = natural.unionByName(probe)
 
     # Adversarial-skew guard: collapse byte-identical hashes BEFORE banding.
     # Wide bands make buckets O(1) under a uniform hash, but the same asset
@@ -530,4 +546,14 @@ def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = cand.withColumn("hamming", hamming.cast("bigint")).where(
         F.col("hamming") <= 11
     )
-    return _group_pair_fanout(hashes, pairs, "bands", "bs_a", "bs_b")
+    out = _group_pair_fanout(hashes, pairs, "bands", "bs_a", "bs_b")
+    # Probe rows are flagged, never silently mixed into production results:
+    # a consumer filters pair_kind = 'corpus'; the gate's liveness canary
+    # is the pair_kind = 'probe' row (ADVICE r12 — synthetic pairs must be
+    # distinguishable from real near-dups in the registered output).
+    return out.withColumn(
+        "pair_kind",
+        F.when(
+            (F.col("asset_a") < 0) | (F.col("asset_b") < 0), F.lit("probe")
+        ).otherwise(F.lit("corpus")),
+    )

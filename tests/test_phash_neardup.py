@@ -91,9 +91,10 @@ def test_wide_boundary_and_band_selectivity(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(sf, "documents.parquet")
     )
+    rows = multimodal_phash_neardup_wide(spark, sf).collect()
     got = {
         (r["asset_a"], r["asset_b"]): (r["modality"], r["hamming"])
-        for r in multimodal_phash_neardup_wide(spark, sf).collect()
+        for r in rows
     }
     assert got == {
         (0, 3): ("image", 11),
@@ -101,15 +102,22 @@ def test_wide_boundary_and_band_selectivity(spark, tmp_path):
         (3, 9): ("image", 11),
         (3, 6): ("image", 1),
         # the registered query's planted probe: a twin of the minimum
-        # asset (id + 51,000,000) with bands 0/5/9 perturbed one bit each —
-        # hamming 3 to asset 0 and its exact duplicate 9; FLIP11's 11 flips
-        # partially overlap the probe's 3 (11 + 3 - 2*2 = 10), FLIP12's 12
-        # flips overlap all 3 (12 + 3 - 2*3 = 9)
-        (0, 51000000): ("image", 3),
-        (9, 51000000): ("image", 3),
-        (3, 51000000): ("image", 10),
-        (6, 51000000): ("image", 9),
+        # asset (constant id -1, provably outside any non-negative corpus)
+        # with bands 0/5/9 perturbed one bit each — hamming 3 to asset 0
+        # and its exact duplicate 9; FLIP11's 11 flips partially overlap
+        # the probe's 3 (11 + 3 - 2*2 = 10), FLIP12's 12 flips overlap
+        # all 3 (12 + 3 - 2*3 = 9)
+        (-1, 0): ("image", 3),
+        (-1, 9): ("image", 3),
+        (-1, 3): ("image", 10),
+        (-1, 6): ("image", 9),
     }
+    # probe rows are FLAGGED (ADVICE r12): every pair touching the
+    # synthetic twin carries pair_kind='probe', every real pair 'corpus'
+    kinds = {(r["asset_a"], r["asset_b"]): r["pair_kind"] for r in rows}
+    for (a, b), kind in kinds.items():
+        assert kind == ("probe" if a < 0 or b < 0 else "corpus")
+    assert sum(1 for k in kinds.values() if k == "corpus") == 4
     assert (0, 6) not in got  # hamming 12: every band differs -> and correctly
     #                            rejected even though bands DO collide
     assert (0, 1) not in got  # modality isolation
