@@ -331,6 +331,40 @@ HEADLINE = (
 #: each lifecycle step stays graded per round.
 EPISODES = ("ivm_incremental_view",)
 
+#: Version of the HEADLINE set's composition rules, recorded in the artifact
+#: so round-over-round totals are never compared apples-to-oranges (ADVICE
+#: r12): v1 = rounds <= 11 (ivm_incremental_view counted in the headline
+#: total); v2 = round 12+ (lifecycle episodes unbundled into "episodes";
+#: the headline list itself stays append-only within a version).
+HEADLINE_SET_VERSION = 2
+
+#: Timed value = MIN of up to two timed runs, caches released between EVERY
+#: run (warm-up included), so each timed run pays the full recompute — the
+#: min filters episodic host stalls (observed: the same query 3.0s/3.0s/9.0s
+#: across back-to-back runs on an otherwise-idle box), not cached work. The
+#: second run only happens when the first exceeds RETIME_FLOOR: sub-threshold
+#: readings are already at the steady-state floor, and skipping them keeps
+#: suite wall time bounded.
+RETIME_FLOOR = 0.75
+
+
+def _time_query(run, name: str) -> list[float]:
+    """One query's timing episode (warm-up + timed min-of-up-to-2, caches
+    released between every run) — shared by the headline and episode loops
+    so the two can never drift apart (ADVICE r12)."""
+    run(name)  # warm-up: JIT, code cache, FS cache
+    release_tracked()  # warm-up caches must not subsidize the timed runs
+    t0 = time.perf_counter()
+    run(name)
+    runs = [time.perf_counter() - t0]
+    release_tracked()
+    if runs[0] > RETIME_FLOOR:
+        t0 = time.perf_counter()
+        run(name)
+        runs.append(time.perf_counter() - t0)
+        release_tracked()
+    return [round(r, 3) for r in runs]
+
 
 def main() -> None:
     _ensure_loaded()
@@ -394,50 +428,20 @@ def main() -> None:
     def run(name: str) -> None:
         resolve(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Timed value = MIN of up to two timed runs, caches released between
-    # EVERY run (warm-up included), so each timed run pays the full
-    # recompute — the min filters episodic host stalls (observed: the same
-    # query 3.0s/3.0s/9.0s across back-to-back runs on an otherwise-idle
-    # box), not cached work. The second run only happens when the first
-    # exceeds RETIME_FLOOR: sub-threshold readings are already at the
-    # steady-state floor, and skipping them keeps suite wall time bounded.
-    RETIME_FLOOR = 0.75
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        run(name)  # warm-up: JIT, code cache, FS cache
-        release_tracked()  # warm-up caches must not subsidize the timed runs
-        t0 = time.perf_counter()
-        run(name)
-        runs = [time.perf_counter() - t0]
-        release_tracked()  # builder-cached blocks must not accumulate
-        if runs[0] > RETIME_FLOOR:
-            t0 = time.perf_counter()
-            run(name)
-            runs.append(time.perf_counter() - t0)
-            release_tracked()
-        timings[name] = round(min(runs), 3)
-        all_runs[name] = [round(r, 3) for r in runs]
+        runs = _time_query(run, name)
+        timings[name] = min(runs)
+        all_runs[name] = runs
 
-    # Lifecycle episodes: same timing discipline, recorded separately —
-    # never part of the headline total or the printed driver line.
+    # Lifecycle episodes: same timing discipline (the shared helper),
+    # recorded separately — never part of the headline total or the
+    # printed driver line.
     episode_timings: dict[str, dict] = {}
     for name in EPISODES:
-        run(name)
-        release_tracked()
-        t0 = time.perf_counter()
-        run(name)
-        runs = [time.perf_counter() - t0]
-        release_tracked()
-        if runs[0] > RETIME_FLOOR:
-            t0 = time.perf_counter()
-            run(name)
-            runs.append(time.perf_counter() - t0)
-            release_tracked()
-        episode_timings[name] = {
-            "min": round(min(runs), 3),
-            "runs": [round(r, 3) for r in runs],
-        }
+        runs = _time_query(run, name)
+        episode_timings[name] = {"min": min(runs), "runs": runs}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
@@ -458,7 +462,10 @@ def main() -> None:
     # families (r9 fix: driver-line history alone lags when a round records
     # nothing) and can be pinned with SPARK_GRAFT_ROUND.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    from aws_flight_data_pipeline_spark.functions.rounds import infer_round
+    from aws_flight_data_pipeline_spark.functions.rounds import (
+        full_bench_path,
+        infer_round,
+    )
 
     round_no = infer_round(repo_dir)
     host_meta["timestamp_end"] = time.time()
@@ -497,12 +504,19 @@ def main() -> None:
         "sf": sf_val,
         "leaked_caches": leaked_caches,
         "statistic": "min of up to 2 cache-released runs (runs list = raw)",
+        "headline_set_version": HEADLINE_SET_VERSION,
         "host": host_meta,
         "episodes": episode_timings,
         "step_breakdowns": step_breakdowns,
     }
-    for fname in ("BENCH_FULL.json", f"BENCH_FULL_r{round_no:02d}.json"):
-        with open(os.path.join(repo_dir, fname), "w") as f:
+    # Per-round sidecar via full_bench_path: the driver's POST-GATE bench is
+    # diverted to _post.json so it never clobbers the builder's committed
+    # gated artifact (verdict r12 #3).
+    for path in (
+        os.path.join(repo_dir, "BENCH_FULL.json"),
+        full_bench_path(repo_dir, round_no),
+    ):
+        with open(path, "w") as f:
             json.dump(full_payload, f, indent=1)
 
     # Printed line: driver-registered queries only, 2 dp, compact separators,

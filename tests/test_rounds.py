@@ -75,3 +75,46 @@ def test_env_pin_wins(tmp_path, monkeypatch):
     _touch(d, "CORRECTNESS_r09.json")
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
     assert infer_round(d) == 12
+
+
+def test_post_gate_bench_never_clobbers_committed_artifact(tmp_path, monkeypatch):
+    # the r12 clobber scenario (verdict r12 #3): the driver's post-gate
+    # bench correctly names round 12 — and must therefore NOT overwrite the
+    # builder's committed BENCH_FULL_r12.json; it diverts to _post (then
+    # _post2 if a post artifact already exists)
+    from aws_flight_data_pipeline_spark.functions.rounds import full_bench_path
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    d = str(tmp_path)
+    _touch(d, "BENCH_r11.json")
+    _touch(d, "CORRECTNESS_r11.json")
+    _touch(d, "BENCH_FULL_r12.json")  # builder's gated artifact, committed
+    _touch(d, "CORRECTNESS_r12.json")  # driver stamps the gate...
+    rn = infer_round(d)
+    assert rn == 12  # ...and its post-gate bench stays on round 12
+    p = full_bench_path(d, rn)
+    assert os.path.basename(p) == "BENCH_FULL_r12_post.json"
+    _touch(d, "BENCH_FULL_r12_post.json")
+    assert os.path.basename(full_bench_path(d, rn)) == "BENCH_FULL_r12_post2.json"
+    # _post artifacts are NOT sidecar stamps: round inference is unchanged
+    assert infer_round(d) == 12
+
+
+def test_builder_rebench_within_round_keeps_overwriting_own_sidecar(
+    tmp_path, monkeypatch
+):
+    # before the gate stamps, the builder iterates: repeated benches in the
+    # same round overwrite the builder's own in-progress sidecar (normal)
+    from aws_flight_data_pipeline_spark.functions.rounds import full_bench_path
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    d = str(tmp_path)
+    _touch(d, "BENCH_r12.json")
+    _touch(d, "CORRECTNESS_r12.json")
+    rn = infer_round(d)
+    assert rn == 13
+    assert os.path.basename(full_bench_path(d, rn)) == "BENCH_FULL_r13.json"
+    _touch(d, "BENCH_FULL_r13.json")  # first bench of the round
+    assert infer_round(d) == 13
+    # no CORRECTNESS_r13 yet -> still the builder's round: same path
+    assert os.path.basename(full_bench_path(d, 13)) == "BENCH_FULL_r13.json"
