@@ -359,8 +359,16 @@ _SUITE_KNOWN_SQL = "('" + "','".join(KNOWN_EVENT_TYPES) + "')"
     "operators/batch_checks.py for the flight-schema version): one tiny stats "
     "pass broadcast back to the rows, then ONE wide aggregate computing every "
     "check's score simultaneously, emitted as (check_name, score, passed) "
-    "rows. 7 checks = still 2 jobs; the reference runs 16 sequential pandas "
-    "passes.",
+    "rows. 10 checks = still 2 jobs; the reference runs 16 sequential pandas "
+    "passes. The three batch_* rows carry the BATCH QUALITY AGGREGATES "
+    "(flight_data_processor.py:193-275 — the corpus-level ratio block "
+    "quality_score_profile computes per event type; folded in here when "
+    "that entry rotated to builder status, verdict r12 #6, so SURVEY "
+    "§2.4's batch-aggregates row keeps a registered, oracle-hash-verified "
+    "proof): weighted 5/3/2 completeness, fully-complete ratio, and "
+    "integer-quarters validity, each summed as exact integers and divided "
+    "ONCE, unrounded — exact-integer quotients are bit-identical doubles "
+    "in both engines, where ROUND(...,4) could diverge on half-boundaries.",
     oracle=f"""
         WITH stats AS (
             SELECT quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.75) AS p75,
@@ -403,6 +411,27 @@ _SUITE_KNOWN_SQL = "('" + "','".join(KNOWN_EVENT_TYPES) + "')"
             UNION ALL
             SELECT 'anomaly_detection',
                    ROUND(AVG(CASE WHEN ABS(value - m) / s <= 3 THEN 1.0 ELSE 0.0 END), 4)
+            FROM ind
+            UNION ALL
+            SELECT 'batch_weighted_completeness',
+                   CAST(SUM(CASE WHEN value_g IS NOT NULL THEN 5 ELSE 0 END
+                            + CASE WHEN props_g IS NOT NULL THEN 3 ELSE 0 END
+                            + CASE WHEN type_g IS NOT NULL THEN 2 ELSE 0 END) AS BIGINT)
+                       / (CAST(10 AS DOUBLE) * COUNT(*))
+            FROM ind
+            UNION ALL
+            SELECT 'batch_fully_complete_ratio',
+                   CAST(SUM(CASE WHEN value_g IS NOT NULL AND props_g IS NOT NULL
+                                 AND type_g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       / (CAST(1 AS DOUBLE) * COUNT(*))
+            FROM ind
+            UNION ALL
+            SELECT 'batch_avg_validity',
+                   CAST(SUM(4 - (CASE WHEN value >= 0 AND value <= 250 THEN 0 ELSE 1 END
+                                 + CASE WHEN year(ts) = 2024 THEN 0 ELSE 1 END
+                                 + CASE WHEN event_type IN {_SUITE_KNOWN_SQL} THEN 0 ELSE 1 END
+                                 + CASE WHEN user_id >= 0 THEN 0 ELSE 1 END)) AS BIGINT)
+                       / (CAST(4 AS DOUBLE) * COUNT(*))
             FROM ind
         )
         SELECT check_name, score,
@@ -456,8 +485,36 @@ def quality_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_range": frac(in_fence),
         "anomaly_detection": frac(z_ok),
     }
+    # Batch quality aggregates (quality_score_profile's corpus-level ratio
+    # block, reference flight_data_processor.py:193-275) — exact-integer
+    # sums divided once, deliberately NOT rounded (see doc).
+    tenths = (
+        F.when(F.col("value_g").isNotNull(), 5).otherwise(0)
+        + F.when(F.col("props_g").isNotNull(), 3).otherwise(0)
+        + F.when(F.col("type_g").isNotNull(), 2).otherwise(0)
+    )
+    fully = (
+        F.col("value_g").isNotNull()
+        & F.col("props_g").isNotNull()
+        & F.col("type_g").isNotNull()
+    )
+    failed = (
+        F.when((F.col("value") >= 0) & (F.col("value") <= 250), 0).otherwise(1)
+        + F.when(F.year("ts") == 2024, 0).otherwise(1)
+        + F.when(F.col("event_type").isin(*KNOWN_EVENT_TYPES), 0).otherwise(1)
+        + F.when(F.col("user_id") >= 0, 0).otherwise(1)
+    )
+    n = F.count("*")
+    exact_checks = {
+        "batch_weighted_completeness": F.sum(tenths) / (10.0 * n),
+        "batch_fully_complete_ratio": F.sum(F.when(fully, 1).otherwise(0)) / (1.0 * n),
+        "batch_avg_validity": F.sum(4 - failed) / (4.0 * n),
+    }
     thresholds = {"uniqueness": 0.95, "timestamp_consistency": 0.9}
-    one_row = ind.agg(*[F.round(expr, 4).alias(name) for name, expr in checks.items()])
+    one_row = ind.agg(
+        *[F.round(expr, 4).alias(name) for name, expr in checks.items()],
+        *[expr.alias(name) for name, expr in exact_checks.items()],
+    )
     entries = F.array(
         *[
             F.struct(
@@ -465,7 +522,7 @@ def quality_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(name).alias("score"),
                 (F.col(name) >= thresholds.get(name, 0.8)).alias("passed"),
             )
-            for name in checks
+            for name in {**checks, **exact_checks}
         ]
     )
     return (
