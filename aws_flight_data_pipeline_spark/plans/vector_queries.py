@@ -1547,6 +1547,42 @@ _SEMDEDUP_SCALE_TARGET_CLUSTER = 64
 #: is O(this), independent of k and therefore of N.
 _SEMDEDUP_SCALE_BUCKET_FANIN = 32
 
+#: Assignment-join strategy gate (verdict r12 #2): broadcast the centroid
+#: table only while it is provably small — above this row count the
+#: broadcast grows ∝N (k = N/64 centroids × dim doubles ≈ 8 GB at N=10⁹),
+#: so the join switches to a bucket-keyed SHUFFLE hash join, which is
+#: skew-bounded by construction (each bucket holds ~fan-in centroids and
+#: ~fan-in × cluster-target points in expectation). 2^17 rows ≈ 80 MB at
+#: dim 64 — comfortably under a sane broadcast budget.
+_SEMDEDUP_SCALE_BROADCAST_MAX = 131072
+
+
+def semdedup_scale_assignment(
+    e: DataFrame, centroids: DataFrame, n_centroids: int
+) -> DataFrame:
+    """Sign-LSH-pruned centroid assignment with a SCALE-SAFE join strategy:
+    each point meets only its bucket's ~fan-in centroids (O(1) per point,
+    independent of k and N), and the centroid side is broadcast only below
+    ``_SEMDEDUP_SCALE_BROADCAST_MAX`` rows — past that it is a bucket-keyed
+    shuffle hash join, so NO stage's broadcast bytes or single-task row
+    count grows with the corpus (plan-pinned in tests/test_plan_shapes.py).
+    Exposed as a helper so the plan-shape test can force the shuffle branch
+    without a billion-row fixture."""
+    cent_side = (
+        F.broadcast(centroids)
+        if n_centroids <= _SEMDEDUP_SCALE_BROADCAST_MAX
+        else centroids.hint("shuffle_hash")
+    )
+    return (
+        e.join(cent_side, F.col("bucket") == F.col("c_bucket"), "left")
+        .withColumn("dist", l2_distance(F.col("v"), F.col("c")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cid"), F.struct("dist", "cid"))["cid"].alias("cid"),
+            F.first("v").alias("v"),
+        )
+    )
+
 
 @builder(
     "semantic_dedup_semdedup_scale",
@@ -1566,21 +1602,35 @@ _SEMDEDUP_SCALE_BUCKET_FANIN = 32
     "(reported as fallback_docs — blocking recall, never correctness). "
     "Within-cluster pairing and the keep-lowest-id election are the "
     "registered tier's semantics over unit-dot cosine at the same "
-    "threshold. Every stage is linear: one hash-ordered top-k for "
-    "centroids, one bucket equi-join + min_by for assignment, one "
-    "cid-partitioned self-join bounded by the constant cluster size. "
-    "Output is the corpus-level accounting row (k, fallback fraction, "
+    "threshold. Every stage is linear AND free of ∝N single-point "
+    "chokepoints (verdict r12 #2): centroid selection is a hash-threshold "
+    "FILTER (xxhash64(vec_id) % 64 == 0 — deterministic 1/64 sample, no "
+    "global sort, no top-k funneling N/64 rows through one task's heap), "
+    "and assignment broadcasts the centroid table only below a size "
+    "threshold, switching to a bucket-keyed shuffle hash join past it "
+    "(see semdedup_scale_assignment) — so no stage's broadcast bytes or "
+    "single-task rows grow with the corpus. One bucket equi-join + min_by "
+    "for assignment, one cid-partitioned self-join bounded by the "
+    "constant cluster size. Output is the corpus-level accounting row "
+    "(k = the sample's ACTUAL centroid count, fallback fraction, "
     "pair/prune totals, max cluster size — the skew tell). Rows-only "
     "(sign-LSH + xxhash64 have no DuckDB twin — the _xx precedent); "
     "partition/fallback/election properties pinned in "
-    "tests/test_leakage_split.py; swept x1/x10/x100 in bench_scaling.py.",
+    "tests/test_leakage_split.py; plan shape (no broadcast, no global "
+    "limit on the scale path) pinned in tests/test_plan_shapes.py; swept "
+    "in bench_scaling.py.",
 )
 def semantic_dedup_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
-    k = max(32, n_vecs // _SEMDEDUP_SCALE_TARGET_CLUSTER)
-    b_bits = max(1, math.ceil(math.log2(max(k / _SEMDEDUP_SCALE_BUCKET_FANIN, 2))))
+    # planning constants only (bucket width, fallback hash modulus): the
+    # expected centroid count at the 1/64 sample rate, floored so the
+    # modulus is never degenerate on tiny corpora
+    k_plan = max(32, n_vecs // _SEMDEDUP_SCALE_TARGET_CLUSTER)
+    b_bits = max(
+        1, math.ceil(math.log2(max(k_plan / _SEMDEDUP_SCALE_BUCKET_FANIN, 2)))
+    )
     e = (
         load_table(spark, sf_dir, "embeddings", fan_out=True)
         .select(
@@ -1590,11 +1640,15 @@ def semantic_dedup_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("bucket", sign_bucket(F.col("v"), b_bits))
         .transform(tracked_cache)
     )
-    # centroid sample: deterministic hash order, k rows (TakeOrdered — one
-    # distributed top-k, never a full sort materialization)
+    # centroid sample: hash-threshold FILTER at rate 1/64 — deterministic,
+    # embarrassingly parallel, and never funnels rows through one task the
+    # way orderBy(hash).limit(k) did (TakeOrdered gathers k = N/64 rows
+    # into a single heap; verdict r12 #2)
     centroids = (
-        e.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(k)
+        e.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(_SEMDEDUP_SCALE_TARGET_CLUSTER))
+            == 0
+        )
         .select(
             F.col("vec_id").alias("cid"),
             F.col("v").alias("c"),
@@ -1602,24 +1656,16 @@ def semantic_dedup_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .transform(tracked_cache)
     )
+    k = centroids.count()  # actual sample size (materializes the cache)
     # sign-LSH-pruned assignment: each point meets only its bucket's
-    # centroids — O(fan-in) per point, independent of k and N
-    assigned = (
-        e.join(F.broadcast(centroids), F.col("bucket") == F.col("c_bucket"), "left")
-        .withColumn("dist", l2_distance(F.col("v"), F.col("c")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(F.struct("cid"), F.struct("dist", "cid"))["cid"].alias("cid"),
-            F.first("v").alias("v"),
-        )
-        .select(
-            "vec_id",
-            F.coalesce(
-                "cid", F.pmod(F.xxhash64("vec_id"), F.lit(k)) - F.lit(2 * k)
-            ).alias("cid"),
-            F.col("cid").isNull().alias("is_fallback"),
-            "v",
-        )
+    # centroids — O(fan-in) per point; join strategy is size-gated
+    assigned = semdedup_scale_assignment(e, centroids, k).select(
+        "vec_id",
+        F.coalesce(
+            "cid", F.pmod(F.xxhash64("vec_id"), F.lit(k_plan)) - F.lit(2 * k_plan)
+        ).alias("cid"),
+        F.col("cid").isNull().alias("is_fallback"),
+        "v",
     )
     members = with_unit_embedding(assigned, src="v", dst="unit").select(
         "vec_id", "cid", "is_fallback", "unit", (norm(F.col("v")) > 0).alias("pairable")

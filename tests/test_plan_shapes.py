@@ -568,3 +568,55 @@ def test_top_supplier_view_not_recomputed(spark, sf_dir):
     from aws_flight_data_pipeline_spark.functions.caching import release_tracked
 
     release_tracked()
+
+
+def test_semdedup_scale_twin_no_global_topk_and_size_gated_join(
+    spark, sf_dir, monkeypatch
+):
+    """Verdict r12 #2: the linear-scale SemDeDup twin must carry NO stage
+    whose single-task rows or broadcast bytes grow with N — centroid
+    selection is a hash-threshold filter (no global orderBy+limit), and
+    the assignment join broadcasts only under the size gate, becoming a
+    bucket-keyed shuffle hash join past it."""
+    from pyspark.sql import functions as F
+
+    from aws_flight_data_pipeline_spark.functions.vectors import sign_bucket
+    from aws_flight_data_pipeline_spark.plans import vector_queries as vq
+    from aws_flight_data_pipeline_spark.sources.testdata import load_table
+
+    # full registered plan: the old TakeOrdered centroid sample is gone
+    plan = _plan(spark, sf_dir, "semantic_dedup_semdedup_scale")
+    assert "GlobalLimit" not in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "CartesianProduct" not in plan
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("v"), 2))
+    )
+    centroids = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("c"),
+        F.col("bucket").alias("c_bucket"),
+    )
+
+    def _explain(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # under the gate: the tiny centroid table rides a broadcast
+    small = _explain(vq.semdedup_scale_assignment(e, centroids, 10))
+    assert "BroadcastHashJoin" in small
+
+    # past the gate (forced shut): bucket-keyed shuffle hash join, zero
+    # broadcast anywhere in the assignment subtree
+    monkeypatch.setattr(vq, "_SEMDEDUP_SCALE_BROADCAST_MAX", -1)
+    big = _explain(vq.semdedup_scale_assignment(e, centroids, 10))
+    assert "BroadcastExchange" not in big
+    assert "BroadcastHashJoin" not in big
+    assert "ShuffledHashJoin" in big
