@@ -323,23 +323,13 @@ def stream_attribution_join(
     return p.join(c, cond, "inner").drop(c["user_id"])
 
 
-def streaming_quality_gate(docs: DataFrame) -> DataFrame:
-    """Per-document quality gate on the corpus ingestion stream — the
-    streaming twin of the batch ``quality_filter_funnel`` (stateless, append
-    mode: every rule is a per-row expression, so the gate streams with zero
-    state and zero shuffle, the same batch/streaming one-code-path discipline
-    as ``micro_batch_pipeline``).
-
-    Rules 1-4 (length bounds, word shape, stopword containment, lexical
-    diversity) are the batch funnel's expressions verbatim. Rule 5
-    (repetition) uses the within-row OCCURRENCE-fraction form — duplicate
-    2-gram occurrences / total, via ``size(grams) - size(array_distinct)``
-    — because the batch form's per-(doc, gram) combine shuffle has no
-    stateless streaming equivalent; linear per row, so a 100k-token document
-    costs O(tokens). Emits every document with its per-rule flags and the
-    conjunctive ``passed`` — the quarantine-split shape: the consumer routes
-    admit/reject without re-scoring.
-    """
+def quality_gate_rules() -> dict:
+    """The streaming quality gate's five rules (plus word count and the
+    conjunctive ``passed``) as pure Column expressions over ``text`` — ONE
+    shared definition consumed by :func:`streaming_quality_gate` (which
+    emits every flag) and :func:`unified_admission_decisions` (which fuses
+    just ``passed`` into the batch checkpoint's projection instead of
+    joining a separately scored frame), so the two can never drift."""
     from aws_flight_data_pipeline_spark.functions.text import (
         distinct_token_count,
         word_count,
@@ -358,17 +348,46 @@ def streaming_quality_gate(docs: DataFrame) -> DataFrame:
     p3 = padded.contains(" the ") & padded.contains(" a ")
     p4 = 5 * distinct_token_count(text) >= 2 * wc
     p5 = 10 * dup2 < n2
+    return {
+        "wc": wc,
+        "pass_length": p1,
+        "pass_word_shape": p2,
+        "pass_stopword": p3,
+        "pass_diversity": p4,
+        "pass_repetition": p5,
+        "passed": p1 & p2 & p3 & p4 & p5,
+    }
+
+
+def streaming_quality_gate(docs: DataFrame) -> DataFrame:
+    """Per-document quality gate on the corpus ingestion stream — the
+    streaming twin of the batch ``quality_filter_funnel`` (stateless, append
+    mode: every rule is a per-row expression, so the gate streams with zero
+    state and zero shuffle, the same batch/streaming one-code-path discipline
+    as ``micro_batch_pipeline``).
+
+    Rules 1-4 (length bounds, word shape, stopword containment, lexical
+    diversity) are the batch funnel's expressions verbatim. Rule 5
+    (repetition) uses the within-row OCCURRENCE-fraction form — duplicate
+    2-gram occurrences / total, via ``size(grams) - size(array_distinct)``
+    — because the batch form's per-(doc, gram) combine shuffle has no
+    stateless streaming equivalent; linear per row, so a 100k-token document
+    costs O(tokens). Emits every document with its per-rule flags and the
+    conjunctive ``passed`` — the quarantine-split shape: the consumer routes
+    admit/reject without re-scoring.
+    """
+    r = quality_gate_rules()
     return docs.select(
         "doc_id",
         "source",
         "lang",
-        wc.alias("wc"),
-        p1.alias("pass_length"),
-        p2.alias("pass_word_shape"),
-        p3.alias("pass_stopword"),
-        p4.alias("pass_diversity"),
-        p5.alias("pass_repetition"),
-        (p1 & p2 & p3 & p4 & p5).alias("passed"),
+        r["wc"].alias("wc"),
+        r["pass_length"].alias("pass_length"),
+        r["pass_word_shape"].alias("pass_word_shape"),
+        r["pass_stopword"].alias("pass_stopword"),
+        r["pass_diversity"].alias("pass_diversity"),
+        r["pass_repetition"].alias("pass_repetition"),
+        r["passed"].alias("passed"),
     )
 
 
@@ -1354,6 +1373,7 @@ def unified_admission_decisions(
     eval_index_path: str,
     fp_comb: DataFrame,
     buckets_comb: DataFrame,
+    eval_postings: DataFrame | None = None,
 ) -> DataFrame:
     """ONE batch's decisions through the composed admission pipeline —
     quality funnel, then decontamination, then near-dup election — as a
@@ -1377,29 +1397,48 @@ def unified_admission_decisions(
     document never reached are NULL (short-circuit is part of the
     contract: a quality-rejected document is not probed, not elected).
     """
-    from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
+    from aws_flight_data_pipeline_spark.functions.caching import (
+        tracked_localcheckpoint,
+    )
     from aws_flight_data_pipeline_spark.plans.curation_queries import (
         decontam_increment,
     )
 
-    # the quality verdict frame is tiny (doc_id, passed) but its subtree
-    # (2-gram arrays, distinct-token folds over every document) is consumed
-    # by FOUR downstream joins — cache it or the gate re-scores the batch
-    # once per consumer (measured 4x at sf0.1); released per micro-batch
-    # by the gate's release_tracked()
-    q = (
-        streaming_quality_gate(batch_df)
-        .select("doc_id", "passed")
-        .transform(tracked_cache)
+    # ONE checkpointed pass scores the batch: the quality verdict is a pure
+    # per-row expression (quality_gate_rules — the gate's own definition),
+    # so it rides the batch materialization for free, and checkpointing
+    # truncates every downstream reference to a LogicalRDD leaf. At
+    # micro-batch sizes the dominant cost is not recompute but DRIVER-SIDE
+    # PLANNING — with cache() Catalyst still analyzes a tree repeating the
+    # batch lineage per consumer (event-log profile at sf0.1: a ~2 s
+    # zero-job gap, pure planner time, vs ~4 s of stage work). Fusing the
+    # verdict also deletes two joins the old shape paid (batch⋈q to build
+    # qpass, out⋈q in the assembly). See tracked_localcheckpoint for the
+    # fault-tolerance trade and the lake-scale variant.
+    scored = tracked_localcheckpoint(
+        batch_df.withColumn("passed", quality_gate_rules()["passed"])
     )
-    qpass = batch_df.join(q.where("passed").select("doc_id"), "doc_id")
+    qpass = scored.where("passed")
 
-    hits = decontam_increment(
-        spark, eval_index_path, qpass.select("doc_id", "text")
-    ).select(
-        F.col("train_id").alias("doc_id"),
-        F.col("eval_id").alias("contaminating_eval_id"),
-        "jac_ppm",
+    # hits is tiny (doc_id, eval_id, jac_ppm) but its subtree — shingle-
+    # tokenize every quality survivor and probe the eval inverted index —
+    # is the gate's second-most-expensive stage, and it feeds BOTH the
+    # clean-survivor anti-join and the final decision assembly: cache it
+    # or the probe runs twice per batch (measured 1.75 s each at sf0.1);
+    # released per micro-batch by the gate's release_tracked() like q
+    hits = (
+        decontam_increment(
+            spark,
+            eval_index_path,
+            qpass.select("doc_id", "text"),
+            postings=eval_postings,
+        )
+        .select(
+            F.col("train_id").alias("doc_id"),
+            F.col("eval_id").alias("contaminating_eval_id"),
+            "jac_ppm",
+        )
+        .transform(tracked_localcheckpoint)
     )
     clean = qpass.join(hits.select("doc_id"), "doc_id", "left_anti")
 
@@ -1408,7 +1447,7 @@ def unified_admission_decisions(
     # runs twice; released per micro-batch like q above
     decided = _admission_decide(
         _admission_enrich(clean), fp_comb, buckets_comb
-    ).transform(tracked_cache)
+    ).transform(tracked_localcheckpoint)
     survivors = decided.where("admitted").select("doc_id", "fp", "toks", "b0", "b1")
     intra = _intra_batch_reject_ids(survivors).withColumn(
         "intra_dup", F.lit(True)
@@ -1426,9 +1465,9 @@ def unified_admission_decisions(
     )
 
     out = (
-        batch_df.select("doc_id", "source")
-        .join(q, "doc_id", "left")
-        .withColumnRenamed("passed", "passed_quality")
+        scored.select(
+            "doc_id", "source", F.col("passed").alias("passed_quality")
+        )
         .join(hits, "doc_id", "left")
         .join(dedup, "doc_id", "left")
     )
@@ -1544,11 +1583,13 @@ def unified_admission_batch(
     eval_index_path: str,
     fp_index: DataFrame,
     band_buckets: DataFrame,
+    eval_postings: DataFrame | None = None,
 ) -> DataFrame:
     """The unified gate's BATCH twin: the whole input as one batch against
     the base index only (no accumulated state — the intra-batch keep-first
     election subsumes it when every document is in the same batch). Used by
     the stream==batch equivalence tests and as the backfill entry point."""
     return unified_admission_decisions(
-        spark, docs, eval_index_path, fp_index, band_buckets
+        spark, docs, eval_index_path, fp_index, band_buckets,
+        eval_postings=eval_postings,
     )
