@@ -136,7 +136,10 @@ def _ensure_scaled_corpus(spark, mult: int) -> str:
         return base
     from pyspark.sql import functions as F
 
-    out = os.path.join(_SCALE_DIR, f"x{mult}-v2")
+    # v3: embeddings perturbation changed to the sign-reflection family
+    # (ADVICE r12) — the version bump invalidates cached v2 dirs whose
+    # embeddings carry the old degenerate perturbation
+    out = os.path.join(_SCALE_DIR, f"x{mult}-v3")
     _ensure_scaled_embeddings(spark, mult, out)
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
@@ -167,14 +170,39 @@ def _ensure_scaled_corpus(spark, mult: int) -> str:
     return out
 
 
+#: Per-copy SIGNED PERMUTATION for the scaled embeddings: copy k reads
+#: dimension pmod(a_k * j + b_k, 64) (an affine bijection mod 64 — a_k odd
+#: — keyed by Murmur3 hash(k, ...)) and flips its sign by a per-(k, j)
+#: hash coin. A signed permutation is an ORTHOGONAL transform applied
+#: uniformly to every vector of copy k, so every WITHIN-copy dot product
+#: is preserved BIT-EXACTLY (the base corpus's own near-dup structure
+#: replicates into each copy — the sweep's realism requirement) while
+#: cross-copy cosines concentrate near 0: measured on this corpus, mean
+#: |cos| ≈ 0.1, ~0.4% of copy-vs-base pairs stray above tau = 0.35 (an
+#: irreducible tail at dim 64 — ANY orthogonal mixing has sd ≈ 1/√dim
+#: given this corpus's energy concentration), worst ≈ 0.5. The r12
+#: multiplicative-magnitude perturbation failed categorically (ADVICE
+#: r12): for k % 97 ≡ 0 (mod 13) the factor was constant across dims —
+#: an exact scalar multiple, cosine 1.0 — and even non-degenerate copies
+#: stayed at cosine ~0.998, planting mult-way near-dup clusters. The
+#: separation and preservation properties are asserted numerically in
+#: tests/test_bench_coverage.py.
+_EMB_REFLECT_SQL = (
+    "CASE WHEN k = 0 THEN embedding ELSE transform(embedding, (x, j) -> "
+    "CAST(element_at(embedding, CAST(pmod((2 * pmod(hash(k, 11), 32) + 1) * j "
+    "+ pmod(hash(k, 13), 64), 64) AS INT) + 1) "
+    "* (1 - 2 * pmod(hash(k, j), 2)) AS FLOAT)) END"
+)
+
+
 def _ensure_scaled_embeddings(spark, mult: int, out: str) -> None:
     """embeddings table ``mult`` x the sf0.1 one, in the same scaled dir
     (added r12 for the SemDeDup scale sweep). Copy k offsets vec_ids by
-    k*10M (the documents convention) and perturbs each copy's vectors with
-    a copy- and dimension-dependent factor, so copies differ in DIRECTION —
-    naive copying would plant mult-way exact semantic dup clusters, the
-    same pathology the token markers prevent for text. Copy 0 is the base
-    corpus bit-exact."""
+    k*10M (the documents convention) and transforms each copy through a
+    hash-keyed SIGNED PERMUTATION of the dimensions (see
+    ``_EMB_REFLECT_SQL``): within-copy similarity structure is preserved
+    exactly, cross-copy cosines land near zero. Copy 0 is the base corpus
+    bit-exact."""
     from pyspark.sql import functions as F
 
     marker = os.path.join(out, "embeddings.parquet", "_SUCCESS")
@@ -182,13 +210,9 @@ def _ensure_scaled_embeddings(spark, mult: int, out: str) -> None:
         return
     emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     ks = spark.range(mult).select(F.col("id").alias("k"))
-    perturbed = F.expr(
-        "CASE WHEN k = 0 THEN embedding ELSE transform(embedding, (x, j) -> "
-        "CAST(x * (1.0 + (((k % 97) * (j + 1)) % 13 - 6) * 0.017) AS FLOAT)) END"
-    )
     emb.crossJoin(ks).select(
         (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias("vec_id"),
-        perturbed.alias("embedding"),
+        F.expr(_EMB_REFLECT_SQL).alias("embedding"),
         "label",
     ).repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
