@@ -182,6 +182,20 @@ def hashed_shingle_nums(th_col: Column, k: int = 3) -> Column:
     like :func:`shingles` (one truncated shingle via try_element_at NULLs
     — deterministic identity). md5 strings stay the ORACLE tier; this
     family is rows-only/property-pinned (the _xx twin precedent)."""
+    return F.transform(
+        hashed_shingles(th_col, k), lambda h: F.pmod(h, F.lit(MINHASH_P))
+    )
+
+
+def hashed_shingles(th_col: Column, k: int = 3) -> Column:
+    """Distinct RAW 64-bit hashed shingle identities (xxhash64 over k
+    consecutive token hashes, short-doc clamped like
+    :func:`hashed_shingle_nums`, which layers the mod-p reduction the
+    MinHash families need on top of this). Exact-Jaccard consumers
+    (``dedup_family_agreement_xx``) use the raw ids directly — the full
+    64-bit space keeps the string↔hash shingle mapping injective up to
+    birthday collisions (~n²/2⁶⁵, immaterial below trillions of distinct
+    shingles)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(th_col) - (k - 1), F.lit(1)))
     sh = F.transform(
         idx,
@@ -189,9 +203,7 @@ def hashed_shingle_nums(th_col: Column, k: int = 3) -> Column:
             *[F.try_element_at(th_col, (i + j).cast("int")) for j in range(k)]
         ),
     )
-    return F.transform(
-        F.array_distinct(sh), lambda h: F.pmod(h, F.lit(MINHASH_P))
-    )
+    return F.array_distinct(sh)
 
 
 def minhash_band_xx(signature: Column, start: int, length: int) -> Column:

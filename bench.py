@@ -320,6 +320,14 @@ HEADLINE = (
     # (bench-tracked like every _xx; returned_item_customers_planned was
     # already headline-tracked when it was a builder and is now registered)
     "dedup_pipeline_end_to_end_xx",
+    # round 13: the xx-vs-md5 family-agreement gate entry (hashed-shingle
+    # exact PPJoin + survivor rollup; set_similarity_join rotated to
+    # builder status, still tracked above); the admission gate's
+    # full-corpus episode, demoted to builder when the registered grain
+    # moved to per-increment, stays tracked here so its cost history
+    # continues unbroken
+    "dedup_family_agreement_xx",
+    "unified_admission_full_corpus",
 )
 
 #: Multi-commit lifecycle EPISODES, timed after the headline suite and
