@@ -90,6 +90,13 @@ HEAVY = (
     # repair stays re-verified. The 240-bit/20-bit-band tier below is the
     # production path (O(1) buckets by construction, x1000-verified).
     "multimodal_phash_neardup_wide",
+    # round 13: the xx-vs-md5 family-agreement gate entry (complete
+    # shared-shingle join — Σ df² work, linear in mult here because copy
+    # shingle vocabularies are disjoint by construction and per-copy df is
+    # bounded) and the hashed-shingle production dedup twin, which r12
+    # left unswept past x100 (verdict r12 missing #1)
+    "dedup_family_agreement_xx",
+    "dedup_pipeline_end_to_end_xx",
 )
 SFS = (0.001, 0.01, 0.1)
 RUNS = 3
@@ -104,7 +111,16 @@ _SCALE_DIR = "/tmp/afdp_scale"
 #: x1000 is expensive (minutes per run), so it is opt-in per query, timed
 #: without a dedicated warm-up (JIT is warm from the smaller mults), and
 #: exponent_last_decade moves to the 100->1000 decade for these.
-XLARGE_QUERIES = ("dedup_pipeline_end_to_end", "multimodal_phash_neardup_wide")
+XLARGE_QUERIES = (
+    "dedup_pipeline_end_to_end",
+    "multimodal_phash_neardup_wide",
+    # round 13 (verdict r12 #3): the deep decades move to the code a user
+    # would actually run — the hashed-shingle production dedup family and
+    # the linear-scale SemDeDup twin (whose ∝N chokepoints were engineered
+    # out this round; x1000 is where k = N/64 starts to matter)
+    "dedup_pipeline_end_to_end_xx",
+    "semantic_dedup_semdedup_scale",
+)
 XLARGE_MULT = 1000
 
 
@@ -616,23 +632,37 @@ def measure_hash_family() -> dict:
 
 
 def measure_dedup_xxlarge() -> dict:
-    """One decade further for the watch-listed pipeline only (verdict-r10
-    #8): a single cold x2000 (10M docs) timing of
-    ``dedup_pipeline_end_to_end``, no warm-up (JIT is warm from the corpus
-    build), one run (minutes-costly; min-of-N is the smaller error source
-    at this scale)."""
+    """The x2000 (10M docs) point, on the PRODUCTION family (verdict r12
+    #3: the md5 tier's 1430 s x2000 run in BENCH_SCALING_r12 was the last
+    one — deep-decade evidence belongs to the code a user would run, and
+    the hashed-shingle twin measured 6.6x faster end-to-end at x100).
+    Cold timing of ``dedup_pipeline_end_to_end_xx``, no warm-up (JIT is
+    warm from the corpus build), min of 2 runs (the r12 md5 point needed
+    episodic-stall filtering; two cold runs are affordable at the xx
+    family's speed)."""
     _ensure_loaded()
     spark = get_spark("afdp-spark-bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = _ensure_scaled_corpus(spark, 2000)
-    shutil.rmtree(_SNAPSHOT_ROOT, ignore_errors=True)
-    t0 = time.perf_counter()
-    resolve("dedup_pipeline_end_to_end")(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    secs = round(time.perf_counter() - t0, 3)
-    release_tracked()
-    return {"mult": 2000, "docs": 2000 * 5000, "seconds": secs}
+    best = math.inf
+    runs = []
+    for _ in range(2):
+        shutil.rmtree(_SNAPSHOT_ROOT, ignore_errors=True)
+        t0 = time.perf_counter()
+        resolve("dedup_pipeline_end_to_end_xx")(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+        best = min(best, runs[-1])
+        release_tracked()
+    return {
+        "query": "dedup_pipeline_end_to_end_xx",
+        "mult": 2000,
+        "docs": 2000 * 5000,
+        "seconds": round(best, 3),
+        "runs": runs,
+        "md5_tier_r12_seconds": 1430.1,
+    }
 
 
 def main() -> None:
