@@ -77,6 +77,35 @@ def _io_probe_seconds() -> float:
     return round(best, 3)
 
 
+def _shuffle_probe_seconds(spark) -> float:
+    """Fixed Spark SHUFFLE workload (32M longs exchanged through a 32->32
+    hash repartition + count), min of 2 after a warm-up — the EXCHANGE-path
+    host-speed index (serialization, local shuffle files, fetch). Added
+    r13: a window where every shuffle-bearing query read ~1.3x slow while
+    cpu/spark/io probes ALL read at-or-faster-than baseline proved the
+    existing probes miss this axis entirely (the round-13 ledger's r12-code
+    A/B pinned the inflation as environmental). First recorded reading:
+    1.48 s in that same slow window (compute probe simultaneously 0.25,
+    i.e. FAST) — the fast-window baseline accrues from future artifacts."""
+    from pyspark.sql import functions as SF
+
+    def one() -> None:
+        (
+            spark.range(0, 32_000_000, 1, 32)
+            .groupBy(SF.pmod("id", SF.lit(1_000_000)).alias("k"))
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    one()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        one()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _spark_probe_seconds(spark) -> float:
     """Fixed 32-slot JVM workload (xxhash64 fold over 256M longs), min of 2
     after a warm-up (~0.4 s baseline): the PARALLEL host-speed index.
@@ -422,6 +451,7 @@ def main() -> None:
         "cpu_probe_seconds": _cpu_probe_seconds(),
         "spark_probe_seconds": _spark_probe_seconds(spark),
         "io_probe_seconds": _io_probe_seconds(),
+        "shuffle_probe_seconds": _shuffle_probe_seconds(spark),
     }
     if not host_meta["loadavg_gate"]["quiet_at_start"]:
         import sys
