@@ -52,3 +52,36 @@ def test_build_ahead_reverse_evaluation(spark, sf_dir):
 
     caching.release_tracked()
     assert not caching._LIVE
+
+
+def test_tracked_localcheckpoint_releases_persistent_rdds(spark):
+    """tracked_localcheckpoint (round 13): the checkpoint's internal
+    persisted RDD is registered by id and release_tracked() unpersists it —
+    bench.py's leaked_caches == 0 contract must hold for checkpoint-based
+    plans exactly as for cache-based ones. Also pins the semantic point:
+    the checkpointed frame's plan is a truncated leaf (no lineage back to
+    the source), and its rows are the same."""
+    from pyspark.sql import functions as F
+
+    from aws_flight_data_pipeline_spark.functions.caching import (
+        release_tracked,
+        tracked_localcheckpoint,
+    )
+
+    sc = spark.sparkContext
+    release_tracked()
+    before = sc._jsc.getPersistentRDDs().size()
+
+    src = spark.range(0, 1000).select(
+        "id", F.pmod(F.col("id"), F.lit(7)).alias("k")
+    )
+    ck = tracked_localcheckpoint(src.groupBy("k").count())
+    assert sc._jsc.getPersistentRDDs().size() > before  # checkpoint persisted
+    rows = {(r["k"], r["count"]) for r in ck.collect()}
+    assert rows == {(i, 143 if i < 6 else 142) for i in range(7)}
+    # lineage truncated: the analyzed plan is a scan over an existing RDD
+    plan = ck._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+    release_tracked()
+    assert sc._jsc.getPersistentRDDs().size() == before
