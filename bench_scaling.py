@@ -689,7 +689,22 @@ def main() -> None:
     results: dict[str, dict] = {}
     large: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    skipped: dict[str, str] = {}
+    # SPARK_GRAFT_SWEEP_ONLY: comma list restricting the per-query sweep to
+    # the named pipelines — used when a round's sweep budget must go to NEW
+    # evidence (changed operators, new deep decades) rather than
+    # re-confirming unchanged code; every skipped pipeline is recorded with
+    # a reason so the artifact says what was NOT measured this round.
+    only = set(
+        s for s in os.environ.get("SPARK_GRAFT_SWEEP_ONLY", "").split(",") if s
+    )
     for name in HEAVY:
+        if only and name not in only:
+            skipped[name] = (
+                "unchanged code this round (SPARK_GRAFT_SWEEP_ONLY); the "
+                "previous round's artifact carries the standing measurement"
+            )
+            continue
         # one transient child failure (OOM pressure from a prior JVM's
         # teardown, a host stall) must not void an hour of completed
         # measurements: retry once in a fresh process; record a double
@@ -711,30 +726,50 @@ def main() -> None:
         results[name] = out["small_sf"]
         large[name] = out["large_scale"]
 
-    idx_proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--index-refresh"],
-        capture_output=True,
-        text=True,
-        check=True,
+    skip = set(
+        s for s in os.environ.get("SPARK_GRAFT_SWEEP_SKIP", "").split(",") if s
     )
-    index_refresh = json.loads(idx_proc.stdout.strip().splitlines()[-1])
 
-    dec_proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--decontam-increment"],
-        capture_output=True,
-        text=True,
-        check=True,
+    def _oc_block(flag: str, key: str) -> dict:
+        if key in skip:
+            return {
+                "skipped": True,
+                "reason": "unchanged code this round; see the previous "
+                "round's artifact for the standing measurement",
+            }
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    index_refresh = _oc_block("--index-refresh", "index_refresh")
+    decontam_incremental = _oc_block(
+        "--decontam-increment", "decontam_incremental"
     )
-    decontam_incremental = json.loads(dec_proc.stdout.strip().splitlines()[-1])
 
     # verdict-r10 #2/#8: per-stage dedup breakdown + the x2000 point — own
-    # child JVMs like every other measurement; a failure records, not voids
+    # child JVMs like every other measurement; a failure records, not voids.
+    # The stage breakdown and hash-family comparison re-measure CODE THAT
+    # DID NOT CHANGE in a round (their r12 evidence stands verbatim) — they
+    # are skippable via SPARK_GRAFT_SWEEP_SKIP to keep a round's sweep
+    # budget on the NEW evidence; the artifact records what was skipped
+    # and why rather than silently omitting the keys.
     extras: dict[str, dict] = {}
     for flag, key in (
         ("--dedup-stages", "dedup_stage_breakdown"),
         ("--dedup-xxlarge", "dedup_xxlarge"),
         ("--hash-family", "hash_family_comparison"),
     ):
+        if key in skip:
+            extras[key] = {
+                "skipped": True,
+                "reason": "unchanged code this round; see the previous "
+                "round's artifact for the standing measurement",
+            }
+            continue
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True,
@@ -768,6 +803,7 @@ def main() -> None:
         **extras,
         "bar": "exponent_last_decade <= 1.2 (linear-ish); raw is a conservative bound",
         "child_errors": errors,
+        "skipped_queries": skipped,
     }
     with open(
         os.path.join(repo_dir, f"BENCH_SCALING_r{round_no:02d}.json"), "w"
