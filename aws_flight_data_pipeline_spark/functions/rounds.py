@@ -90,6 +90,28 @@ def is_post_gate(repo_dir: str, round_no: int) -> bool:
     )
 
 
+def is_closed(repo_dir: str, round_no: int) -> bool:
+    """True when round ``round_no`` is fully CLOSED: the driver has stamped
+    both ``CORRECTNESS_rN`` and ``BENCH_rN``. Any bench running against a
+    closed round (reachable only via an explicit ``SPARK_GRAFT_ROUND`` pin)
+    is a re-measurement, never the round's evidence — its sidecar must not
+    replace the committed one (ADVICE r13 #1: the ``is_post_gate`` divert
+    alone misses this entry path, because a closed round is by definition
+    past the post-gate window)."""
+    return round_no in _stamps(repo_dir, _CORRECTNESS_RE) and round_no in _stamps(
+        repo_dir, _BENCH_LINE_RE
+    )
+
+
+def _non_clobbering(base: str, suffix: str) -> str:
+    cand = f"{base}_{suffix}.json"
+    i = 2
+    while os.path.exists(cand):
+        cand = f"{base}_{suffix}{i}.json"
+        i += 1
+    return cand
+
+
 def full_bench_path(repo_dir: str, round_no: int) -> str:
     """Non-clobbering path for the per-round BENCH_FULL sidecar (verdict
     r12 #3: the driver's post-gate bench OVERWROTE the builder's committed
@@ -97,13 +119,13 @@ def full_bench_path(repo_dir: str, round_no: int) -> str:
     own in-progress sidecar; a POST-GATE bench — which would otherwise
     replace the builder's evidence with a single-rep driver run — is
     diverted to ``BENCH_FULL_rNN_post.json`` (then ``_post2``, ... if that
-    too exists), so the committed artifact stays byte-identical."""
+    too exists), so the committed artifact stays byte-identical. A bench
+    against an already-CLOSED round (both driver stamps present — only
+    reachable via a ``SPARK_GRAFT_ROUND`` pin) is likewise diverted, to
+    ``BENCH_FULL_rNN_rerun.json`` (ADVICE r13 #1)."""
     base = os.path.join(repo_dir, f"BENCH_FULL_r{round_no:02d}")
-    if not is_post_gate(repo_dir, round_no):
-        return base + ".json"
-    cand = base + "_post.json"
-    i = 2
-    while os.path.exists(cand):
-        cand = f"{base}_post{i}.json"
-        i += 1
-    return cand
+    if is_closed(repo_dir, round_no):
+        return _non_clobbering(base, "rerun")
+    if is_post_gate(repo_dir, round_no):
+        return _non_clobbering(base, "post")
+    return base + ".json"

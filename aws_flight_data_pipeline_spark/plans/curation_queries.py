@@ -1291,11 +1291,20 @@ def shingle_tokenizer(text: Column) -> Column:
     return F.filter(shingles(text, 3), lambda x: x != "")
 
 
+#: Broadcast bound for the pairs-derived build sides in
+#: ``decontam_increment`` — shared by the measured (pair-count) gate and
+#: the frozen path's eval-doc guard (ADVICE r13 #2: both broadcast frames
+#: on the frozen path are bounded by the number of DISTINCT eval docs in
+#: the postings snapshot, so that is the quantity the guard checks).
+_PAIR_BROADCAST_MAX = 1_000_000
+
+
 def decontam_increment(
     spark: SparkSession,
     eval_index_path: str,
     increment: DataFrame,
     postings: DataFrame | None = None,
+    postings_eval_docs: int | None = None,
 ) -> DataFrame:
     """Decontaminate a NEW training increment against a FIXED eval split
     SERVED FROM the incrementally-maintained inverted index — O(increment
@@ -1329,6 +1338,18 @@ def decontam_increment(
     when the eval suite churns; a caller whose eval index is FROZEN for
     the session (the unified admission gate) passes the snapshot instead
     and skips the per-probe manifest read + mask + cache materialization.
+
+    ``postings_eval_docs`` (optional, frozen path only): the number of
+    distinct eval docs in ``postings``, when the caller already knows it
+    (the admission gate counts once at snapshot-build time). Both
+    broadcast build sides on the frozen path are bounded by this count;
+    when it is within ``_PAIR_BROADCAST_MAX`` the path stays fully lazy
+    (zero extra jobs). An unhinted caller pays ONE cheap bounded probe
+    (distinct eval ids, short-circuited just past the bound) — this is a
+    public API and a large caller-supplied snapshot must not become an
+    unbounded broadcast build side (ADVICE r13 #2); over the bound the
+    pair-derived joins fall back to sort-merge exactly like the measured
+    path.
     """
     from pyspark.sql.window import Window
 
@@ -1376,15 +1397,24 @@ def decontam_increment(
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     if frozen:
-        # frozen-index fast path: fully LAZY — no cache barrier, no eager
-        # count, no separate jobs. The semi-join build side is bounded by
-        # construction (distinct eval_ids ≤ the eval suite, which is
-        # benchmark-sized by the same contract that bounds the vocabulary
-        # broadcast above), so broadcast is always safe here; the caller
-        # (the unified admission gate) checkpoints the result, so nothing
-        # in this subtree is recomputed either.
+        # frozen-index fast path: LAZY when the caller vouches for the
+        # snapshot's size — no cache barrier, no eager count, no separate
+        # jobs. Both pair-derived build sides are bounded by the distinct
+        # eval docs in the snapshot; the hinted count (or, unhinted, one
+        # bounded distinct-limit probe) keeps the forced broadcast safe
+        # for arbitrary public-API callers (ADVICE r13 #2). The admission
+        # gate checkpoints the result, so nothing here is recomputed.
+        n_eval = postings_eval_docs
+        if n_eval is None:
+            n_eval = (
+                epost.select("eval_id")
+                .distinct()
+                .limit(_PAIR_BROADCAST_MAX + 1)
+                .count()
+            )
+
         def _pair_side(df: DataFrame) -> DataFrame:
-            return F.broadcast(df)
+            return F.broadcast(df) if n_eval <= _PAIR_BROADCAST_MAX else df.hint("merge")
 
     else:
         # set sizes only for the eval docs that share at least one shingle
@@ -1394,7 +1424,9 @@ def decontam_increment(
         n_pairs = pairs.count()
 
         def _pair_side(df: DataFrame) -> DataFrame:
-            return F.broadcast(df) if n_pairs <= 1_000_000 else df.hint("merge")
+            return (
+                F.broadcast(df) if n_pairs <= _PAIR_BROADCAST_MAX else df.hint("merge")
+            )
 
     sz_e = (
         epost.join(
@@ -1478,6 +1510,26 @@ _EVAL_INDEX_STATE: dict[str, str] = {}
 _ADMISSION_INDEX_STATE: dict[str, str] = {}
 
 
+def _teardown_index_state() -> None:
+    """Session-end teardown for every state root this module created
+    (ADVICE r13 #3: ``_DECONTAM_STATE`` tears down its PREVIOUS root per
+    invocation but the last root of each dict outlived the session, so
+    /tmp accumulated afdp-admidx-*/afdp-evalidx-*/afdp-decontam-* dirs
+    across sessions). Registered once at import; idempotent and
+    best-effort — a vanished dir is fine."""
+    import shutil as _shutil
+
+    for state in (_DECONTAM_STATE, _EVAL_INDEX_STATE, _ADMISSION_INDEX_STATE):
+        while state:
+            _, root = state.popitem()
+            _shutil.rmtree(root, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402  (module-scope registration, by design)
+
+_atexit.register(_teardown_index_state)
+
+
 def _ensure_admission_index(spark: SparkSession, sf_dir: str):
     """The base corpus's (doc_id % 7 == 1) admission index — exact-dedup
     fingerprints + banded MinHash buckets — committed to parquet once per
@@ -1558,6 +1610,17 @@ def _ensure_eval_index(spark: SparkSession, sf_dir: str) -> str:
         ).select(F.col("doc_id").alias("eval_id"), "tok").write.mode(
             "overwrite"
         ).parquet(f"{root}/postings_snapshot")
+        # count the snapshot's distinct eval docs ONCE at build time, so
+        # frozen-path consumers can vouch for the broadcast bound without
+        # any per-probe job (decontam_increment's postings_eval_docs hint)
+        n_eval = (
+            spark.read.parquet(f"{root}/postings_snapshot")
+            .select("eval_id")
+            .distinct()
+            .count()
+        )
+        with open(_os.path.join(root, "n_eval_docs"), "w") as fh:
+            fh.write(str(n_eval))
         with open(_os.path.join(root, "_ready"), "w") as fh:
             fh.write("ok")
         _EVAL_INDEX_STATE[sf_dir] = root
@@ -1569,6 +1632,17 @@ def _ensure_eval_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     built alongside :func:`_ensure_eval_index`, read back as plain parquet."""
     _ensure_eval_index(spark, sf_dir)
     return spark.read.parquet(f"{_EVAL_INDEX_STATE[sf_dir]}/postings_snapshot")
+
+
+def _eval_postings_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """The snapshot's distinct eval-doc count, stamped at build time —
+    the ``postings_eval_docs`` hint that keeps the frozen probe path
+    job-free (ADVICE r13 #2)."""
+    import os as _os
+
+    _ensure_eval_index(spark, sf_dir)
+    with open(_os.path.join(_EVAL_INDEX_STATE[sf_dir], "n_eval_docs")) as fh:
+        return int(fh.read().strip())
 
 
 @query(
@@ -2054,6 +2128,7 @@ def _admission_decision_table(
     out = unified_admission_batch(
         spark, batch, eval_index_path, fp_index, band_buckets,
         eval_postings=_ensure_eval_postings(spark, sf_dir),
+        eval_postings_docs=_eval_postings_doc_count(spark, sf_dir),
     )
     return out.select(
         "doc_id",

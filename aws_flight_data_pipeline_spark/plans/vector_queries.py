@@ -1604,8 +1604,11 @@ def semdedup_scale_assignment(
     "registered tier's semantics over unit-dot cosine at the same "
     "threshold. Every stage is linear AND free of ∝N single-point "
     "chokepoints (verdict r12 #2): centroid selection is a hash-threshold "
-    "FILTER (xxhash64(vec_id) % 64 == 0 — deterministic 1/64 sample, no "
-    "global sort, no top-k funneling N/64 rows through one task's heap), "
+    "FILTER (xxhash64(vec_id) % 64 < m, base m=1 — a deterministic 1/64 "
+    "sample, no global sort, no top-k funneling N/64 rows through one "
+    "task's heap; on corpora where the sample lands under the 32-centroid "
+    "floor, m doubles — nested supersets, still a pure filter at every "
+    "size — until the floor holds, ADVICE r13 #4), "
     "and assignment broadcasts the centroid table only below a size "
     "threshold, switching to a bucket-keyed shuffle hash join past it "
     "(see semdedup_scale_assignment) — so no stage's broadcast bytes or "
@@ -1640,23 +1643,42 @@ def semantic_dedup_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("bucket", sign_bucket(F.col("v"), b_bits))
         .transform(tracked_cache)
     )
-    # centroid sample: hash-threshold FILTER at rate 1/64 — deterministic,
-    # embarrassingly parallel, and never funnels rows through one task the
-    # way orderBy(hash).limit(k) did (TakeOrdered gathers k = N/64 rows
-    # into a single heap; verdict r12 #2)
-    centroids = (
-        e.filter(
-            F.pmod(F.xxhash64("vec_id"), F.lit(_SEMDEDUP_SCALE_TARGET_CLUSTER))
-            == 0
+    # centroid sample: hash-threshold FILTER at base rate 1/64 —
+    # deterministic, embarrassingly parallel, and never funnels rows
+    # through one task the way orderBy(hash).limit(k) did (TakeOrdered
+    # gathers k = N/64 rows into a single heap; verdict r12 #2).
+    #
+    # ADVICE r13 #4: the filter guarantees the RATE, not a count — on a
+    # small corpus it can select very few (or zero) centroids, pushing
+    # most points onto the hashed-fallback path even though k_plan keeps
+    # the 32-floor. When the sample lands under the floor, WIDEN the
+    # acceptance threshold (pmod < m, doubling m — each widening is a
+    # superset of the last, so selection stays deterministic and nested)
+    # until the floor holds or every vector is accepted. The fix stays a
+    # pure filter at EVERY corpus size — no top-k, no global sort — so
+    # the chokepoint-free plan shape is invariant (plan-pinned), and the
+    # loop is bounded at 6 cheap cached counts (m: 1 -> 64).
+    def _sample(m: int) -> DataFrame:
+        return (
+            e.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(_SEMDEDUP_SCALE_TARGET_CLUSTER))
+                < m
+            )
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("c"),
+                F.col("bucket").alias("c_bucket"),
+            )
+            .transform(tracked_cache)
         )
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("c"),
-            F.col("bucket").alias("c_bucket"),
-        )
-        .transform(tracked_cache)
-    )
+
+    m = 1
+    centroids = _sample(m)
     k = centroids.count()  # actual sample size (materializes the cache)
+    while k < min(32, n_vecs) and m < _SEMDEDUP_SCALE_TARGET_CLUSTER:
+        m = min(2 * m, _SEMDEDUP_SCALE_TARGET_CLUSTER)
+        centroids = _sample(m)
+        k = centroids.count()
     # sign-LSH-pruned assignment: each point meets only its bucket's
     # centroids — O(fan-in) per point; join strategy is size-gated
     assigned = semdedup_scale_assignment(e, centroids, k).select(

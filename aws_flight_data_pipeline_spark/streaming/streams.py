@@ -1374,6 +1374,7 @@ def unified_admission_decisions(
     fp_comb: DataFrame,
     buckets_comb: DataFrame,
     eval_postings: DataFrame | None = None,
+    eval_postings_docs: int | None = None,
 ) -> DataFrame:
     """ONE batch's decisions through the composed admission pipeline —
     quality funnel, then decontamination, then near-dup election — as a
@@ -1432,6 +1433,7 @@ def unified_admission_decisions(
             eval_index_path,
             qpass.select("doc_id", "text"),
             postings=eval_postings,
+            postings_eval_docs=eval_postings_docs,
         )
         .select(
             F.col("train_id").alias("doc_id"),
@@ -1584,6 +1586,7 @@ def unified_admission_batch(
     fp_index: DataFrame,
     band_buckets: DataFrame,
     eval_postings: DataFrame | None = None,
+    eval_postings_docs: int | None = None,
 ) -> DataFrame:
     """The unified gate's BATCH twin: the whole input as one batch against
     the base index only (no accumulated state — the intra-batch keep-first
@@ -1592,4 +1595,5 @@ def unified_admission_batch(
     return unified_admission_decisions(
         spark, docs, eval_index_path, fp_index, band_buckets,
         eval_postings=eval_postings,
+        eval_postings_docs=eval_postings_docs,
     )

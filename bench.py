@@ -357,6 +357,11 @@ HEADLINE = (
     # continues unbroken
     "dedup_family_agreement_xx",
     "unified_admission_full_corpus",
+    # round 14: the SemDeDup linear-scale twin joins the headline set
+    # (verdict r13 missing #3: the chokepoint-free plan had deep-sweep
+    # evidence but no round-over-round sf0.1 tracking, unlike every other
+    # flagship twin)
+    "semantic_dedup_semdedup_scale",
 )
 
 #: Multi-commit lifecycle EPISODES, timed after the headline suite and
@@ -372,8 +377,9 @@ EPISODES = ("ivm_incremental_view",)
 #: so round-over-round totals are never compared apples-to-oranges (ADVICE
 #: r12): v1 = rounds <= 11 (ivm_incremental_view counted in the headline
 #: total); v2 = round 12+ (lifecycle episodes unbundled into "episodes";
-#: the headline list itself stays append-only within a version).
-HEADLINE_SET_VERSION = 2
+#: the headline list itself stays append-only within a version); v3 =
+#: round 14+ (semantic_dedup_semdedup_scale appended — verdict r13 #3).
+HEADLINE_SET_VERSION = 3
 
 #: Timed value = MIN of up to two timed runs, caches released between EVERY
 #: run (warm-up included), so each timed run pays the full recompute — the
@@ -418,48 +424,68 @@ def main() -> None:
     # Loadavg gate (round-7 lesson: the committed artifact ran at 5-min
     # loadavg 9.2 and showed ~40% uniform inflation vs a clean re-run of
     # identical code): when the 5-min loadavg exceeds the threshold, WAIT
-    # (bounded) for the host to quiet down rather than recording numbers
-    # that misgrade every query; if it never does, proceed LOUDLY — the
-    # artifact carries the gate verdict so the reader knows the run is hot.
-    gate_threshold = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "2.0"))
-    gate_wait_max = float(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT_S", "300"))
-    waited = 0.0
-    while os.getloadavg()[1] > gate_threshold and waited < gate_wait_max:
-        import sys
+    # for the host to quiet down rather than recording numbers that
+    # misgrade every query. ENFORCING as of r14 (verdict r13 #1: two
+    # consecutive driver windows were contention-distorted; the old gate
+    # gave up after a flat 300 s and ran loudly): the wait budget is much
+    # larger by default, backs off exponentially, and the probe suite
+    # below is re-run against COMMITTED quiet-window bands until it lands
+    # in band — a window that still can't is stamped window_valid: false
+    # so no reader compares it.
+    import sys
 
+    from aws_flight_data_pipeline_spark.functions import benchgate
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    gate_threshold = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "2.0"))
+    gate_wait_max = float(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT_S", "1800"))
+    waited = 0.0
+    for delay in benchgate.backoff_delays(gate_wait_max):
+        if os.getloadavg()[1] <= gate_threshold:
+            break
         print(
             f"bench: 5-min loadavg {os.getloadavg()[1]:.1f} > "
             f"{gate_threshold:.1f}; waiting for a quiet host "
             f"({waited:.0f}/{gate_wait_max:.0f}s)",
             file=sys.stderr,
         )
-        time.sleep(15.0)
-        waited += 15.0
+        time.sleep(delay)
+        waited += delay
+    quiet_at_start = os.getloadavg()[1] <= gate_threshold
+
+    # Absolute host-speed indexes (round-11 lesson: the loadavg gate
+    # passes on an IDLE-but-SLOW host — shared-host contention shows
+    # zero steal and zero runqueue yet inflates every timing ~30-40%
+    # uniformly). As of r14 the probes ENFORCE: each is compared to its
+    # committed quiet-window band (PROBE_BASELINE.json) and the suite
+    # re-runs with backoff until in band or the attempt budget runs out.
+    def run_probes() -> dict:
+        return {
+            "cpu_probe_seconds": _cpu_probe_seconds(),
+            "spark_probe_seconds": _spark_probe_seconds(spark),
+            "io_probe_seconds": _io_probe_seconds(),
+            "shuffle_probe_seconds": _shuffle_probe_seconds(spark),
+        }
+
+    baseline = benchgate.load_baseline(repo_dir)
+    probe_gate = benchgate.run_probe_gate(run_probes, baseline)
+    window_valid = benchgate.window_verdict(quiet_at_start, probe_gate)
     host_meta = {
         "timestamp_start": time.time(),
         "loadavg_start": list(os.getloadavg()),
         "loadavg_gate": {
             "threshold": gate_threshold,
             "waited_seconds": waited,
-            "quiet_at_start": os.getloadavg()[1] <= gate_threshold,
+            "quiet_at_start": quiet_at_start,
         },
-        # Absolute host-speed indexes (round-11 lesson: the loadavg gate
-        # passes on an IDLE-but-SLOW host — shared-host contention shows
-        # zero steal and zero runqueue yet inflates every timing ~30-40%
-        # uniformly). Readers normalize cross-artifact totals by the probe
-        # ratio instead of guessing which run was hot.
-        "cpu_probe_seconds": _cpu_probe_seconds(),
-        "spark_probe_seconds": _spark_probe_seconds(spark),
-        "io_probe_seconds": _io_probe_seconds(),
-        "shuffle_probe_seconds": _shuffle_probe_seconds(spark),
+        "probe_gate": probe_gate,
+        **probe_gate["probes"],
     }
-    if not host_meta["loadavg_gate"]["quiet_at_start"]:
-        import sys
-
+    if not window_valid:
         print(
-            f"bench: WARNING — starting HOT (5-min loadavg "
-            f"{os.getloadavg()[1]:.1f} > {gate_threshold:.1f} after "
-            f"{waited:.0f}s wait); timings in this artifact are inflated",
+            f"bench: WARNING — window INVALID (loadavg quiet={quiet_at_start}, "
+            f"probes in band={probe_gate['within_band']}); timings in this "
+            f"artifact are contention-inflated and stamped window_valid: false",
             file=sys.stderr,
         )
 
@@ -499,7 +525,6 @@ def main() -> None:
     # round number is inferred monotonically over ALL committed BENCH*_r*
     # families (r9 fix: driver-line history alone lags when a round records
     # nothing) and can be pinned with SPARK_GRAFT_ROUND.
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
     from aws_flight_data_pipeline_spark.functions.rounds import (
         full_bench_path,
         infer_round,
@@ -543,6 +568,7 @@ def main() -> None:
         "leaked_caches": leaked_caches,
         "statistic": "min of up to 2 cache-released runs (runs list = raw)",
         "headline_set_version": HEADLINE_SET_VERSION,
+        "window_valid": window_valid,
         "host": host_meta,
         "episodes": episode_timings,
         "step_breakdowns": step_breakdowns,
@@ -572,6 +598,7 @@ def main() -> None:
             "n_queries": len(timings),
             "sf": sf_val,
             "leaked_caches": leaked_caches,
+            "window_valid": window_valid,
         }
         if omitted:
             payload["queries_omitted"] = omitted

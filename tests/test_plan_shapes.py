@@ -584,11 +584,21 @@ def test_semdedup_scale_twin_no_global_topk_and_size_gated_join(
     from aws_flight_data_pipeline_spark.plans import vector_queries as vq
     from aws_flight_data_pipeline_spark.sources.testdata import load_table
 
-    # full registered plan: the old TakeOrdered centroid sample is gone
+    # full registered plan: the old TakeOrdered centroid sample is gone —
+    # including on corpora small enough to trigger the centroid-floor
+    # widening (ADVICE r13 #4: the floor is met by doubling the hash
+    # acceptance threshold, a pure filter at every size, never a top-k)
     plan = _plan(spark, sf_dir, "semantic_dedup_semdedup_scale")
     assert "GlobalLimit" not in plan
     assert "TakeOrderedAndProject" not in plan
     assert "CartesianProduct" not in plan
+
+    # the floor itself: this sf's corpus is small enough that the base
+    # 1/64 rate alone could not reach 32 centroids, yet k >= 32 and the
+    # fallback path stays cold (ADVICE r13 #4's small-corpus scenario)
+    row = resolve("semantic_dedup_semdedup_scale")(spark, sf_dir).collect()[0]
+    assert row["k"] >= 32
+    assert row["fallback_docs"] == 0
 
     e = (
         load_table(spark, sf_dir, "embeddings")

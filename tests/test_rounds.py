@@ -118,3 +118,29 @@ def test_builder_rebench_within_round_keeps_overwriting_own_sidecar(
     assert infer_round(d) == 13
     # no CORRECTNESS_r13 yet -> still the builder's round: same path
     assert os.path.basename(full_bench_path(d, 13)) == "BENCH_FULL_r13.json"
+
+
+def test_closed_round_rebench_diverts_to_rerun(tmp_path, monkeypatch):
+    # the ADVICE r13 #1 scenario: the round is fully CLOSED (both driver
+    # stamps present) and someone re-runs bench.py with SPARK_GRAFT_ROUND
+    # pinned back to it — is_post_gate is False (BENCH_rN exists), so the
+    # old logic returned the base path and clobbered the committed gated
+    # artifact; now it diverts to _rerun (then _rerun2, ...)
+    from aws_flight_data_pipeline_spark.functions.rounds import (
+        full_bench_path,
+        is_closed,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
+    d = str(tmp_path)
+    _touch(d, "CORRECTNESS_r12.json")
+    _touch(d, "BENCH_r12.json")  # round 12 is closed
+    _touch(d, "BENCH_FULL_r12.json")  # builder's committed gated artifact
+    assert is_closed(d, 12)
+    assert os.path.basename(full_bench_path(d, 12)) == "BENCH_FULL_r12_rerun.json"
+    _touch(d, "BENCH_FULL_r12_rerun.json")
+    assert os.path.basename(full_bench_path(d, 12)) == "BENCH_FULL_r12_rerun2.json"
+    # an open round with no stamps is untouched by the closed-round divert
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "13")
+    assert not is_closed(d, 13)
+    assert os.path.basename(full_bench_path(d, 13)) == "BENCH_FULL_r13.json"

@@ -100,3 +100,24 @@ def test_check_suite_skips_missing_columns(spark):
     )
     rows = {r["check_name"] for r in batch_check_suite(tiny).collect()}
     assert rows == {"completeness", "uniqueness", "timeliness", "timestamp_consistency"}
+
+
+def test_quality_check_suite_stays_two_pass(spark, sf_dir):
+    """Verdict r13 #7: the three batch-aggregate rows folded in at r12
+    must ride the existing two-job aggregation — the structural pin is
+    that the physical plan scans the events table exactly TWICE (the tiny
+    broadcast stats pass + the one wide aggregate computing every check),
+    so a third aggregation pass can never sneak in unnoticed."""
+    import re
+
+    from aws_flight_data_pipeline_spark.plans.registry import (
+        _ensure_loaded,
+        resolve,
+    )
+
+    _ensure_loaded()
+    df = resolve("quality_check_suite")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 2
+    # 10 check rows still come out of the suite
+    assert df.count() == 10

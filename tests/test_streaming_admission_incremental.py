@@ -156,3 +156,59 @@ def test_incremental_intra_batch_keep_first(spark, tmp_path):
     got = _decisions(read_admission_decisions(spark, str(tmp_path / "adm_decisions")))
     assert got[301][2] is True
     assert got[302][2] is False and got[303][2] is False
+
+
+def _frozen_snapshot(spark, ipath):
+    """The tombstone-masked (eval_id, tok) live-postings snapshot — the
+    same derivation _ensure_eval_index materializes once per session."""
+    from aws_flight_data_pipeline_spark.sources import invindex as ix
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    v = vt.latest_version(ipath)
+    m = vt._read_manifest(ipath, v)
+    return ix._mask_tombstones(
+        spark, ipath, m, vt.read(spark, ipath, version=v)
+    ).select(F.col("doc_id").alias("eval_id"), "tok")
+
+
+def test_frozen_postings_fast_path_matches_manifest_path(spark, tmp_path):
+    """Verdict r13 #6: the frozen-postings fast path (caller-supplied
+    snapshot, fully lazy) and the manifest path (per-probe versioned read
+    + tombstone mask) must return IDENTICAL decision tables on a planted
+    increment — under the hinted bound, the unhinted guard probe, and the
+    over-bound sort-merge fallback alike (ADVICE r13 #2)."""
+    from aws_flight_data_pipeline_spark.plans.curation_queries import (
+        decontam_increment,
+        shingle_tokenizer,
+    )
+    from aws_flight_data_pipeline_spark.sources import invindex as ix
+    from aws_flight_data_pipeline_spark.sources import versioned as vt
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    w = words.split()
+    dpath, ipath = str(tmp_path / "eval"), str(tmp_path / "index")
+    ev = spark.createDataFrame(
+        [(100, words), (200, "zulu yankee xray whiskee victor")],
+        "doc_id long, text string",
+    )
+    vt.commit(ev, dpath, stats_cols=("doc_id",))
+    ix.refresh_index(spark, dpath, ipath, tokenizer=shingle_tokenizer)
+    inc = spark.createDataFrame(
+        [
+            (1, " ".join(w[:9]) + " xx"),  # J = 7/10, exactly at threshold
+            (2, " ".join(w[:8]) + " xx yy"),  # J = 6/11, below
+            (3, words),  # exact leak, J = 1
+        ],
+        "doc_id long, text string",
+    )
+    manifest = sorted(map(tuple, decontam_increment(spark, ipath, inc).collect()))
+    assert {r[0] for r in manifest} == {1, 3}  # planted outcome fires
+    snap = _frozen_snapshot(spark, ipath)
+    hinted = decontam_increment(spark, ipath, inc, postings=snap, postings_eval_docs=2)
+    unhinted = decontam_increment(spark, ipath, inc, postings=snap)
+    overbound = decontam_increment(
+        spark, ipath, inc, postings=snap, postings_eval_docs=10_000_000
+    )
+    assert sorted(map(tuple, hinted.collect())) == manifest
+    assert sorted(map(tuple, unhinted.collect())) == manifest
+    assert sorted(map(tuple, overbound.collect())) == manifest
