@@ -21,6 +21,8 @@ both engines parse identically (``conv(hex,16,10)`` == ``('0x'||hex)::BIGINT``).
 
 from __future__ import annotations
 
+from aws_flight_data_pipeline_spark.functions import tmproots as _tmproots
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1473,7 +1475,7 @@ def _decontam_eval_index(spark: SparkSession, sf_dir: str) -> str:
     old = _DECONTAM_STATE.pop(sf_dir, None)
     if old is not None:
         _shutil.rmtree(old, ignore_errors=True)
-    root = _tempfile.mkdtemp(prefix="afdp-decontam-")
+    root = _tmproots.mkdtemp(prefix="afdp-decontam-")
     _DECONTAM_STATE[sf_dir] = root
     ev = (
         load_table(spark, sf_dir, "documents")
@@ -1549,7 +1551,7 @@ def _ensure_admission_index(spark: SparkSession, sf_dir: str):
         _ADMISSION_INDEX_STATE.pop(sf_dir, None)
         root = None
     if root is None:
-        root = _tempfile.mkdtemp(prefix="afdp-admidx-")
+        root = _tmproots.mkdtemp(prefix="afdp-admidx-")
         base = (
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") % 7 == 1)
@@ -1586,7 +1588,7 @@ def _ensure_eval_index(spark: SparkSession, sf_dir: str) -> str:
         _EVAL_INDEX_STATE.pop(sf_dir, None)
         root = None
     if root is None:
-        root = _tempfile.mkdtemp(prefix="afdp-evalidx-")
+        root = _tmproots.mkdtemp(prefix="afdp-evalidx-")
         ev = (
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") % 7 == 0)

@@ -27,6 +27,8 @@ rows doubled — what the oracle aggregates.
 
 from __future__ import annotations
 
+from aws_flight_data_pipeline_spark.functions import tmproots as _tmproots
+
 import shutil
 import tempfile
 import time
@@ -54,7 +56,7 @@ def _fresh_state_dir(sf_dir: str) -> str:
     old = _STATE_DIRS.pop(sf_dir, None)
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix="afdp-ivm-")
+    d = _tmproots.mkdtemp(prefix="afdp-ivm-")
     _STATE_DIRS[sf_dir] = d
     return d
 

@@ -24,6 +24,8 @@ un-hinted join.
 
 from __future__ import annotations
 
+from aws_flight_data_pipeline_spark.functions import tmproots as _tmproots
+
 import shutil
 import tempfile
 
@@ -90,7 +92,7 @@ def _ensure_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         _STATE_DIRS.pop(sf_dir, None)
         root = None
     if root is None:
-        root = tempfile.mkdtemp(prefix="afdp-planner-")
+        root = _tmproots.mkdtemp(prefix="afdp-planner-")
         for name, (tbl, cols, n_files) in _TABLES.items():
             stats_cols = ("r_name",) if name == "region" else ()
             vt.commit(

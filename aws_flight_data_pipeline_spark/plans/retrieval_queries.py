@@ -31,6 +31,8 @@ of exact BIGINT sums.
 
 from __future__ import annotations
 
+from aws_flight_data_pipeline_spark.functions import tmproots as _tmproots
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -307,7 +309,7 @@ def inverted_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = _INDEX_DIRS.pop(sf_dir, None)
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="afdp-invidx-")
+    root = _tmproots.mkdtemp(prefix="afdp-invidx-")
     _INDEX_DIRS[sf_dir] = root
     dpath, ipath = f"{root}/docs", f"{root}/index"
 
@@ -419,7 +421,7 @@ def index_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = _INDEX_DIRS.pop(key, None)
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="afdp-invidx-single-")
+    root = _tmproots.mkdtemp(prefix="afdp-invidx-single-")
     _INDEX_DIRS[key] = root
     dpath, ipath = f"{root}/docs", f"{root}/index"
 

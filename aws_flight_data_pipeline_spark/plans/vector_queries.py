@@ -16,6 +16,8 @@ results rounded to 4 dp to absorb summation-order noise.
 
 from __future__ import annotations
 
+from aws_flight_data_pipeline_spark.functions import tmproots as _tmproots
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1231,7 +1233,7 @@ def ivf_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = _IVF_DIRS.pop(key, None)
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="afdp-ivf-single-")
+    root = _tmproots.mkdtemp(prefix="afdp-ivf-single-")
     _IVF_DIRS[key] = root
     ipath = f"{root}/ivf"
 
