@@ -1166,22 +1166,26 @@ def _family_agreement_frame(
     """Shared body of ``dedup_family_agreement_xx`` with the df-cap as a
     knob (``None`` = uncapped — only bench_scaling's heavy-df stressor
     uses that, to measure what the cap prevents)."""
-    tok = (
-        d.select("doc_id", token_hashes(F.col("text")).alias("th"))
-        .select("doc_id", F.explode(hashed_shingles(F.col("th"), 3)).alias("tok"))
-        .transform(tracked_cache)
+    tok_raw = d.select("doc_id", token_hashes(F.col("text")).alias("th")).select(
+        "doc_id", F.explode(hashed_shingles(F.col("th"), 3)).alias("tok")
     )
     if df_cap is not None:
         # stop-shingle drop: df per shingle rides the same hash partitioning
         # the pair join needs, so the semi-join adds no exchange on the big
-        # side (groupBy("tok") output partitioning == join key)
+        # side (groupBy("tok") output partitioning == join key). Only the
+        # FILTERED token table is cached — hashed shingling is cheap enough
+        # to recompute for the df pass (the xx family's whole point), and
+        # caching the raw table too doubled storage pressure for no reuse
+        # after this block (the double cache OOM'd the x1000 sweep child).
         light = (
-            tok.groupBy("tok")
+            tok_raw.groupBy("tok")
             .agg(F.count("*").alias("df"))
             .where(F.col("df") <= df_cap)
             .select("tok")
         )
-        tok = tok.join(light, "tok", "left_semi").transform(tracked_cache)
+        tok = tok_raw.join(light, "tok", "left_semi").transform(tracked_cache)
+    else:
+        tok = tok_raw.transform(tracked_cache)
     sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
     # complete shared-shingle join: both sides distinct per (doc, tok), so
     # COUNT(*) per pair IS the exact intersection — one shuffle, one agg.

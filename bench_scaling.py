@@ -61,6 +61,14 @@ import subprocess
 import sys
 import time
 
+# Deep-decade sweeps (x1000 = 5M docs, x2000 = 10M) cache hundreds of
+# millions of token/vector rows; the engine's 8g local-mode default heap
+# is sized for sf0.1 interactive work, not for these corpora (the r14
+# family-agreement x1000 child OOM'd at 8g). The host spec is 128 GiB —
+# give sweep JVMs (this process AND the --one/--flag children, which
+# inherit the env) a deep-sweep heap unless the caller pinned one.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
 from aws_flight_data_pipeline_spark.functions.caching import release_tracked
 from aws_flight_data_pipeline_spark.plans.registry import _ensure_loaded, resolve
 from aws_flight_data_pipeline_spark.session import get_spark
