@@ -708,13 +708,16 @@ def measure_semdedup_xxlarge() -> dict:
 def measure_family_agreement_heavy_df() -> dict:
     """Heavy-df stressor for the family-agreement entry (verdict r13
     missing #1): the x10 corpus plus a planted 4-token stop phrase
-    appended to every 10th doc — two shingles with df = 5,000 each, the
+    appended to every 3rd doc — two shingles with df ≈ 16,700 each, the
     heavy-tailed profile the complete join's Σ df² is quadratic in. The
-    UNCAPPED frame pays ~2 · 5,000² = 50M extra join rows for the two
+    UNCAPPED frame pays ~2 · 16,700² ≈ 560M extra join rows for the two
     stop shingles alone (vs ~2.8M total at this size capped); the
     registered df-capped frame drops them before sizes/intersections. The
     stressor measures BOTH, so the artifact carries the cap's measured
-    value, not just its reasoning."""
+    value, not just its reasoning. (A first cut planted df = 5,000 —
+    2 · 25M extra rows — which the join absorbed for less than the df
+    pass costs: the artifact records where the cap starts EARNING, not
+    just that it is principled.)"""
     from pyspark.sql import functions as F
 
     from aws_flight_data_pipeline_spark.plans.text_queries import (
@@ -725,12 +728,12 @@ def measure_family_agreement_heavy_df() -> dict:
     spark = get_spark("afdp-spark-bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     base = _ensure_scaled_corpus(spark, 10)
-    out = os.path.join(_SCALE_DIR, "heavydf-v1")
+    out = os.path.join(_SCALE_DIR, "heavydf-v2")
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         docs = spark.read.parquet(f"{base}/documents.parquet")
         text = F.when(
-            F.col("doc_id") % 10 == 0,
+            F.col("doc_id") % 3 == 0,
             F.concat(F.col("text"), F.lit(" hvst1 hvst2 hvst3 hvst4")),
         ).otherwise(F.col("text"))
         docs.select(
@@ -762,8 +765,8 @@ def measure_family_agreement_heavy_df() -> dict:
             release_tracked()
         timings[label] = round(best, 3)
     return {
-        "corpus": "x10 + 4-token stop phrase on every 10th doc "
-        "(2 shingles at df = 5,000)",
+        "corpus": "x10 + 4-token stop phrase on every 3rd doc "
+        "(2 shingles at df ~ 16,700)",
         "docs": 50_000,
         "seconds": timings,
         "uncapped_over_capped": round(
