@@ -600,6 +600,11 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = []
     for rnd in range(1, _BPE_ROUNDS + 1):
         cur = cur.transform(tracked_cache)
+        # the 1-ROW argmax is cached: it feeds BOTH the rewrite and the
+        # round's readout row, and the physical planner does not reuse the
+        # two broadcast subtrees (r14 before-plan: 0 ReusedExchange), so
+        # without the cache the full bigram explode + count ran TWICE per
+        # round (guide §2.4 — remove shuffles outright)
         top1 = (
             cur.select(F.explode(word_ngrams(F.col("t"), 2)).alias("gram"))
             .filter(F.col("gram").contains(" "))
@@ -607,6 +612,7 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "gram")
             .limit(1)
+            .transform(tracked_cache)
         )
         pat = F.concat(F.lit(" "), F.replace(F.col("gram"), F.lit(" "), F.lit("  ")), F.lit(" "))
         rep = F.concat(F.lit(" "), F.replace(F.col("gram"), F.lit(" "), F.lit("_")), F.lit(" "))
@@ -1209,12 +1215,23 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
-    tok = (
-        d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("tok"))
-        .where(F.col("tok") != "")
-        .transform(tracked_cache)
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    # r14 restructure (guide §2.3/§2.4), mirroring set_similarity_join: the
+    # cached frame holds the DISTINCT shingle ARRAY per doc; sz is a per-row
+    # size(toks) carried through the explode (the r13 sizes groupBy + join
+    # are gone), and verification is per-pair array_intersect instead of the
+    # exploded (tok, doc) equi-join + groupBy.
+    docs_arr = d.select(
+        "doc_id",
+        F.filter(shingles(F.col("text"), 3), lambda x: x != F.lit("")).alias("toks"),
+    ).transform(tracked_cache)
+    # tok cached too — it feeds dfreq AND ranked, and re-running the explode
+    # per consumer from the array cache measured as a net loss (first-cut
+    # A/B: 2.97 -> 3.45 s with the explode recomputed twice)
+    tok = docs_arr.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("sz"),
+        F.explode("toks").alias("tok"),
+    ).transform(tracked_cache)
     # canonical rare-first order from the UNION corpus: both splits must
     # rank by the SAME frequency or the prefix-overlap guarantee breaks.
     # EVERY frame below grows with the corpus (the eval split here is 1/7
@@ -1235,12 +1252,7 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dfreq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
-        _h(tok)
-        .join(_h(dfreq), "tok")
-        .join(_h(sizes), "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-    )
+    ranked = _h(tok).join(_h(dfreq), "tok").withColumn("rn", F.row_number().over(w))
     # ceil(0.7*sz) in exact integers: (7*sz + 9) div 10
     prefix = ranked.where(
         F.col("rn") <= F.col("sz") - F.expr("(7 * sz + 9) div 10") + 1
@@ -1262,13 +1274,23 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_id", "eval_id", "sz_train", "sz_eval")
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("train_id"), "tok")
-    tb = tok.select(F.col("doc_id").alias("eval_id"), "tok")
+    ca = docs_arr.select(F.col("doc_id").alias("train_id"), F.col("toks").alias("toks_a"))
+    cb = docs_arr.select(F.col("doc_id").alias("eval_id"), F.col("toks").alias("toks_b"))
     inter = (
-        cand.join(_h(ta), "train_id")
-        .join(_h(tb), ["eval_id", "tok"])
-        .groupBy("train_id", "eval_id", "sz_train", "sz_eval")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        cand.join(_h(ca), "train_id")
+        .join(_h(cb), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "sz_train",
+            "sz_eval",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+        # candidates share a prefix shingle so n_common >= 1; the guard
+        # mirrors the r13 inner-join grain exactly
+        .where(F.col("n_common") >= 1)
     )
     union_sz = F.col("sz_train") + F.col("sz_eval") - F.col("n_common")
     hit = inter.where(10 * F.col("n_common") >= 7 * union_sz).withColumn(
@@ -1803,18 +1825,35 @@ def _bpe_apply(
     """BPE encode with a corpus-derived ``n_merges``-entry merge table —
     shared by the 6-merge oracled query and the 64-merge depth builder.
 
-    ``hashed``: run the greedy fold over xxhash64 TOKEN IDS instead of the
-    strings (the CDC segment tier's production-twin pattern): per-element
-    equality compares 8-byte longs and every O(n) array rebuild copies
-    longs instead of string bytes — measured ~2x on the fold-dominated
-    64-merge apply. The merge table is still derived and RANKED on the
-    strings (so the rank order, tie-breaks included, is identical to the
-    oracled string path), then hashed; a merged pair becomes a per-round
-    sentinel id near -(2^62) — xxhash64 ranges over all of int64, so the
-    separation is collision-negligible rather than disjoint by
-    construction, and it keeps merged tokens inert for later rounds
-    exactly like the string form's embedded space does. Output
-    (per-source token counts) is identical."""
+    r14 encode-phase rewrite (guide §1.2 "per-task work"): each merge
+    round is ONE literal ``replace`` over a space-doubled corpus string —
+    the wrap trick ``bpe_merge_train``'s oracled rounds already prove out
+    (doubling every inter-token gap makes adjacent-pair patterns
+    non-overlapping, so all-occurrence left-to-right replace IS greedy
+    BPE merging). The r13 form was a per-round ``aggregate()`` fold whose
+    ``concat(acc, array(x))`` rebuilt the accumulator per element — O(L²)
+    array copies per doc-round — and, being a lambda higher-order
+    function, ran interpreted (zero WholeStageCodegen spans in the plan):
+    ~17M interpreted lambda invocations at tokenizer depth on sf0.1,
+    measured 13.5 s cold / 3.6 s warm as the hottest exec in the suite.
+    ``replace`` is a plain codegen expression — one UTF8String scan per
+    round, no lambda machinery, no per-element branches.
+
+    Invariant that makes rounds chainable with a single scan each: the
+    pattern ``" A  B "`` consumes one space of each doubled gap and the
+    replacement ``" A<US>B "`` restores it, so the corpus stays in
+    doubled-gap form across all rounds — the doubling is paid once, the
+    undo never (token counts read off the space count: 2·n spaces for n
+    tokens). Merged tokens are joined with the unit separator ``\\x1f``
+    (absent from the corpus; the oracle's fold uses its own embedded-space
+    joiner — only per-source totals are compared), so they can never match
+    a later round's single-token pattern, exactly like the fold's
+    embedded-space joiner kept merged tokens inert. A NULL merge row
+    (fewer qualifying bigrams than rounds) becomes a never-matching
+    pattern via coalesce — the identity round, same as the fold's NULL
+    comparisons. ``hashed`` is retained for API compatibility but both
+    tiers now run the same string algebra (the hashed fold's long-compare
+    rationale died with the fold)."""
     d = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "source", "text"
     )
@@ -1854,54 +1893,32 @@ def _bpe_apply(
         F.transform("m", lambda s: s["w2"]).alias("mb"),
     )
 
-    if hashed:
-        # fold over token IDS: ma/mb hash to long arrays (rank order
-        # already fixed on the strings above); the fold's input is the
-        # hashed token array. Sentinels for merged pairs sit at
-        # r - 2^62 (i.e. -(2^62) + r, unique per round) — xxhash64 CAN
-        # emit any int64, so this is collision-negligible rather than
-        # provably disjoint; merged tokens stay inert for later rounds.
-        merges = merges.select(
-            F.transform("ma", lambda x: F.xxhash64(x)).alias("mah"),
-            F.transform("mb", lambda x: F.xxhash64(x)).alias("mbh"),
-        )
-        fold_src = "transform(tk, t -> xxhash64(t))"
-        elem_type, a_of, b_of = "bigint", "mah", "mbh"
-    else:
-        fold_src = "tk"
-        elem_type, a_of, b_of = "string", "ma", "mb"
-
     enc = base.crossJoin(F.broadcast(merges))
 
     def _merge_round_sql(prev: str, r: int) -> str:
-        # greedy left fold: merge fires when the accumulator's last token
-        # is w1 and the incoming token is w2. try_element_at: a corpus
-        # with fewer qualifying bigrams than rounds yields NULL merge
-        # tokens, and a NULL comparison makes that round the identity
-        # (same as the oracle's empty subquery). Generated as ONE SQL
-        # string rather than a nested-Column tower: at tokenizer depth
-        # (64 rounds) the per-round py4j construction dominates plan
-        # build time — one parse of a ~20 KB expression replaces ~2.5 s
-        # of driver round-trips, measured at n_merges=64 on sf0.1.
-        a, b = f"try_element_at({a_of}, {r})", f"try_element_at({b_of}, {r})"
-        merged = (
-            f"CAST({r} - 4611686018427387904 AS BIGINT)"
-            if hashed
-            else f"concat_ws(' ', {a}, {b})"
-        )
-        return (
-            f"aggregate({prev}, CAST(array() AS array<{elem_type}>), (acc, x) -> "
-            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {a} AND x = {b} "
-            f"THEN concat(slice(acc, 1, size(acc) - 1), "
-            f"array({merged})) "
-            f"ELSE concat(acc, array(x)) END)"
-        )
+        # one literal-replace scan per round over the doubled-gap corpus
+        # string; NULL merge rows coalesce to a never-matching NUL pattern
+        # (identity round). Single reference to `prev` per round, so the
+        # 64-round chain collapses into one projection.
+        a, b = f"try_element_at(ma, {r})", f"try_element_at(mb, {r})"
+        pat = f"coalesce(concat(' ', {a}, '  ', {b}, ' '), '\\u0000')"
+        rep = f"coalesce(concat(' ', {a}, '\\u001f', {b}, ' '), '')"
+        return f"replace({prev}, {pat}, {rep})"
 
-    cur = fold_src
+    # corpus string in doubled-gap wrapped form: " t1  t2  ...  tn "
+    cur = "concat(' ', replace(concat_ws(' ', tk), ' ', '  '), ' ')"
     for r in range(1, n_merges + 1):
         cur = _merge_round_sql(cur, r)
+    # n tokens <=> exactly 2n spaces in doubled-gap wrapped form (each
+    # merge removes one gap = 2 spaces); empty docs special-case to 0.
+    # The encoded string lands as its own column first so the two space
+    # counters below consume an attribute, not two copies of the chain.
+    step = enc.select("source", F.size("tk").alias("nb"), F.expr(cur).alias("s"))
+    na = F.when(F.col("nb") == 0, F.lit(0)).otherwise(
+        (F.length("s") - F.length(F.replace(F.col("s"), F.lit(" "), F.lit("")))) / 2
+    )
     return (
-        enc.select("source", F.size("tk").alias("nb"), F.size(F.expr(cur)).alias("na"))
+        step.select("source", "nb", na.cast("bigint").alias("na"))
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("docs"),

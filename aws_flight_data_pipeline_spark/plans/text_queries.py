@@ -950,11 +950,16 @@ def scored_pair_frame(
 
     # stage 3: Jaccard verification of CANDIDATES ONLY. Only documents that
     # appear in a candidate pair are ever joined, so the corpus is left-semi
-    # pruned to candidate doc-ids BEFORE the shingle explode — the cached
+    # pruned to candidate doc-ids BEFORE any per-token work — the cached
     # frame is O(candidate docs), not O(corpus tokens) (the latter is a
     # genuine 100 TB scale-killer: LSH keeps |candidates| << |corpus|).
-    # n_tok is a per-row projection (shingles() already dedupes, so
-    # size(shingles) == exploded-distinct count) — no explode+groupBy.
+    # Intersections are per-row array_intersect over the cached shingle
+    # arrays (shingles() already dedupes, so |array_intersect| IS the exact
+    # distinct-intersection cardinality): two hash joins of the small cands
+    # frame against cand_docs replace the r13 explode + (tok, doc_b)
+    # equi-join + groupBy — that path shuffled one row per (candidate pair
+    # x shared token) and paid three extra exchanges; this one never
+    # materializes per-token rows at all (r14, guide §2.3/§2.4).
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
@@ -965,31 +970,20 @@ def scored_pair_frame(
         .select("doc_id", toks_arr.alias("toks"))
         .transform(tracked_cache)
     )
-    sizes = cand_docs.select("doc_id", F.size("toks").alias("n_tok"))
-    toks = cand_docs.select("doc_id", F.explode("toks").alias("tok"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    inter = (
-        cands.join(ta, "doc_a")
-        .join(tb, (F.col("tok") == F.col("tok_b")) & (tb.doc_b == cands.doc_b))
-        .groupBy(cands.doc_a, cands.doc_b)
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_tok_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_tok_b"))
-    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
     if _stage_sink is not None:
         _stage_sink.update(bands=bands, cands=cands, cand_docs=cand_docs)
+    ca = cand_docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    cb = cand_docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
+        cands.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
                 n_inter.cast("double")
-                / (F.col("n_tok_a") + F.col("n_tok_b") - n_inter)
+                / (F.size("toks_a") + F.size("toks_b") - n_inter)
             ).alias("j"),
         )
     )
@@ -1087,22 +1081,22 @@ def _dedup_survivor_rollup(d: DataFrame, scored: DataFrame) -> DataFrame:
     docsrc = d.select(F.col("doc_id").alias("doc_b"), "source")
     scored_src = scored.join(docsrc, "doc_b")
     is_dup = F.col("j") >= 0.5
+    # ONE aggregation pass: the r13 shape ran a second groupBy + left join
+    # just for duplicate_docs; countDistinct over a NULL-masked doc_b
+    # (non-dup rows -> NULL, skipped by COUNT DISTINCT) folds it into the
+    # same hash aggregate, dropping one full pass over scored_src and one
+    # join (r14, guide §2.4 "remove shuffles outright").
     pair_stats = scored_src.groupBy("source").agg(
         F.count("*").alias("candidate_pairs"),
         F.sum(F.when(is_dup, 1).otherwise(0)).alias("verified_dup_pairs"),
         F.sum(F.when(is_dup, F.round(F.col("j") * 1e6).cast("long")).otherwise(0))
         .cast("bigint")
         .alias("jaccard_e6_total"),
-    )
-    dropped = (
-        scored_src.filter(is_dup)
-        .groupBy("source")
-        .agg(F.countDistinct("doc_b").alias("duplicate_docs"))
+        F.countDistinct(F.when(is_dup, F.col("doc_b"))).alias("duplicate_docs"),
     )
     totals = d.groupBy("source").agg(F.count("*").alias("total_docs"))
     return (
         totals.join(pair_stats, "source", "left")
-        .join(dropped, "source", "left")
         .select(
             "source",
             "total_docs",
@@ -1553,8 +1547,11 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Jaccard verification over CANDIDATE docs only (semi-join prune before
-    # the explode — same O(candidates) discipline as scored_pair_frame);
-    # n_tok as a size(shingles) projection, no explode+groupBy.
+    # any per-token work — same O(candidates) discipline as
+    # scored_pair_frame). r14: per-pair array_intersect over the cached
+    # shingle arrays replaces the r13 explode + (tok, e_doc) equi-join +
+    # groupBy + three re-joins — no per-token rows ever materialize and
+    # four exchanges drop out (guide §2.3/§2.4).
     cand_ids = (
         cands.select(F.col("i_doc").alias("doc_id"))
         .unionByName(cands.select(F.col("e_doc").alias("doc_id")))
@@ -1565,23 +1562,14 @@ def corpus_merge_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks_arr.alias("toks"))
         .transform(tracked_cache)
     )
-    sizes = cand_docs.select("doc_id", F.size("toks").alias("n_tok"))
-    toks = cand_docs.select("doc_id", F.explode("toks").alias("tok"))
-    ta = toks.select(F.col("doc_id").alias("i_doc"), "tok")
-    tb = toks.select(F.col("doc_id").alias("e_doc"), F.col("tok").alias("tok_b"))
-    inter = (
-        cands.join(ta, "i_doc")
-        .join(tb, (F.col("tok") == F.col("tok_b")) & (tb.e_doc == cands.e_doc))
-        .groupBy(cands.i_doc, cands.e_doc)
-        .agg(F.count("*").alias("n_inter"))
-    )
-    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    ca = cand_docs.select(F.col("doc_id").alias("i_doc"), F.col("toks").alias("toks_a"))
+    cb = cand_docs.select(F.col("doc_id").alias("e_doc"), F.col("toks").alias("toks_b"))
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
     near = (
-        cands.join(sizes.select(F.col("doc_id").alias("i_doc"), F.col("n_tok").alias("na")), "i_doc")
-        .join(sizes.select(F.col("doc_id").alias("e_doc"), F.col("n_tok").alias("nb")), "e_doc")
-        .join(inter, ["i_doc", "e_doc"], "left")
+        cands.join(ca, "i_doc")
+        .join(cb, "e_doc")
         # integer-exact Jaccard >= 0.5:  2|∩| >= |A| + |B| - |∩|
-        .where(2 * n_inter >= F.col("na") + F.col("nb") - n_inter)
+        .where(2 * n_inter >= F.size("toks_a") + F.size("toks_b") - n_inter)
         .select(F.col("i_doc").alias("doc_id"))
         .distinct()
     )
@@ -1986,19 +1974,27 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
-    tok = (
-        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("tok"))
-        .where(F.col("tok") != "")
-        .transform(tracked_cache)
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    # One cached frame holds the DISTINCT shingle ARRAY per doc (r14
+    # restructure, guide §2.3/§2.4): sz is size(toks) — a per-row
+    # projection, so the r13 sizes groupBy + join are gone — and
+    # verification is per-pair array_intersect over this frame instead of
+    # the exploded (tok, doc) equi-join + groupBy, which shuffled one row
+    # per (candidate pair x shared shingle) through three extra exchanges.
+    docs_arr = d.select(
+        "doc_id",
+        F.filter(shingles(F.col("text")), lambda x: x != F.lit("")).alias("toks"),
+    ).transform(tracked_cache)
+    # tok is cached TOO: it feeds dfreq and ranked, and re-running the
+    # explode per consumer from the array cache measured as a net loss
+    # (first-cut A/B: 3.62 -> 3.92 s with the explode recomputed twice).
+    tok = docs_arr.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("sz"),
+        F.explode("toks").alias("tok"),
+    ).transform(tracked_cache)
     dfreq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
-        tok.join(dfreq, "tok")
-        .join(sizes, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-    )
+    ranked = tok.join(dfreq, "tok").withColumn("rn", F.row_number().over(w))
     prefix = ranked.where(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(0.8) * F.col("sz")) + 1
     ).select("doc_id", "tok", "sz")
@@ -2017,13 +2013,23 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sz_a", "sz_b")
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    ca = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    cb = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+        # every candidate shares a prefix shingle so n_common >= 1 always;
+        # the guard only mirrors the r13 inner-join semantics exactly
+        .where(F.col("n_common") >= 1)
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     # threshold in exact integers too: I/U >= 4/5  <=>  5I >= 4U
