@@ -114,7 +114,9 @@ def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(tracked_cache)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # cached: deg joins into every unrolled round — uncached, each round
+    # re-ran the degree shuffle from the edge cache (r14, guide §2.4)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(tracked_cache)
     ranks = docs.select(
         F.col("doc_id").alias("src"),
         F.lit(_SCALE // n).cast("bigint").alias("rank"),

@@ -512,7 +512,11 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("iteration", F.lit(it))
         )
         # Lloyd update: element-wise mean per cluster (posexplode + avg),
-        # reassembled into ordered arrays — a tiny k×dim frame
+        # reassembled into ordered arrays — a tiny k×dim frame. CACHED:
+        # without it, iteration i's consumers re-derive every earlier
+        # iteration's assignment from scratch (the unioned report plan ran
+        # 1+2+3 assignment passes instead of 3 — the graph-iteration
+        # discipline, r14 guide §2.4)
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -523,6 +527,7 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
                 ).alias("c")
             )
+            .transform(tracked_cache)
         )
     out = reports[0]
     for r in reports[1:]:
@@ -716,6 +721,10 @@ def ann_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min_by(F.struct("cid", "v"), F.struct("dist", "cid")).alias("best"))
             .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.v").alias("v"))
         )
+        # cached like ann_kmeans_train's loop: the trained centroid table
+        # feeds BOTH the final cell assignment and the probe ranking, and
+        # without materialization each consumer re-derived every Lloyd
+        # iteration from scratch (r14, guide §2.4)
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -726,6 +735,7 @@ def ann_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
                 ).alias("c")
             )
+            .transform(tracked_cache)
         )
 
     # stage 2: final cell assignment with the TRAINED centroids

@@ -125,24 +125,29 @@ def refresh_index(
 
     if state is None:
         docs = read(spark, docs_path, version=head)
-        post = _postings(docs, int(head), tokenizer).repartitionByRange(
-            _INITIAL_PARTITIONS, "tok"
-        )
-        stats = docs.agg(
-            F.count("*").alias("n"), F.sum(word_count(F.col("text"))).alias("s")
-        ).first()
-        commit(
-            post,
-            index_path,
-            mode="overwrite" if latest_version(index_path) is not None else "append",
-            stats_cols=("tok",),
-            bloom_cols=("tok", "doc_id"),
-            meta={
-                "source_version": int(head),
-                "index_n_docs": int(stats["n"]),
-                "index_sum_dl": int(stats["s"] or 0),
-            },
-        )
+        # persist BEFORE the range partitioning: repartitionByRange's
+        # sampling pass evaluates its child once and the write evaluates it
+        # again — without the persist the full tokenize + aggregate ran
+        # twice per build (r14, guide §2.4)
+        post = _postings(docs, int(head), tokenizer).persist()
+        try:
+            stats = docs.agg(
+                F.count("*").alias("n"), F.sum(word_count(F.col("text"))).alias("s")
+            ).first()
+            commit(
+                post.repartitionByRange(_INITIAL_PARTITIONS, "tok"),
+                index_path,
+                mode="overwrite" if latest_version(index_path) is not None else "append",
+                stats_cols=("tok",),
+                bloom_cols=("tok", "doc_id"),
+                meta={
+                    "source_version": int(head),
+                    "index_n_docs": int(stats["n"]),
+                    "index_sum_dl": int(stats["s"] or 0),
+                },
+            )
+        finally:
+            post.unpersist()
         return {
             "refreshed": True,
             "from_version": None,
@@ -194,7 +199,16 @@ def refresh_index(
         if int(agg["n_ins"] or 0) > 0:
             txn_p = f"{base}-post"
             ins = changes.where(F.col("_change_type") == "insert")
-            post = _postings(ins, int(head), tokenizer).repartitionByRange(
+            # hash-cluster the refresh batch by token instead of range-
+            # clustering it: repartitionByRange pays a sampling pass that
+            # re-evaluates the tokenize + aggregate subtree, and on a
+            # 2-file churn batch per-file token RANGES prune almost
+            # nothing anyway — point-term reads prune these files through
+            # their per-file blooms, which hash clustering preserves
+            # (every token's postings still land in exactly one file).
+            # The INITIAL build keeps range clustering: corpus-scale file
+            # count is where range locality earns its sampling pass.
+            post = _postings(ins, int(head), tokenizer).repartition(
                 _REFRESH_PARTITIONS, "tok"
             )
             post.write.mode("error").option("compression", "snappy").parquet(
