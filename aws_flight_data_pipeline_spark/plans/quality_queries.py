@@ -1006,12 +1006,16 @@ def _poly_edges_sql() -> str:
     "rightward ray) evaluated entirely in exact BIGINT micro-degrees: "
     "the crossing inequality px < x_edge(py) is cross-multiplied by the "
     "edge's dy so no division or double ever enters (coordinate products "
-    "stay < 2^57). Per point the crossing count is a zero-shuffle "
-    "higher-order fold (F.aggregate) over the polygon's vertex ring; the "
-    "3-row zones table broadcast-nested-loop joins onto the fact side, "
-    "so the only shuffle is the final per-zone rollup — the same plan at "
-    "100 TB. Coordinates derived deterministically from event ids "
-    "(testdata has no geo columns, seq_trajectory convention).",
+    "stay < 2^57). The vertex rings are plan-time constants, so each "
+    "zone's crossing count UNROLLS into literal-coefficient compare/"
+    "multiply expressions evaluated inside WholeStageCodegen — no zones "
+    "join, no interpreted higher-order fold (r14: the F.aggregate lambda "
+    "ran on Catalyst's interpreted path per bbox hit, and the "
+    "BroadcastNestedLoopJoin re-materialized every point row 3x); a "
+    "point's zone memberships emit through one explode and the only "
+    "shuffle is the final per-zone rollup — the same plan at 100 TB. "
+    "Coordinates derived deterministically from event ids (testdata has "
+    "no geo columns, seq_trajectory convention).",
     oracle=f"""
         WITH pts AS (
             SELECT event_id,
@@ -1045,54 +1049,38 @@ def anomaly_polygon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") * 7919) % 360_000_000 - 180_000_000).alias("px"),
         ((F.col("event_id") * 104729) % 180_000_000 - 90_000_000).alias("py"),
     )
-    zones = spark.createDataFrame(
-        [
-            (
-                z,
-                [{"x": x, "y": y} for x, y in vs],
-                min(x for x, _ in vs),
-                max(x for x, _ in vs),
-                min(y for _, y in vs),
-                max(y for _, y in vs),
-            )
-            for z, vs in POLY_ZONES
-        ],
-        "zone string, verts array<struct<x: bigint, y: bigint>>, "
-        "xmin bigint, xmax bigint, ymin bigint, ymax bigint",
-    )
+    px, py = F.col("px"), F.col("py")
 
-    def _crossing(a, b):
-        # rightward-ray crossing of edge a->b, exact integers: the ray at
-        # height py crosses iff the edge straddles py half-open and the
-        # intersection abscissa lies right of px (cross-multiplied by dy)
-        straddles = (a["y"] > F.col("py")) != (b["y"] > F.col("py"))
-        lhs = (F.col("px") - a["x"]) * (b["y"] - a["y"]) - (
-            F.col("py") - a["y"]
-        ) * (b["x"] - a["x"])
-        sgn = F.when(b["y"] > a["y"], F.lit(1)).otherwise(F.lit(-1))
-        return straddles & (lhs * sgn < 0)
+    def _inside(verts) -> Column:
+        # rightward-ray crossing parity with every edge coefficient a plan
+        # literal: the ray at height py crosses edge (x1,y1)->(x2,y2) iff
+        # the edge straddles py half-open and the intersection abscissa
+        # lies right of px (cross-multiplied by dy — exact integers). The
+        # bbox conjunct is a pure prune: outside the bbox parity is even.
+        xs = [x for x, _ in verts]
+        ys = [y for _, y in verts]
+        bbox = px.between(F.lit(min(xs)), F.lit(max(xs))) & py.between(
+            F.lit(min(ys)), F.lit(max(ys))
+        )
+        cnt: Column | None = None
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            straddles = (F.lit(y1) > py) != (F.lit(y2) > py)
+            lhs = (px - F.lit(x1)) * F.lit(y2 - y1) - (py - F.lit(y1)) * F.lit(x2 - x1)
+            hit = F.when(straddles & (lhs * F.lit(1 if y2 > y1 else -1) < 0), 1).otherwise(0)
+            cnt = hit if cnt is None else cnt + hit
+        return bbox & (cnt % 2 == 1)
 
-    n = F.size("verts")
-    crossings = F.aggregate(
-        F.sequence(F.lit(0), n - 1),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            _crossing(F.get(F.col("verts"), i), F.get(F.col("verts"), (i + 1) % n)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    # bbox prune in the JOIN condition: the exact per-edge fold only ever
-    # evaluates on bounding-box hits (a point outside the bbox can never
-    # be inside the polygon), so the expensive parity test runs on a few
-    # percent of the point x zone pairs
-    bbox = (
-        F.col("px").between(F.col("xmin"), F.col("xmax"))
-        & F.col("py").between(F.col("ymin"), F.col("ymax"))
-    )
+    # one nullable slot per zone, exploded and null-filtered — membership
+    # in several zones still yields one row per (point, zone) like the old
+    # broadcast-nested-loop join, but the ring test now runs unrolled
+    # inside WholeStageCodegen instead of an interpreted F.aggregate lambda
+    zone_hits = F.array(*[F.when(_inside(vs), F.lit(z)) for z, vs in POLY_ZONES])
     return (
-        pts.join(F.broadcast(zones), bbox)
-        .where(crossings % 2 == 1)
+        pts.select("event_id", F.explode(zone_hits).alias("zone"))
+        .where(F.col("zone").isNotNull())
         .groupBy("zone")
         .agg(
             F.count("*").cast("bigint").alias("hits"),

@@ -1878,6 +1878,8 @@ def range_frame_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_flight_data_pipeline_spark.functions.caching import tracked_cache
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # % 9 hits both parities (a % 10 rule would leave one side with no
     # NULLs and never arm the NOT IN trap); % 500 keys leave some keys
@@ -1885,7 +1887,10 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.when(F.col("o_orderkey") % 9 == 0, F.lit(None)).otherwise(
         F.col("o_custkey") % 500
     )
-    both = o.select("o_orderkey", k.alias("k"))
+    # the six scalar subqueries below each scan both sides — 20 parquet
+    # scans of orders in one plan; cache the tiny derived (orderkey, k)
+    # frame so the scan happens once and every subquery reads memory
+    both = tracked_cache(o.select("o_orderkey", k.alias("k")))
     both.where(F.col("o_orderkey") % 2 == 0).createOrReplaceTempView(
         "_null_suite_l"
     )

@@ -456,12 +456,13 @@ def test_decontam_fuzzy_prefix_blocks_before_verify(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan  # candidates via equi joins only
 
 
-def test_polygon_zones_bbox_bnl_single_rollup_shuffle(spark, sf_dir):
+def test_polygon_zones_unrolled_single_rollup_shuffle(spark, sf_dir):
     # simple mode: exchanges print inline with their partitioning
     plan = _plan(spark, sf_dir, "anomaly_polygon_zones", mode="simple")
-    # tiny zones table broadcast; the bbox predicate rides the join
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    # r14: the literal vertex rings unroll into codegen'd expressions —
+    # no zones join of any kind and no interpreted higher-order fold
+    assert "Join" not in plan
+    assert "aggregate(" not in plan  # the old F.aggregate lambda
     # the only real shuffle is the final per-zone rollup
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
