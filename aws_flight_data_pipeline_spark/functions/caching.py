@@ -53,8 +53,18 @@ def tracked_cache(df: DataFrame) -> DataFrame:
 _LIVE_RDD_IDS: list[tuple] = []
 
 
-def tracked_localcheckpoint(df: DataFrame) -> DataFrame:
-    """``df.localCheckpoint(eager=True)`` plus registration for bulk release.
+def tracked_localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` plus registration for bulk release.
+
+    ``eager=False`` keeps the plan truncation (the returned frame's logical
+    plan is a LogicalRDD leaf either way — Catalyst analysis cost is
+    identical) but defers materialization to the first downstream action:
+    the checkpoint's partitions compute inside that action's job and persist
+    for every other consumer, instead of paying a dedicated job per
+    checkpoint up front. Right for a chain of checkpoints consumed by ONE
+    terminal action (the admission gate: 3 eager jobs collapsed into the
+    final pass, A/B 0.87×); keep the eager default when consumers are
+    separate actions or when build/exec cost attribution matters.
 
     Use instead of :func:`tracked_cache` when a frame's LINEAGE, not its
     recompute cost, is the problem: ``cache()`` keeps the full analyzed
@@ -73,7 +83,7 @@ def tracked_localcheckpoint(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     new_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
     _LIVE_RDD_IDS.append((sc, new_ids))
     return out

@@ -47,6 +47,7 @@ from aws_flight_data_pipeline_spark.sources.versioned import (
     _read_manifest,
     commit,
     latest_version,
+    plan_files,
     read,
     table_changes,
 )
@@ -124,16 +125,28 @@ def refresh_index(
     state = index_state(index_path)
 
     if state is None:
+        from pyspark.sql import Observation
+
         docs = read(spark, docs_path, version=head)
         # persist BEFORE the range partitioning: repartitionByRange's
         # sampling pass evaluates its child once and the write evaluates it
         # again — without the persist the full tokenize + aggregate ran
-        # twice per build (r14, guide §2.4)
-        post = _postings(docs, int(head), tokenizer).persist()
+        # twice per build (r14, guide §2.4). The corpus stats (n_docs,
+        # sum_dl) ride the SAME materialization as an Observation on the
+        # docs scan (observed BEFORE the explode, so zero-token docs still
+        # count): the old shape paid a second full docs-table scan just for
+        # the two integers (r14, guide §1.2 — at corpus scale that scan is
+        # the build's second-largest cost).
+        obs = Observation()
+        docs_obs = docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(word_count(F.col("text"))).alias("s"),
+        )
+        post = _postings(docs_obs, int(head), tokenizer).persist()
         try:
-            stats = docs.agg(
-                F.count("*").alias("n"), F.sum(word_count(F.col("text"))).alias("s")
-            ).first()
+            post.count()  # fills the persist and fires the observation
+            stats = obs.get
             commit(
                 post.repartitionByRange(_INITIAL_PARTITIONS, "tok"),
                 index_path,
@@ -326,10 +339,31 @@ def bm25_topk_from_index(
 
     v = latest_version(index_path)
     m = _read_manifest(index_path, v)
-    post = None
-    for t in sorted(set(terms)):
-        p = read(spark, index_path, version=v, where={"tok": (t, t)})
-        post = p if post is None else post.unionByName(p)
+    # one scan over the UNION of each term's stats/bloom-pruned file set
+    # with a single IN filter, instead of one read (scan node + per-file
+    # listing + row filter) per term unioned together: the pruning is
+    # identical (per-term point probes against the same manifest), each
+    # posting row matches at most one term so the row set is exactly the
+    # union's, and the plan carries ONE parquet scan however many terms
+    # the query has (r14 — the 4-term union was ~0.5 s of per-plan driver
+    # work in the index lifecycle episode, guide §3.3 plan-size note).
+    terms_sorted = sorted(set(terms))
+    kept_union: list[str] = []
+    seen: set[str] = set()
+    for t in terms_sorted:
+        kept, _ = plan_files(index_path, version=v, where={"tok": (t, t)})
+        for f in kept:
+            if f not in seen:
+                seen.add(f)
+                kept_union.append(f)
+    if kept_union:
+        post = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(index_path, f) for f in kept_union]
+        )
+    else:
+        # every file pruned for every term: empty frame over the schema
+        post = read(spark, index_path, version=v).where(F.lit(False))
+    post = post.where(F.col("tok").isin(*terms_sorted))
     post = _mask_tombstones(spark, index_path, m, post)
     df = post.groupBy("tok").agg(F.count("*").alias("df"))
 

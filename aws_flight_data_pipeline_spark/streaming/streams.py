@@ -1416,8 +1416,16 @@ def unified_admission_decisions(
     # verdict also deletes two joins the old shape paid (batch⋈q to build
     # qpass, out⋈q in the assembly). See tracked_localcheckpoint for the
     # fault-tolerance trade and the lake-scale variant.
+    # All three checkpoints below are LAZY (r14): the truncation to a
+    # LogicalRDD leaf — the reason they exist — happens at build time
+    # either way, but eager materialization paid one dedicated job per
+    # checkpoint before the terminal action ran (3 jobs per decision
+    # batch; A/B min-of-4 at sf0.1: 3.15 → 2.75 s on the per-increment
+    # grain). Lazily they compute inside the first consumer's job and
+    # persist for the rest — same bytes, deterministic lineage.
     scored = tracked_localcheckpoint(
-        batch_df.withColumn("passed", quality_gate_rules()["passed"])
+        batch_df.withColumn("passed", quality_gate_rules()["passed"]),
+        eager=False,
     )
     qpass = scored.where("passed")
 
@@ -1440,7 +1448,7 @@ def unified_admission_decisions(
             F.col("eval_id").alias("contaminating_eval_id"),
             "jac_ppm",
         )
-        .transform(tracked_localcheckpoint)
+        .transform(lambda f: tracked_localcheckpoint(f, eager=False))
     )
     clean = qpass.join(hits.select("doc_id"), "doc_id", "left_anti")
 
@@ -1449,7 +1457,7 @@ def unified_admission_decisions(
     # runs twice; released per micro-batch like q above
     decided = _admission_decide(
         _admission_enrich(clean), fp_comb, buckets_comb
-    ).transform(tracked_localcheckpoint)
+    ).transform(lambda f: tracked_localcheckpoint(f, eager=False))
     survivors = decided.where("admitted").select("doc_id", "fp", "toks", "b0", "b1")
     intra = _intra_batch_reject_ids(survivors).withColumn(
         "intra_dup", F.lit(True)
