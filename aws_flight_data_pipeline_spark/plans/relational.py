@@ -1899,7 +1899,19 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # run the REAL SQL forms (<=> , NOT EXISTS, NOT IN) through the engine
     # rather than hand-rewritten equivalents — the three-valued-logic
-    # behavior of the engine itself is what this query certifies
+    # behavior of the engine itself is what this query certifies. The two
+    # PAIR COUNTS alone run at KEY grain (one count row per key and side,
+    # the NULL-key group included): the certified corner — = drops the
+    # NULL group, <=> matches it — is still decided by the engine's own
+    # join operators on genuinely NULL keys, but counting SUM(cnt_l*cnt_r)
+    # over the key-grain join replaces materializing every row pair just
+    # to count it (r14, guide §2.3 "aggregate before you shuffle": the
+    # row-grain equi join built ~11M pairs and the null-safe join another
+    # ~69M at sf0.1 — O(N^2/|keys|) at scale — for two scalar counts).
+    for side, view in ((0, "_null_suite_lk"), (1, "_null_suite_rk")):
+        both.where(F.col("o_orderkey") % 2 == side).groupBy("k").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        ).createOrReplaceTempView(view)
     return spark.sql(
         """
         SELECT
@@ -1907,11 +1919,11 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS l_nulls,
             (SELECT CAST(COUNT(*) AS BIGINT) FROM _null_suite_r WHERE k IS NULL)
                 AS r_nulls,
-            (SELECT CAST(COUNT(*) AS BIGINT)
-               FROM _null_suite_l l JOIN _null_suite_r r ON l.k = r.k)
+            (SELECT CAST(COALESCE(SUM(l.cnt * r.cnt), 0) AS BIGINT)
+               FROM _null_suite_lk l JOIN _null_suite_rk r ON l.k = r.k)
                 AS eq_pairs,
-            (SELECT CAST(COUNT(*) AS BIGINT)
-               FROM _null_suite_l l JOIN _null_suite_r r ON l.k <=> r.k)
+            (SELECT CAST(COALESCE(SUM(l.cnt * r.cnt), 0) AS BIGINT)
+               FROM _null_suite_lk l JOIN _null_suite_rk r ON l.k <=> r.k)
                 AS nullsafe_pairs,
             (SELECT CAST(COUNT(*) AS BIGINT) FROM _null_suite_l l
               WHERE NOT EXISTS (SELECT 1 FROM _null_suite_r r WHERE r.k = l.k))
