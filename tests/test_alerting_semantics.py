@@ -29,6 +29,7 @@ def quarantine(spark, sf_dir):
     return resolve("quality_quarantine_split")(spark, sf_dir).collect()
 
 
+@pytest.mark.slow
 def test_alert_timeline_covers_all_windows_and_alerts(alerts):
     # 4 time windows × 3 alert types, every combination present exactly once
     seen = {(r["window_id"], r["alert_name"]) for r in alerts}

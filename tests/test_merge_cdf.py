@@ -160,6 +160,7 @@ def test_table_changes_net_diff_across_span(spark, table):
     assert same.count() == 0 and "_change_type" in same.columns
 
 
+@pytest.mark.slow
 def test_streaming_upsert_sink_converges_with_seq_ordering(spark, tmp_path):
     import datetime as dt
 

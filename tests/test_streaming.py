@@ -109,6 +109,7 @@ def test_micro_batch_pipeline_end_to_end(spark, landing, tmp_path):
     assert "year" in clean_df.columns  # partition columns derived
 
 
+@pytest.mark.slow
 def test_stateful_stuck_detector_across_batches(spark, landing):
     # same position fixes spanning > 30 min arriving over TWO micro-batches —
     # only cross-batch state can see the full span
@@ -176,6 +177,7 @@ def test_streaming_corpus_dedup_drops_exact_dups(spark, tmp_path):
     assert out.distinct().count() == n_unique  # one survivor per fingerprint
 
 
+@pytest.mark.slow
 def test_stream_attribution_interval_join(spark, tmp_path):
     """Stream-stream interval join: purchases match same-user clicks within
     the lag window, across micro-batch boundaries, and never outside it."""
@@ -260,6 +262,7 @@ def test_streaming_quality_gate_matches_batch_rules(spark, tmp_path):
     assert 0 < n_passed < len(out)  # the gate splits the corpus non-trivially
 
 
+@pytest.mark.slow
 def test_streaming_sessionization_matches_batch_session_windows(spark, tmp_path):
     """session_window sessions must be micro-batch-invariant: every session
     the final watermark has passed is emitted exactly once and matches the
@@ -317,6 +320,7 @@ def test_streaming_sessionization_matches_batch_session_windows(spark, tmp_path)
     assert required.count() > 0  # the assertion above actually bites
 
 
+@pytest.mark.slow
 def test_streaming_corpus_admission_matches_batch_and_is_stateless(spark, tmp_path):
     """streaming_corpus_admission must (a) reproduce the batch
     corpus_merge_increment rollup exactly across micro-batch boundaries and
@@ -448,6 +452,7 @@ def test_streaming_sketch_rollup_matches_batch_sketch(spark, tmp_path):
     assert len(versions) == 3
 
 
+@pytest.mark.slow
 def test_streaming_heavy_hitters_matches_batch_sketch(spark, tmp_path):
     """CMS tables merge by addition, so the stream's merged sketch must be
     BYTE-identical to one batch sketch over the concatenated input; the

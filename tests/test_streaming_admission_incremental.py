@@ -14,6 +14,8 @@ were verified once out-of-band; every decision row is asserted exactly.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -70,6 +72,7 @@ def _decisions(df) -> dict[int, tuple]:
     }
 
 
+@pytest.mark.slow
 def test_stateless_tier_admits_cross_batch_near_dups(spark, tmp_path):
     """The gap: with a frozen index, X (batch 1) and X_NEAR / X_EXACT
     (batch 2) are ALL admitted — nothing vs-corpus rejects them."""
@@ -97,6 +100,7 @@ def test_stateless_tier_admits_cross_batch_near_dups(spark, tmp_path):
     assert got[102] == (True, True, False, [6])
 
 
+@pytest.mark.slow
 def test_incremental_index_rejects_cross_batch_dups(spark, tmp_path):
     corpus = _corpus(spark)
     fp_index, band_buckets = corpus_admission_index(corpus)
@@ -133,6 +137,7 @@ def test_incremental_index_rejects_cross_batch_dups(spark, tmp_path):
     assert sorted(r["doc_id"] for r in st.select("doc_id").collect()) == [101, 203]
 
 
+@pytest.mark.slow
 def test_incremental_intra_batch_keep_first(spark, tmp_path):
     """Two near-dups arriving in the SAME micro-batch: keep-first by doc_id
     (the batch pipeline's election convention) — the earlier admitted, the
@@ -171,6 +176,7 @@ def _frozen_snapshot(spark, ipath):
     ).select(F.col("doc_id").alias("eval_id"), "tok")
 
 
+@pytest.mark.slow
 def test_frozen_postings_fast_path_matches_manifest_path(spark, tmp_path):
     """Verdict r13 #6: the frozen-postings fast path (caller-supplied
     snapshot, fully lazy) and the manifest path (per-probe versioned read

@@ -6,6 +6,8 @@ boundaries (stream == batch), exactly-once on both tables."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -35,6 +37,7 @@ def _eval_index(spark, tmp_path) -> str:
     return ipath
 
 
+@pytest.mark.slow
 def test_gate_stream_equals_batch_and_is_exactly_once(spark, tmp_path):
     ipath = _eval_index(spark, tmp_path)
     src = str(tmp_path / "incoming")

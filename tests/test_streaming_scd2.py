@@ -10,6 +10,8 @@ sink's batch-id manifest stamp.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_flight_data_pipeline_spark.operators.sequence import runs_to_intervals, state_runs
@@ -85,6 +87,7 @@ def test_replayed_batch_is_a_noop(spark, tmp_path):
     assert vt.latest_version(dim) == before
 
 
+@pytest.mark.slow
 def test_out_of_order_events_fold_in_true_time_order(spark, tmp_path):
     """The watermarked tier: late events (within the delay) re-sort into
     their true position before any run boundary is finalized — the closed
@@ -140,6 +143,7 @@ def test_out_of_order_events_fold_in_true_time_order(spark, tmp_path):
     assert rows == [(1, "a", us(0), us(20)), (1, "b", us(20), us(40))], rows
 
 
+@pytest.mark.slow
 def test_ooo_state_survives_delimiter_heavy_event_types(spark, tmp_path):
     """event_type containing ';' and ':' must round-trip through the
     buffered state (JSON-encoded) instead of corrupting it."""

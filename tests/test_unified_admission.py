@@ -13,6 +13,8 @@ columns from the decision."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -106,6 +108,7 @@ def _decision_key(r) -> tuple:
     )
 
 
+@pytest.mark.slow
 def test_unified_gate_stream_equals_batch_one_commit_per_table(spark, tmp_path):
     ipath = _eval_index(spark, tmp_path)
     fp_index, band_buckets = _base_index(spark)
@@ -164,6 +167,7 @@ def test_unified_gate_stream_equals_batch_one_commit_per_table(spark, tmp_path):
     assert batch_dec == {d: _decision_key(dec[d]) for d in dec}
 
 
+@pytest.mark.slow
 def test_unified_gate_soak_bounded_state_flat_latency(spark, tmp_path):
     """Verdict-r10 #7: a 50-micro-batch soak over the unified gate. The
     per-batch release_tracked() discipline only holds if the CURVE is

@@ -26,6 +26,7 @@ def _df(spark, lo, hi, tag):
 # ---------------------------------------------------------------- head hint
 
 
+@pytest.mark.slow
 def test_long_chain_reads_touch_bounded_manifests(spark, table, monkeypatch):
     # ~100 commits (a streaming sink's afternoon); resolving the head and
     # reading the table must NOT list or parse the whole chain
