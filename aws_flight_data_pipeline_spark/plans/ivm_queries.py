@@ -241,9 +241,14 @@ def ivm_single_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact, rollup = f"{root}/fact", f"{root}/rollup"
     base = _single_base_frame(spark, sf_dir)
 
-    # THE measured operation: one append + one O(churn) refresh
+    # THE measured operation: one append + one O(churn) refresh. Hash-
+    # clustered increment (repartitionByRange's sampling job re-evaluates
+    # the filtered orders scan, and this grain has no later range op that
+    # would prune the appended files — the r14 invindex refresh-batch
+    # precedent; the lifecycle EPISODE keeps range appends because its
+    # DELETE step is the pruning demo).
     vt.commit(
-        base.where(F.col("o_orderkey") % 8 == 4).repartitionByRange(2, "o_orderkey"),
+        base.where(F.col("o_orderkey") % 8 == 4).repartition(2, "o_orderkey"),
         fact,
         mode="append",
         stats_cols=("o_orderkey",),

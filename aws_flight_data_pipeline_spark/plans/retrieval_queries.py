@@ -449,9 +449,16 @@ def index_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    # THE measured operation: one append + one O(churn) refresh
+    # THE measured operation: one append + one O(churn) refresh. The
+    # increment is hash-clustered, not range-clustered: repartitionByRange
+    # pays a sampling job that re-evaluates the filtered docs scan, and
+    # nothing downstream of this grain prunes the DOCS table by doc_id
+    # range (the refresh consumes the change feed at file grain; BM25
+    # reads the index) — the r14 invindex refresh-batch precedent, with
+    # initial builds keeping range clustering where corpus-scale locality
+    # earns the sampling pass (guide §2.4).
     vt.commit(
-        docs.where(F.col("doc_id") % 6 == 3).repartitionByRange(2, "doc_id"),
+        docs.where(F.col("doc_id") % 6 == 3).repartition(2, "doc_id"),
         dpath,
         mode="append",
         stats_cols=("doc_id",),

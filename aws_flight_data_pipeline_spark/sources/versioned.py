@@ -366,7 +366,12 @@ def _file_blooms(file_path: str, cols: tuple[str, ...], fpp: float) -> dict:
     for c in cols:
         if c not in tbl.column_names:
             continue
-        b = _bloom_build(tbl[c].to_pylist(), fpp)
+        # vectorized distinct in Arrow BEFORE crossing to Python: postings
+        # files carry each token once per document, so the raw column is
+        # far from unique — to_pylist of every value plus a Python-set
+        # dedupe was the hottest residue of the commit path after r14's
+        # in-build dedupe (guide §1.2: don't ship values you throw away)
+        b = _bloom_build(tbl[c].unique().to_pylist(), fpp)
         if b is not None:
             out[c] = b
     return out
@@ -1334,10 +1339,16 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
     # SQL DELETE semantics: a NULL predicate KEEPS the row (~NULL is NULL
     # and a bare where(~cond) would silently drop it — pre-evolution rows
     # read the evolved column as NULL, so this is the schema-evolution
-    # data-loss case). One matching-rows count, not two full-frame counts.
+    # data-loss case). Deleted-row accounting is footer arithmetic (rows
+    # the affected files held, from parquet metadata — no scan) minus the
+    # survivor count OBSERVED during the rewrite itself: the r14 form paid
+    # a dedicated matching-rows count job per delete on top of the write
+    # (merge_into already used this exact accounting).
     matches = F.coalesce(cond, F.lit(False))
-    survivors = src.where(~matches)
-    n_deleted = src.where(matches).count()
+    obs_surv = Observation()
+    survivors = src.where(~matches).observe(
+        obs_surv, F.count(F.lit(1)).alias("n")
+    )
 
     # stats for the rewritten files: the union of columns the affected
     # files carried stats for (keeps the table's pruning power intact)
@@ -1349,6 +1360,12 @@ def delete_where(spark: SparkSession, path: str, where: dict) -> dict:
     txn = f"v{new_version:09d}-{uuid.uuid4().hex[:12]}"
     txn_dir = os.path.join(_data_dir(path), txn)
     survivors.write.mode("error").option("compression", "snappy").parquet(txn_dir)
+    import pyarrow.parquet as pq
+
+    n_aff_rows = sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in affected
+    )
+    n_deleted = n_aff_rows - int(obs_surv.get["n"])
     new_files = sorted(
         os.path.join("data", txn, f)
         for f in os.listdir(txn_dir)
