@@ -1381,8 +1381,16 @@ def decontam_increment(
     from aws_flight_data_pipeline_spark.sources import versioned as vt
 
     if postings is not None:
-        epost = postings.select("eval_id", "tok")
+        # a snapshot that carries per-doc set sizes (sz_eval — stamped at
+        # snapshot-build time by _ensure_eval_index since r15) lets the
+        # whole probe run as ONE streamed pass: set sizes ride the pairs
+        # aggregation instead of a second epost pass + re-attach join
+        has_sz_eval = "sz_eval" in postings.columns
+        epost = postings.select(
+            "eval_id", "tok", *(["sz_eval"] if has_sz_eval else [])
+        )
     else:
+        has_sz_eval = False
         v = vt.latest_version(eval_index_path)
         if v is None:
             raise FileNotFoundError(f"{eval_index_path} has no committed versions")
@@ -1395,13 +1403,21 @@ def decontam_increment(
         )
 
     frozen = postings is not None
+    # tokenize each increment doc ONCE: the shingle array materializes in
+    # the child projection, its size (= the doc's distinct-shingle count,
+    # the tokenizer emits distinct shingles) rides every exploded row, and
+    # the pairs aggregation below carries it through as min(sz_train) —
+    # the r14 shape tokenized the batch TWICE (once for the pairs
+    # broadcast, once for a standalone per-doc count) and paid a separate
+    # broadcast + join to re-attach the counts (guide §1.2, §2.4)
     ttok = increment.select(
         F.col("doc_id").alias("train_id"),
-        F.explode(shingle_tokenizer(F.col("text"))).alias("tok"),
+        shingle_tokenizer(F.col("text")).alias("_toks"),
+    ).select(
+        "train_id",
+        F.size("_toks").cast("bigint").alias("sz_train"),
+        F.explode("_toks").alias("tok"),
     )
-    if not frozen:
-        ttok = ttok.transform(tracked_cache)
-    sz_t = ttok.groupBy("train_id").agg(F.count("*").cast("bigint").alias("sz_train"))
 
     # ONE streamed pass of the postings against the increment's BROADCAST
     # vocabulary: since postings and increment shingles are both distinct
@@ -1418,50 +1434,58 @@ def decontam_increment(
     pairs = (
         epost.join(F.broadcast(ttok), "tok")
         .groupBy("train_id", "eval_id")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            # constant within the group (one sz per doc); min() = that value
+            F.min("sz_train").alias("sz_train"),
+            *([F.min("sz_eval").alias("sz_eval")] if has_sz_eval else []),
+        )
     )
-    if frozen:
-        # frozen-index fast path: LAZY when the caller vouches for the
-        # snapshot's size — no cache barrier, no eager count, no separate
-        # jobs. Both pair-derived build sides are bounded by the distinct
-        # eval docs in the snapshot; the hinted count (or, unhinted, one
-        # bounded distinct-limit probe) keeps the forced broadcast safe
-        # for arbitrary public-API callers (ADVICE r13 #2). The admission
-        # gate checkpoints the result, so nothing here is recomputed.
-        n_eval = postings_eval_docs
-        if n_eval is None:
-            n_eval = (
-                epost.select("eval_id")
-                .distinct()
-                .limit(_PAIR_BROADCAST_MAX + 1)
-                .count()
-            )
-
-        def _pair_side(df: DataFrame) -> DataFrame:
-            return F.broadcast(df) if n_eval <= _PAIR_BROADCAST_MAX else df.hint("merge")
-
+    if has_sz_eval:
+        # sizes already ride the pairs rows: the probe is ONE streamed
+        # pass, fully lazy — no pair-derived build side exists, so the
+        # ADVICE-r13-#2 broadcast guard has nothing to bound here
+        inter = pairs
     else:
         # set sizes only for the eval docs that share at least one shingle
         # — a second streamed pass, semi-joined by the (candidate-bounded)
-        # pair set; the build side is measured, with a shuffle fallback
-        pairs = pairs.transform(tracked_cache)
-        n_pairs = pairs.count()
+        # pair set; only needed when the postings carry no per-doc sizes
+        if frozen:
+            # frozen-index path: LAZY when the caller vouches for the
+            # snapshot's size — no cache barrier, no eager count, no
+            # separate jobs. Both pair-derived build sides are bounded by
+            # the distinct eval docs in the snapshot; the hinted count
+            # (or, unhinted, one bounded distinct-limit probe) keeps the
+            # forced broadcast safe for arbitrary public-API callers
+            # (ADVICE r13 #2).
+            n_bound = postings_eval_docs
+            if n_bound is None:
+                n_bound = (
+                    epost.select("eval_id")
+                    .distinct()
+                    .limit(_PAIR_BROADCAST_MAX + 1)
+                    .count()
+                )
+        else:
+            # manifest path: the build side is measured, shuffle fallback
+            pairs = pairs.transform(tracked_cache)
+            n_bound = pairs.count()
 
         def _pair_side(df: DataFrame) -> DataFrame:
             return (
-                F.broadcast(df) if n_pairs <= _PAIR_BROADCAST_MAX else df.hint("merge")
+                F.broadcast(df) if n_bound <= _PAIR_BROADCAST_MAX else df.hint("merge")
             )
 
-    sz_e = (
-        epost.join(
-            _pair_side(pairs.select("eval_id").distinct()), "eval_id", "left_semi"
+        sz_e = (
+            epost.join(
+                _pair_side(pairs.select("eval_id").distinct()),
+                "eval_id",
+                "left_semi",
+            )
+            .groupBy("eval_id")
+            .agg(F.count("*").cast("bigint").alias("sz_eval"))
         )
-        .groupBy("eval_id")
-        .agg(F.count("*").cast("bigint").alias("sz_eval"))
-    )
-    inter = pairs.join(_pair_side(sz_e), "eval_id").join(
-        F.broadcast(sz_t), "train_id"
-    )
+        inter = pairs.join(_pair_side(sz_e), "eval_id")
     union_sz = F.col("sz_train") + F.col("sz_eval") - F.col("n_common")
     hit = inter.where(10 * F.col("n_common") >= 7 * union_sz).withColumn(
         "jac_ppm",
@@ -1625,13 +1649,21 @@ def _ensure_eval_index(spark: SparkSession, sf_dir: str) -> str:
         # (eval_id, tok) rows as plain parquet, so session consumers of the
         # FROZEN index (the unified admission gate) probe without paying
         # the per-probe manifest read + mask (see decontam_increment's
-        # ``postings`` parameter)
+        # ``postings`` parameter). sz_eval — the doc's distinct-shingle
+        # count — is stamped per row at build time (r15), so the probe's
+        # Jaccard denominators ride the single pairs aggregation instead
+        # of a second snapshot pass + re-attach join per probe.
+        from pyspark.sql.window import Window as _W
+
         v = vt.latest_version(f"{root}/eval_index")
         m = vt._read_manifest(f"{root}/eval_index", v)
         ix._mask_tombstones(
             spark, f"{root}/eval_index", m,
             vt.read(spark, f"{root}/eval_index", version=v),
-        ).select(F.col("doc_id").alias("eval_id"), "tok").write.mode(
+        ).select(F.col("doc_id").alias("eval_id"), "tok").withColumn(
+            "sz_eval",
+            F.count("*").over(_W.partitionBy("eval_id")).cast("bigint"),
+        ).write.mode(
             "overwrite"
         ).parquet(f"{root}/postings_snapshot")
         # count the snapshot's distinct eval docs ONCE at build time, so

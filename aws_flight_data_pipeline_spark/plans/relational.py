@@ -1910,7 +1910,8 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~69M at sf0.1 — O(N^2/|keys|) at scale — for two scalar counts).
     for side, view in ((0, "_null_suite_lk"), (1, "_null_suite_rk")):
         both.where(F.col("o_orderkey") % 2 == side).groupBy("k").agg(
-            F.count("*").cast("bigint").alias("cnt")
+            # count() is already bigint in Spark (ADVICE r14 #2)
+            F.count("*").alias("cnt")
         ).createOrReplaceTempView(view)
     return spark.sql(
         """
