@@ -31,6 +31,8 @@ of exact BIGINT sums.
 
 from __future__ import annotations
 
+import os
+
 from aws_flight_data_pipeline_spark.functions import tmproots as _tmproots
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -246,8 +248,9 @@ LAST_INDEX_STEP_SECONDS: dict[str, float] = {}
     doc="Incrementally-maintained inverted index (sources/invindex.py): the "
     "documents table lives as a versioned table through a load, an append, "
     "and a range DELETE; after every commit the postings table refreshes "
-    "from the CHANGE FEED (tokenize only churned docs; deletes are a "
-    "bloom-scoped merge-delete on doc_id; corpus stats ride the manifest "
+    "from the CHANGE FEED (tokenize only churned docs; deletes land as "
+    "O(churn) doc-grain tombstones the queries anti-join; corpus stats "
+    "ride the manifest "
     "as running integers), then BM25 top-k is answered FROM THE INDEX — "
     "stats from the manifest stamp, per-term postings via token-range + "
     "bloom file pruning; the documents table is never rescanned at query "
@@ -353,7 +356,7 @@ def inverted_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     invindex.refresh_index(spark, dpath, ipath)
     mark("index_insert_refresh")
 
-    # 3. range delete -> bloom-scoped merge-delete of those docs' postings
+    # 3. range delete -> those docs' postings masked via an O(churn) tombstone
     vt.delete_where(spark, dpath, {"doc_id": (0, cut)})
     mark("delete_docs")
     invindex.refresh_index(spark, dpath, ipath)
@@ -444,7 +447,12 @@ def index_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(old, ignore_errors=True)
     root = _tmproots.mkdtemp(prefix="afdp-invidx-single-")
     _INDEX_DIRS[key] = root
-    shutil.copytree(pristine, root, dirs_exist_ok=True)
+    # hardlink clone (r15): the versioned design never mutates a data file
+    # in place (commits create NEW txn files; _head/_batches use atomic
+    # replace, which breaks the link), so linking preserves the pristine
+    # base's byte-identity guarantee while copying only metadata — the
+    # per-invocation byte copy of the standing state was pure I/O overhead
+    shutil.copytree(pristine, root, dirs_exist_ok=True, copy_function=os.link)
     dpath, ipath = f"{root}/docs", f"{root}/index"
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

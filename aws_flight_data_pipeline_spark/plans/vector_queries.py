@@ -16,6 +16,8 @@ results rounded to 4 dp to absorb summation-order noise.
 
 from __future__ import annotations
 
+import os
+
 from aws_flight_data_pipeline_spark.functions import tmproots as _tmproots
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1284,7 +1286,12 @@ def ivf_single_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(old, ignore_errors=True)
     root = _tmproots.mkdtemp(prefix="afdp-ivf-single-")
     _IVF_DIRS[key] = root
-    shutil.copytree(pristine, root, dirs_exist_ok=True)
+    # hardlink clone (r15): the versioned design never mutates a data file
+    # in place (commits create NEW txn files; _head/_batches use atomic
+    # replace, which breaks the link), so linking preserves the pristine
+    # base's byte-identity guarantee while copying only metadata — the
+    # per-invocation byte copy of the standing state was pure I/O overhead
+    shutil.copytree(pristine, root, dirs_exist_ok=True, copy_function=os.link)
     ipath = f"{root}/ivf"
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -152,7 +152,13 @@ def refresh_index(
                 index_path,
                 mode="overwrite" if latest_version(index_path) is not None else "append",
                 stats_cols=("tok",),
-                bloom_cols=("tok", "doc_id"),
+                # tok only: point-term reads probe tok blooms; NOTHING
+                # probes a doc_id bloom on postings files (deletes are
+                # tombstones, never doc_id point reads), and at corpus
+                # scale a per-file bloom over distinct doc_ids is the
+                # dominant manifest payload — pure dead weight (r15,
+                # guide §1.2; absent bloom = conservative no-skip)
+                bloom_cols=("tok",),
                 meta={
                     "source_version": int(head),
                     "index_n_docs": int(stats["n"]),
@@ -260,9 +266,8 @@ def refresh_index(
         blooms = {f: b for f, b in m.get("blooms", {}).items()}
         for f in post_files:
             stats[f] = _footer_stats(os.path.join(index_path, f), ("tok",))
-            fb = _file_blooms(
-                os.path.join(index_path, f), ("tok", "doc_id"), 0.01
-            )
+            # tok only — see the initial build's bloom_cols note
+            fb = _file_blooms(os.path.join(index_path, f), ("tok",), 0.01)
             if fb:
                 blooms[f] = fb
         _publish(
@@ -414,7 +419,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     blooms = {
         f: fb
         for f in new_files
-        if (fb := _file_blooms(os.path.join(index_path, f), ("tok", "doc_id"), 0.01))
+        if (fb := _file_blooms(os.path.join(index_path, f), ("tok",), 0.01))
     }
     _publish(
         index_path,
