@@ -1530,7 +1530,13 @@ def _decontam_eval_index(spark: SparkSession, sf_dir: str) -> str:
     )
     dpath, ipath = f"{root}/eval_docs", f"{root}/eval_index"
     vt.commit(ev.repartition(2), dpath, stats_cols=("doc_id",))
-    ix.refresh_index(spark, dpath, ipath, tokenizer=shingle_tokenizer)
+    # bloom_cols=(): the probe reads ALL postings of the frozen eval index
+    # (no point-term file pruning ever runs against it), so per-file blooms
+    # over the shingle vocabulary — the expensive-to-build case — were pure
+    # dead weight inside this query's timed fresh-build grain (r15)
+    ix.refresh_index(
+        spark, dpath, ipath, tokenizer=shingle_tokenizer, bloom_cols=()
+    )
     return ipath
 
 
@@ -1641,9 +1647,11 @@ def _ensure_eval_index(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id", "text")
         )
         vt.commit(ev.repartition(2), f"{root}/eval_docs", stats_cols=("doc_id",))
+        # bloom_cols=(): consumers read the index's live postings wholesale
+        # (the snapshot below, or the mask path) — nothing point-probes it
         ix.refresh_index(
             spark, f"{root}/eval_docs", f"{root}/eval_index",
-            tokenizer=shingle_tokenizer,
+            tokenizer=shingle_tokenizer, bloom_cols=(),
         )
         # live-postings snapshot: the frozen index's tombstone-masked
         # (eval_id, tok) rows as plain parquet, so session consumers of the

@@ -108,7 +108,11 @@ def index_state(index_path: str) -> dict | None:
 
 
 def refresh_index(
-    spark: SparkSession, docs_path: str, index_path: str, tokenizer=None
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    tokenizer=None,
+    bloom_cols: tuple[str, ...] = ("tok",),
 ) -> dict:
     """Bring the postings table up to the documents table's head; returns
     ``{refreshed, from_version, to_version, postings_added, docs_removed}``.
@@ -118,7 +122,14 @@ def refresh_index(
     proportional to the churned files. Crash safety: the delete pass is
     an idempotent merge (replaying it matches nothing), and the cursor +
     running stats publish atomically with the insert commit, so a crash
-    between the two replays the whole increment exactly once."""
+    between the two replays the whole increment exactly once.
+
+    ``bloom_cols`` controls the per-file bloom filters recorded with each
+    commit (default: ``tok``, which the point-term file pruning in
+    :func:`bm25_topk_from_index` probes). Pass ``()`` for an index whose
+    readers scan all postings (the decontamination probe) — blooms over a
+    shingle vocabulary are the expensive case to build and pure dead
+    weight when nothing probes them; absent blooms only disable skips."""
     head = latest_version(docs_path)
     if head is None:
         raise FileNotFoundError(f"{docs_path} has no committed versions")
@@ -152,13 +163,13 @@ def refresh_index(
                 index_path,
                 mode="overwrite" if latest_version(index_path) is not None else "append",
                 stats_cols=("tok",),
-                # tok only: point-term reads probe tok blooms; NOTHING
-                # probes a doc_id bloom on postings files (deletes are
-                # tombstones, never doc_id point reads), and at corpus
+                # default tok only: point-term reads probe tok blooms;
+                # NOTHING probes a doc_id bloom on postings files (deletes
+                # are tombstones, never doc_id point reads), and at corpus
                 # scale a per-file bloom over distinct doc_ids is the
                 # dominant manifest payload — pure dead weight (r15,
                 # guide §1.2; absent bloom = conservative no-skip)
-                bloom_cols=("tok",),
+                bloom_cols=tuple(bloom_cols),
                 meta={
                     "source_version": int(head),
                     "index_n_docs": int(stats["n"]),
@@ -266,8 +277,12 @@ def refresh_index(
         blooms = {f: b for f, b in m.get("blooms", {}).items()}
         for f in post_files:
             stats[f] = _footer_stats(os.path.join(index_path, f), ("tok",))
-            # tok only — see the initial build's bloom_cols note
-            fb = _file_blooms(os.path.join(index_path, f), ("tok",), 0.01)
+            # see the initial build's bloom_cols note
+            fb = (
+                _file_blooms(os.path.join(index_path, f), tuple(bloom_cols), 0.01)
+                if bloom_cols
+                else {}
+            )
             if fb:
                 blooms[f] = fb
         _publish(
