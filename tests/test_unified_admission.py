@@ -193,6 +193,11 @@ def test_unified_gate_soak_bounded_state_flat_latency(spark, tmp_path):
                 "pytest",
                 "-q",
                 "-x",
+                # the child must override pytest.ini's default
+                # `-m "not slow"` lane filter, or it deselects the very
+                # test it was spawned to run (exit 5, zero collected)
+                "-m",
+                "slow or not slow",
                 f"{__file__}::test_unified_gate_soak_bounded_state_flat_latency",
             ],
             env={**os.environ, "AFDP_SOAK_CHILD": "1"},
